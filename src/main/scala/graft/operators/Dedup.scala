@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-key last-writer-wins dedup over a change batch.
+  *
+  * The reference dedups first-writer-wins on a content hash
+  * (DeletePoints.py:11-40, ordered by OBJECTID); CDC inverts this to
+  * LAST-writer-wins ordered by the event LSN (SURVEY.md A1/W2):
+  * `groupBy(doc_id).agg(max_by(event, lsn))` — an associative/commutative
+  * reduce, so Spark's hash aggregate does map-side partial combine before
+  * the shuffle (each input partition emits at most one pre-aggregated row
+  * per locally-seen key — the built-in defense against hot keys).
+  *
+  * [[lwwSalted]] adds an EXPLICIT two-phase salted pre-aggregation for
+  * pathological skew (FIXTURES.md G5): phase 1 reduces (doc_id, salt)
+  * groups so a single hot doc_id's events spread over `salt` reducers;
+  * phase 2 reduces the ≤salt survivors per key. Correct because max_by
+  * over (lsn, event) is associative. Use when one key's event count
+  * exceeds what a single reducer should absorb (10^10-event design point).
+  */
+object Dedup {
+
+  /** Single-phase LWW: one shuffle on doc_id, map-side partial agg. */
+  def lww(events: DataFrame): DataFrame = {
+    val payload = struct(events.columns.map(col).toIndexedSeq: _*)
+    events
+      .groupBy(col("doc_id"))
+      .agg(max_by(payload, col("lsn")).as("_e"))
+      .select(col("_e.*"))
+  }
+
+  /** Two-phase salted LWW for hot-key skew. `salt` ≈ shuffle parallelism
+    * you want the hottest key to use. */
+  def lwwSalted(events: DataFrame, salt: Int): DataFrame = {
+    require(salt > 1, "salt must be > 1; use lww() otherwise")
+    val payload = struct(events.columns.map(col).toIndexedSeq: _*)
+    val phase1 = events
+      .withColumn("_salt", pmod(xxhash64(col("lsn")), lit(salt.toLong)))
+      .groupBy(col("doc_id"), col("_salt"))
+      .agg(max_by(payload, col("lsn")).as("_e"))
+    phase1
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("_e"), col("_e.lsn")).as("_e"))
+      .select(col("_e.*"))
+  }
+}

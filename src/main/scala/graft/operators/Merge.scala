@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.table.{Manifest, SnapshotTable}
+
+/** Result of applying one change batch. */
+case class MergeStats(
+    commitId: String,
+    version: Long,
+    skipped: Boolean,
+    touchedBuckets: Int,
+    rowsBefore: Long,
+    rowsAfter: Long,
+    inserted: Long,
+    updated: Long,
+    deleted: Long,
+    deleteNoops: Long,
+    staleEvents: Long,
+    batchEvents: Long,
+    minLsn: Long,
+    maxLsn: Long,
+    wallMs: Long,
+    schemaChanges: Seq[String])
+
+/** Copy-on-write MERGE of a deduped change batch into a [[SnapshotTable]].
+  *
+  * Reference analog: `update_sde`'s guarded delete-partition-then-append
+  * (UpdateAddressPointsSDE.py:26-63), made atomic by the snapshot commit
+  * and idempotent by the commit-id ledger + row-level LSN condition.
+  *
+  * Scale design (10^10-event target):
+  *  - Only buckets the batch touches are read and rewritten; untouched
+  *    buckets' files carry forward by manifest reference (zero IO).
+  *  - The target⋈batch full-outer join shuffles both sides on doc_id;
+  *    AQE handles skewed buckets (skew-join split) and the batch side was
+  *    already LWW-reduced (one row per key) by [[Dedup]].
+  *  - All merge metrics come from `Dataset.observe` on the single write
+  *    pass — no second job over the join.
+  *  - Row-level condition `batch.lsn > target._lsn` makes replayed or
+  *    out-of-order events no-ops even if the ledger is bypassed.
+  */
+object Merge {
+
+  val LsnCol = "_lsn"
+
+  /** Payload columns = everything that persists in the target table. */
+  private def payloadSchemaOf(batch: DataFrame): StructType =
+    StructType(batch.schema.fields.filterNot(f =>
+      Seq("lsn", "op", "ingest_ts").contains(f.name)))
+
+  def apply(
+      table: SnapshotTable,
+      dedupedBatch: DataFrame,
+      commitId: String,
+      batchId: Long): MergeStats = {
+    val t0  = System.nanoTime()
+    val cur = table.current.getOrElse(
+      throw new IllegalStateException("table has no snapshot; create() first"))
+
+    if (table.appliedCommitIds.contains(commitId)) {
+      // Exactly-once: the ledger says this commit already landed.
+      return MergeStats(commitId, cur.version, skipped = true, 0,
+        cur.rowCount, cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1,
+        (System.nanoTime() - t0) / 1000000, Seq.empty)
+    }
+
+    // ---- schema gate / evolution ----
+    val targetPayload = StructType(cur.schema.fields.filterNot(_.name == LsnCol))
+    val (evolvedPayload, changes) =
+      SchemaEvolution.evolve(targetPayload, payloadSchemaOf(dedupedBatch))
+    val physicalSchema =
+      StructType(evolvedPayload.fields :+ StructField(LsnCol, LongType, nullable = false))
+
+    val numBuckets = cur.numBuckets
+    def bucketOf(docId: Column): Column =
+      pmod(xxhash64(docId), lit(numBuckets.toLong)).cast("int")
+
+    val batch = dedupedBatch
+      .withColumn("_bucket", bucketOf(col("doc_id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched: Set[Int] =
+        batch.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+
+      // ---- join only the touched slice of the target ----
+      val targetSlice = SchemaEvolution.align(
+        table.read(Some(cur.version), Some(touched)), physicalSchema)
+      val payloadCols = evolvedPayload.fieldNames.toSeq
+
+      val tt      = targetSlice.as("t")
+      val present = batch.columns.toSet
+      val bb = batch.select(
+        evolvedPayload.fields.toIndexedSeq.map { f =>
+          if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        } ++ Seq(col("lsn"), col("op"), col("_bucket")): _*).as("b")
+
+      val j         = tt.join(bb, tt("doc_id") === bb("doc_id"), "full_outer")
+      val takeBatch = bb("doc_id").isNotNull &&
+        (tt("doc_id").isNull || bb("lsn") > tt(LsnCol))
+      val action = when(tt("doc_id").isNotNull && !takeBatch, lit("keep"))
+        .when(takeBatch && bb("op") =!= "D" && tt("doc_id").isNull, lit("insert"))
+        .when(takeBatch && bb("op") =!= "D", lit("update"))
+        .when(takeBatch && bb("op") === "D" && tt("doc_id").isNotNull, lit("delete"))
+        .otherwise(lit("delete_noop"))
+
+      val outCols: Seq[Column] =
+        payloadCols.map(f => when(col("_action") === "keep", tt(f)).otherwise(bb(f)).as(f)) ++ Seq(
+          when(col("_action") === "keep", tt(LsnCol)).otherwise(bb("lsn")).as(LsnCol),
+          coalesce(bb("_bucket"), bucketOf(tt("doc_id"))).as("_bucket"))
+
+      val obs = Observation(s"merge-$commitId")
+      val annotated = j
+        .withColumn("_action", action)
+        .observe(
+          obs,
+          sum(when(col("_action") === "insert", 1L).otherwise(0L)).as("inserted"),
+          sum(when(col("_action") === "update", 1L).otherwise(0L)).as("updated"),
+          sum(when(col("_action") === "delete", 1L).otherwise(0L)).as("deleted"),
+          sum(when(col("_action") === "delete_noop", 1L).otherwise(0L)).as("delete_noops"),
+          sum(when(col("_action") === "keep" && bb("doc_id").isNotNull, 1L).otherwise(0L)).as("stale"),
+          sum(when(bb("doc_id").isNotNull || col("_action") === "delete_noop", 1L).otherwise(0L)).as("batch_events"),
+          min(bb("lsn")).as("min_lsn"),
+          max(bb("lsn")).as("max_lsn"))
+
+      val survivors = annotated
+        .filter(!col("_action").isin("delete", "delete_noop"))
+        .select(outCols :+ col("_action"): _*)
+        .drop("_action")
+
+      val newFiles = table.writeDataFiles(survivors, commitId, numBuckets)
+      val m        = obs.get
+
+      def g(k: String): Long = m.get(k) match {
+        case Some(null)    => -1L
+        case Some(v: Long) => v
+        case Some(v: Number) => v.longValue()
+        case _             => -1L
+      }
+
+      val carried  = table.filesExcept(cur, touched)
+      val newRows  = newFiles.map(_.rows).sum + carried.map(_.rows).sum
+      val maxLsn   = g("max_lsn")
+      val manifest = Manifest(
+        version = cur.version + 1,
+        parent = cur.version,
+        commitId = commitId,
+        batchId = batchId,
+        schemaJson = physicalSchema.json,
+        numBuckets = numBuckets,
+        watermarkLsn = math.max(cur.watermarkLsn, maxLsn),
+        rowCount = newRows,
+        files = carried ++ newFiles)
+      table.commit(manifest)
+
+      MergeStats(
+        commitId, manifest.version, skipped = false, touched.size,
+        cur.rowCount, newRows,
+        inserted = g("inserted"), updated = g("updated"), deleted = g("deleted"),
+        deleteNoops = g("delete_noops"), staleEvents = g("stale"),
+        batchEvents = g("batch_events"), minLsn = g("min_lsn"), maxLsn = maxLsn,
+        wallMs = (System.nanoTime() - t0) / 1000000,
+        schemaChanges = changes.map(_.toString))
+    } finally batch.unpersist()
+  }
+}

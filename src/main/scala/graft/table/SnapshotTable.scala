@@ -1,0 +1,217 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import scala.collection.JavaConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** One data file tracked by a manifest. `bucket` is
+  * pmod(xxhash64(doc_id), numBuckets) for every row in the file, so MERGE
+  * rewrites only the buckets a batch touches (copy-on-write with bounded
+  * write amplification — SURVEY.md §7.4-5). */
+case class DataFile(path: String, bucket: Int, rows: Long)
+
+/** An immutable table snapshot. Commit ids make replay idempotent
+  * (reference analog: archive_last_month's exists-check,
+  * CountyAddressPointETL.py:242-250). */
+case class Manifest(
+    version: Long,
+    parent: Long, // -1 for the first snapshot
+    commitId: String,
+    batchId: Long,
+    schemaJson: String,
+    numBuckets: Int,
+    watermarkLsn: Long,
+    rowCount: Long,
+    files: Seq[DataFile]) {
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+}
+
+/** Directory-versioned Parquet table ("mini-Iceberg"): no Iceberg/Delta
+  * jars exist in this image, so the snapshot/commit layer is library code
+  * over DataFrameReader/Writer (SURVEY.md §4.3-1).
+  *
+  * Layout:
+  * {{{
+  *   <root>/snapshots/v%09d.json   one manifest per version
+  *   <root>/data/c-<commitId>/...  data files, immutable once committed
+  * }}}
+  *
+  * Commit protocol: write the manifest to a temp file, then
+  * `Files.move(..., ATOMIC_MOVE)` WITHOUT replace-existing — on a local
+  * filesystem this is a compare-and-swap on the version number, so two
+  * racing writers cannot both claim version N (single-writer assumption
+  * documented; a lock service would replace this on a real object store —
+  * reference analog: the hand-guarded delete+append publish,
+  * UpdateAddressPointsSDE.py:26-63).
+  */
+final class SnapshotTable(val spark: SparkSession, val root: String) {
+  private val mapper = new ObjectMapper()
+
+  private def snapDir: Path = Paths.get(root, "snapshots")
+
+  // ---- manifest serialization (hand-rolled JSON via Jackson trees) ----
+
+  private def toJson(m: Manifest): String = {
+    val n = mapper.createObjectNode()
+    n.put("version", m.version)
+    n.put("parent", m.parent)
+    n.put("commitId", m.commitId)
+    n.put("batchId", m.batchId)
+    n.put("schemaJson", m.schemaJson)
+    n.put("numBuckets", m.numBuckets)
+    n.put("watermarkLsn", m.watermarkLsn)
+    n.put("rowCount", m.rowCount)
+    val arr = n.putArray("files")
+    m.files.foreach { f =>
+      val fn = arr.addObject()
+      fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  private def fromJson(s: String): Manifest = {
+    val n = mapper.readTree(s)
+    Manifest(
+      version = n.get("version").asLong(),
+      parent = n.get("parent").asLong(),
+      commitId = n.get("commitId").asText(),
+      batchId = n.get("batchId").asLong(),
+      schemaJson = n.get("schemaJson").asText(),
+      numBuckets = n.get("numBuckets").asInt(),
+      watermarkLsn = n.get("watermarkLsn").asLong(),
+      rowCount = n.get("rowCount").asLong(),
+      files = n.get("files").elements().asScala.map { fn: JsonNode =>
+        DataFile(fn.get("path").asText(), fn.get("bucket").asInt(), fn.get("rows").asLong())
+      }.toSeq
+    )
+  }
+
+  // ---- version catalog ----
+
+  private def versionPath(v: Long): Path = snapDir.resolve(f"v$v%09d.json")
+
+  def versions: Seq[Long] =
+    if (!Files.isDirectory(snapDir)) Seq.empty
+    else
+      Files.list(snapDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toLong
+        }
+        .toSeq.sorted
+
+  def currentVersion: Option[Long] = versions.lastOption
+
+  def manifest(v: Long): Manifest =
+    fromJson(new String(Files.readAllBytes(versionPath(v)), StandardCharsets.UTF_8))
+
+  def current: Option[Manifest] = currentVersion.map(manifest)
+
+  /** All commit ids ever applied (the idempotence ledger's source of
+    * truth is the manifest chain itself — SURVEY.md §7.4-2). */
+  def appliedCommitIds: Set[String] = versions.map(manifest(_).commitId).toSet
+
+  // ---- read (time travel via version) ----
+
+  /** Read a snapshot. `buckets` prunes to the given bucket ids (MERGE uses
+    * this to read only touched buckets). Internal columns (e.g. `_lsn`)
+    * are retained; callers strip them as needed. */
+  def read(version: Option[Long] = None, buckets: Option[Set[Int]] = None): DataFrame = {
+    val m = version.map(manifest).orElse(current).getOrElse {
+      throw new IllegalStateException(s"no snapshot at $root")
+    }
+    val files = buckets match {
+      case Some(bs) => m.files.filter(f => bs.contains(f.bucket))
+      case None     => m.files
+    }
+    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else
+      // Explicit schema: older files may predate a widening evolution
+      // (e.g. n_tok int32 -> int64); per-file upcast happens on read.
+      spark.read.schema(m.schema).parquet(files.map(_.path): _*)
+  }
+
+  /** Untouched-bucket files carried forward into a child manifest. */
+  def filesExcept(m: Manifest, buckets: Set[Int]): Seq[DataFile] =
+    m.files.filterNot(f => buckets.contains(f.bucket))
+
+  // ---- commit ----
+
+  /** Atomically commit a new snapshot. Throws if `version` already exists
+    * (lost the race / duplicate apply). */
+  def commit(m: Manifest): Unit = {
+    Files.createDirectories(snapDir)
+    val tmp = Files.createTempFile(snapDir, s".v${m.version}-", ".tmp")
+    try {
+      Files.write(tmp, toJson(m).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, versionPath(m.version), StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case NonFatal(e) =>
+        try Files.deleteIfExists(tmp) catch { case NonFatal(_) => () }
+        throw e
+    }
+  }
+
+  /** Write `df` as this commit's data files, one parquet file per bucket.
+    * `df` must carry an int `_bucket` column; it is dropped from the data.
+    * Returns the DataFile list. */
+  def writeDataFiles(df: DataFrame, commitId: String, numBuckets: Int): Seq[DataFile] = {
+    import org.apache.spark.sql.functions.col
+    val dir = Paths.get(root, "data", s"c-$commitId")
+    // One shuffle, exactly one output task per touched bucket: the write
+    // never fans out into numBuckets x tasks small files.
+    df.repartition(numBuckets, col("_bucket"))
+      .write.mode("overwrite")
+      .partitionBy("_bucket")
+      .parquet(dir.toString)
+    // Enumerate what was written; row counts from parquet footers.
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("_bucket="))
+      .flatMap { bdir =>
+        val bucket = bdir.getFileName.toString.stripPrefix("_bucket=").toInt
+        Files.list(bdir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { f =>
+            val rows = parquetRowCount(f)
+            DataFile(f.toString, bucket, rows)
+          }
+      }.toSeq
+  }
+
+  private def parquetRowCount(p: Path): Long = {
+    // Cheap footer read via Spark would spin up a job per file; use the
+    // parquet-hadoop API directly (ships in /opt/spark/jars).
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+}
+
+object SnapshotTable {
+  /** Create an empty table (version 0, no files). */
+  def create(
+      spark: SparkSession,
+      root: String,
+      schema: StructType,
+      numBuckets: Int): SnapshotTable = {
+    val t = new SnapshotTable(spark, root)
+    t.commit(Manifest(
+      version = 0L, parent = -1L, commitId = "genesis", batchId = -1L,
+      schemaJson = schema.json, numBuckets = numBuckets,
+      watermarkLsn = -1L, rowCount = 0L, files = Seq.empty))
+    t
+  }
+
+  def load(spark: SparkSession, root: String): SnapshotTable =
+    new SnapshotTable(spark, root)
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ingest.CdcGenerator
+import graft.streaming.{CdcPipeline, PipelineConfig}
+
+/** End-to-end slice (SURVEY.md §7.2) + replay equivalence + exactly-once. */
+class PipelineSpec extends SparkSpec {
+
+  private def collectEvents(sfDir: String): Seq[OracleFold.Ev] =
+    CdcGenerator.events(spark, sfDir).collect().toSeq.map { r =>
+      OracleFold.Ev(
+        lsn = r.getAs[Long]("lsn"),
+        op = r.getAs[String]("op"),
+        docId = r.getAs[String]("doc_id"),
+        tokens = Option(r.getAs[scala.collection.Seq[Int]]("tokens")).orNull,
+        nTok = Option(r.getAs[Any]("n_tok")).map(_.asInstanceOf[Long]),
+        source = r.getAs[String]("source"))
+    }
+
+  private def mkPipeline(base: String): CdcPipeline =
+    new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/table",
+      changeLogDir = s"$base/changelog",
+      checkpointDir = s"$base/checkpoint",
+      errorDir = s"$base/errors",
+      lineageDir = s"$base/lineage",
+      numBuckets = 8))
+
+  private def tableState(p: CdcPipeline): Map[String, OracleFold.Doc] =
+    p.readTable().collect().map { r =>
+      r.getAs[String]("doc_id") -> OracleFold.Doc(
+        r.getAs[scala.collection.Seq[Int]]("tokens"),
+        r.getAs[Long]("n_tok"),
+        r.getAs[String]("source"),
+        0L)
+    }.toMap
+
+  private def assertStateMatches(
+      got: Map[String, OracleFold.Doc],
+      want: Map[String, OracleFold.Doc]): Unit = {
+    val missing = want.keySet -- got.keySet
+    val extra   = got.keySet -- want.keySet
+    assert(missing.isEmpty, s"docs missing from engine state: ${missing.take(5)}")
+    assert(extra.isEmpty, s"unexpected docs in engine state: ${extra.take(5)}")
+    want.foreach { case (k, w) =>
+      val g = got(k)
+      assert(g.tokens == w.tokens, s"$k tokens differ: got ${g.tokens.take(5)} want ${w.tokens.take(5)}")
+      assert(g.nTok == w.nTok, s"$k n_tok differ")
+      assert(g.source == w.source, s"$k source differ")
+    }
+  }
+
+  test("streaming replay matches the in-memory oracle (north rule)") {
+    val base = tmpDir("e2e")
+    val p    = mkPipeline(base)
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 4)
+    val stats = p.runAvailableNow(maxFilesPerTrigger = Some(1))
+    assert(stats.size > 1, "expected multiple micro-batches")
+
+    val events = collectEvents(sf0001)
+    val oracle = OracleFold.fold(events)
+    assertStateMatches(tableState(p), oracle)
+
+    // error routing: every invalid generated event is quarantined
+    val errs = spark.read.parquet(s"$base/errors")
+    val invalidLsns = OracleFold.invalid(events).map(_.lsn).toSet
+    val errLsns = errs.select("lsn").collect().map(_.getLong(0)).toSet
+    assert(errLsns == invalidLsns, s"error_records mismatch: got ${errLsns.size} want ${invalidLsns.size}")
+
+    // lineage emitted per batch
+    val lineage = spark.read.parquet(s"$base/lineage")
+    assert(lineage.count() == stats.size)
+  }
+
+  test("duplicate batch re-delivery is a ledger no-op (exactly-once)") {
+    val base = tmpDir("eo")
+    val p    = mkPipeline(base)
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 2)
+    p.runAvailableNow()
+    val vBefore    = p.table.currentVersion.get
+    val rowsBefore = p.table.current.get.rowCount
+
+    // redeliver batch 0 out of band (same batchId → same commit id)
+    val raw = spark.read.parquet(s"$base/changelog/batch-00000")
+    val s   = p.applyBatch(raw, 0L)
+    assert(s.skipped)
+    assert(p.table.currentVersion.get == vBefore)
+    assert(p.table.current.get.rowCount == rowsBefore)
+  }
+
+  test("restart from checkpoint applies nothing new (exactly-once)") {
+    val base = tmpDir("restart")
+    val p    = mkPipeline(base)
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 3)
+    p.runAvailableNow()
+    val state1 = tableState(p)
+    val v1     = p.table.currentVersion.get
+
+    // second run over the same checkpoint: no new input → no new commits
+    val p2 = mkPipeline(base)
+    p2.runAvailableNow()
+    assert(p2.table.currentVersion.get == v1)
+    assertStateMatches(tableState(p2), state1)
+  }
+
+  test("orphan delete is a counted no-op, not an error (G3)") {
+    import spark.implicits._
+    val base = tmpDir("orphan")
+    val p    = mkPipeline(base)
+    val raw = Seq(
+      (1L, "I", "a", Some(Seq(1, 2)), Some(2L), "s"),
+      (2L, "D", "ghost", None: Option[Seq[Int]], None: Option[Long], "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    val s = p.applyBatch(raw, 0L)
+    assert(s.deleteNoops == 1L)
+    assert(s.inserted == 1L)
+    assert(p.readTable().count() == 1L)
+  }
+
+  test("batch missing a required column is rejected whole (E3)") {
+    import spark.implicits._
+    val base = tmpDir("reject")
+    val p    = mkPipeline(base)
+    // no `tokens` column at all
+    val raw = Seq((1L, "I", "a", 2L, "s")).toDF("lsn", "op", "doc_id", "n_tok", "source")
+    val s   = p.applyBatch(raw, 0L)
+    assert(s.schemaChanges.exists(_.startsWith("batch_rejected")))
+    assert(p.readTable().count() == 0L)
+    val errs = spark.read.parquet(s"$base/errors")
+    assert(errs.filter(col("reason").contains("tokens")).count() == 1L)
+    // and the reject is ledgered: re-delivery is a no-op
+    assert(p.applyBatch(raw, 0L).skipped)
+  }
+
+  test("schema evolution: added column then widened n_tok (E2)") {
+    import spark.implicits._
+    val base = tmpDir("evolve")
+    val p    = mkPipeline(base)
+    // v1 batch lacks `source` entirely → defaults to "unknown"
+    val v1 = Seq((1L, "I", "a", Seq(1, 2, 3), 3))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok")
+    p.applyBatch(v1, 0L)
+    // v2 batch has source and an extra lineage column → additive evolution
+    val v2 = Seq((10L, "U", "a", Seq(9), 1L, "s2", "up1"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source", "upstream")
+    val s2 = p.applyBatch(v2, 1L)
+    assert(s2.schemaChanges.exists(_.contains("upstream")))
+    val row = p.readTable().collect().head
+    assert(row.getAs[String]("source") == "s2")
+    assert(row.getAs[String]("upstream") == "up1")
+    assert(row.getAs[scala.collection.Seq[Int]]("tokens") == Seq(9))
+  }
+}
