@@ -1,17 +1,22 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{DedupOps, Multimodal, Similarity, TextAnalysis}
 import graft.ingest.{CdcGenerator, Tokenize}
+import graft.operators.{Conform, Validate}
+import graft.plans.RollingHash
 import graft.streaming.{CdcPipeline, PipelineConfig}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every `queries` entry has a DuckDB-runnable oracle in [[oracleSql]]
   * (tables registered by file name: documents, events, lineitem, …).
-  * Column names and row ordering match between the Spark plan and the
-  * oracle SQL — the driver's compare hashes values per sorted column name.
+  * Column names, types, and row ordering match between the Spark plan and
+  * the oracle SQL. All floating outputs are rounded to 4dp (2dp for large
+  * money sums) so cross-engine float noise cannot flip the hash compare.
   */
 object SparkEntry {
 
@@ -38,16 +43,44 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  private def docs(s: SparkSession, dir: String)  = s.read.parquet(s"$dir/documents.parquet")
+  private def evts(s: SparkSession, dir: String)  = s.read.parquet(s"$dir/events.parquet")
+  private def li(s: SparkSession, dir: String)    = s.read.parquet(s"$dir/lineitem.parquet")
+  private def ord(s: SparkSession, dir: String)   = s.read.parquet(s"$dir/orders.parquet")
+  private def cust(s: SparkSession, dir: String)  = s.read.parquet(s"$dir/customer.parquet")
+  private def emb(s: SparkSession, dir: String)   = s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ verbatim copies of id%10==0 (exact dups) — twin in SQL. */
+  private def exactDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.select(Tokenize.docId(col("doc_id")).as("doc_id"), col("text"))
+      .unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .select(concat(Tokenize.docId(col("doc_id")), lit("_x")).as("doc_id"), col("text")))
+  }
+  private val exactDupCorpusSql =
+    s"""SELECT ${Tokenize.docIdSql("doc_id")} AS doc_id, text FROM documents
+        UNION ALL
+        SELECT ${Tokenize.docIdSql("doc_id")} || '_x' AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0"""
+
+  /** One entry per implemented operator from SURVEY.md §2 + the
+    * training-data-pipeline ops. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- CDC engine (the reference's role, §0) ----
+    // ════ CDC engine (the reference's role, SURVEY.md §0) ════
     "q_cdc_merge_state" -> ((s, dir) => cdcMergeState(s, dir)),
     "q_cdc_events" -> ((s, dir) =>
       CdcGenerator.events(s, dir)
         .select(col("lsn"), col("op"), col("doc_id"), col("tokens"), col("n_tok"), col("source"))
         .orderBy(col("lsn"))),
+    "q_cdc_errors" -> ((s, dir) => {
+      val conformed = Conform(CdcGenerator.events(s, dir))
+      Validate(conformed, "oracle-run").errors
+        .select(col("lsn"), col("doc_id"), col("reason"))
+        .orderBy(col("lsn"))
+    }),
     "q_cdc_tokenize" -> ((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
+      docs(s, dir)
         .select(
           Tokenize.docId(col("doc_id")).as("doc_id"),
           Tokenize.tokens(col("text")).as("tokens"),
@@ -55,19 +88,261 @@ object SparkEntry {
           col("source"))
         .orderBy(col("doc_id"))),
 
-    // ---- core relational operators (SURVEY.md §2) ----
+    // ════ scans / filters / projections (S1, P1-P4) ════
+    "q_filter_pushdown" -> ((s, dir) =>
+      li(s, dir)
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // ════ aggregations (A1-A8) ════
     "q_agg_sum" -> ((s, dir) =>
-      s.read.parquet(s"$dir/lineitem.parquet")
+      li(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).cast("long").as("sum_qty"),
           count(lit(1)).as("n_rows"))
-        .orderBy(col("l_returnflag"), col("l_linestatus")))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q_group_stats" -> ((s, dir) =>
+      evts(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("value")), 4).as("avg_value"),
+          round(min(col("value")), 4).as("min_value"),
+          round(max(col("value")), 4).as("max_value"))
+        .orderBy(col("event_type"))),
+    "q_null_profile" -> ((s, dir) => {
+      val e = evts(s, dir)
+      e.agg(
+        count(lit(1)).as("n_rows"),
+        e.columns.toIndexedSeq.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")): _*)
+    }),
+    "q_reconcile_counts" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))),
+    "q_centroid_groups" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"))),
+    "q_distinct" -> ((s, dir) =>
+      docs(s, dir).select(col("lang"), col("source")).distinct()
+        .orderBy(col("lang"), col("source"))),
+
+    // ════ joins (J1-J8) ════
+    "q_join_broadcast" -> ((s, dir) =>
+      ord(s, dir)
+        .join(broadcast(cust(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))),
+    "q_join_anti" -> ((s, dir) =>
+      cust(s, dir)
+        .join(ord(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+    "q_join_semi" -> ((s, dir) =>
+      cust(s, dir)
+        .join(ord(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))),
+
+    // ════ window semantics (W1-W3) ════
+    "q_dedup_exact_firstwin" -> ((s, dir) =>
+      evts(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("first_event"))
+        .orderBy(col("user_id"), col("event_type"))),
+    "q_lww" -> ((s, dir) =>
+      evts(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          round(max_by(col("value"), col("event_id")), 4).as("last_value"),
+          max(col("event_id")).as("last_event"))
+        .orderBy(col("user_id"))),
+    "q_window_rank" -> ((s, dir) =>
+      evts(s, dir)
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("first_event_id"), col("event_type"))
+        .orderBy(col("user_id"))),
+    "q_dup_flag" -> ((s, dir) =>
+      evts(s, dir)
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("user_id"), col("event_type"))))
+        .filter(col("cnt") > 20)
+        .select(col("user_id"), col("event_type"), col("cnt"))
+        .distinct()
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // ════ sorts / limits (§2.6) ════
+    "q_topk" -> ((s, dir) =>
+      docs(s, dir)
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_chars"))),
+
+    // ════ set ops + schema-tolerant union (U1-U3) ════
+    "q_union_evolve" -> ((s, dir) => {
+      val d  = docs(s, dir)
+      val v1 = d.filter(col("lang") === "en").select(col("doc_id"), col("lang"), col("source"))
+      val v2 = d.filter(col("lang") === "de").select(col("doc_id"), col("lang"))
+      v1.unionByName(v2, allowMissingColumns = true).orderBy(col("doc_id"))
+    }),
+
+    // ════ conform-layer scalar functions (F1-F16) ════
+    "q_conform_text" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        upper(regexp_replace(trim(col("text")), "\\s+", " ")).as("norm_text"),
+        element_at(TextAnalysis.words(col("text")), 1).as("first_word"),
+        element_at(TextAnalysis.words(col("text")), -1).as("last_word"),
+        // dictionary decode (F8): lang code → name, 'other' default
+        coalesce(
+          element_at(
+            map(lit("en"), lit("english"), lit("de"), lit("german"),
+              lit("es"), lit("spanish"), lit("fr"), lit("french")),
+            col("lang")),
+          lit("other")).as("lang_name"),
+        // conditional template concat (F9/F10): derived natural key
+        concat_ws(" | ", col("source"), col("lang"), col("doc_id")).as("natural_key"))
+        .orderBy(col("doc_id"))),
+
+    // ════ validation / error routing (V1-V5) ════
+    "q_validate_route" -> ((s, dir) => {
+      val reasons = array_compact(array(
+        when(col("value") > 400, lit("value_out_of_range")),
+        when(col("event_type") === "error", lit("error_event")),
+        when(col("user_id") % 37 === 0, lit("quarantined_user"))))
+      evts(s, dir)
+        .withColumn("reasons", reasons)
+        .filter(size(col("reasons")) > 0)
+        .select(col("event_id"), concat_ws(";", col("reasons")).as("reason"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ════ training-data dedup ════
+    "q_dedup_exact" -> ((s, dir) =>
+      exactDupCorpus(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("canonical"))),
+    "q_dedup_minhash" -> ((s, dir) => {
+      val corpus = DedupOps.variantDocs(docs(s, dir))
+        .withColumn("sh", DedupOps.shingles(col("text")))
+        .withColumn("sig", DedupOps.minhash(col("sh")))
+      val banded = corpus
+        .select(col("doc_id"), col("sh"), explode(DedupOps.bandKeys(col("sig"))).as("bk"))
+        .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val pairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          DedupOps.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        .distinct()
+        .filter(col("jaccard") >= 0.5)
+      pairs.orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      val corpus = DedupOps.variantDocs(docs(s, dir))
+        .withColumn("sim", DedupOps.simhash(col("text")))
+      corpus.as("a")
+        .join(corpus.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("dist", DedupOps.hamming(col("a.sim"), col("b.sim")))
+        .filter(col("dist") <= 2)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("dist"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val withVariant = DedupOps.variantDocs(docs(s, dir))
+      val a = withVariant.as("a")
+      val b = withVariant.as("b")
+      a.join(b, concat(col("a.doc_id"), lit("_v")) === col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_id"),
+          DedupOps.jaccard(DedupOps.shingles(col("a.text")), DedupOps.shingles(col("b.text")))
+            .as("jaccard"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ════ text analysis ════
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))),
+    "q_quality" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id") +: TextAnalysis.qualityCols(col("text")): _*)
+        .orderBy(col("doc_id"))),
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id") +: TextAnalysis.tokenCountCols(col("text")): _*)
+        .orderBy(col("doc_id"))),
+    "q_fingerprint" -> ((s, dir) => {
+      RollingHash.register(s)
+      docs(s, dir)
+        .withColumn("tokens", Tokenize.tokens(col("text")))
+        .select(col("doc_id"), expr("graft_rolling_hash(tokens)").as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ════ similarity search ════
+    "q_ann_topk" -> ((s, dir) => {
+      val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val qs = vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.bruteForceTopK(vecs, qs, 10).orderBy(col("q_id"), col("rank"))
+    }),
+    "q_ann_threshold" -> ((s, dir) => {
+      val v = emb(s, dir).select(col("vec_id"), col("embedding"))
+      v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("score", Similarity.cosine(col("a.embedding"), col("b.embedding")))
+        .filter(col("score") > 0.4)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val v = emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.hyperplaneSig(col("embedding"), 64).as("sig"))
+      v.as("a").join(v.as("b"), col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("score", Similarity.cosine(col("a.embedding"), col("b.embedding")))
+        .filter(col("score") > 0.2)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // ════ multimodal plumbing ════
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.synthesize(docs(s, dir))
+        .select(
+          col("doc_id"), col("media_type"),
+          length(col("payload")).as("byte_len"),
+          md5(col("payload")).as("checksum"))
+        .orderBy(col("doc_id")))
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
   def oracleSql: Map[String, String] = {
-    val ev = CdcGenerator.eventsSql
+    val ev    = CdcGenerator.eventsSql
+    val toks  = Tokenize.tokensSql("text")
+    val docId = Tokenize.docIdSql("doc_id")
     Map(
       "q_cdc_merge_state" ->
         s"""WITH evs AS ($ev),
@@ -85,19 +360,196 @@ object SparkEntry {
             SELECT doc_id, tokens, cast(n_tok AS bigint) AS n_tok, source
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
       "q_cdc_events" ->
+        s"WITH evs AS ($ev) SELECT lsn, op, doc_id, tokens, n_tok, source FROM evs ORDER BY lsn",
+      "q_cdc_errors" ->
         s"""WITH evs AS ($ev)
-            SELECT lsn, op, doc_id, tokens, n_tok, source FROM evs ORDER BY lsn""",
+            SELECT lsn, doc_id,
+              array_to_string(list_filter([
+                CASE WHEN doc_id IS NULL THEN 'null_doc_id' END,
+                CASE WHEN op NOT IN ('I','U','D') THEN 'bad_op' END,
+                CASE WHEN op IN ('I','U') AND tokens IS NULL THEN 'null_tokens' END,
+                CASE WHEN op IN ('I','U') AND tokens IS NOT NULL AND n_tok <> len(tokens)
+                     THEN 'n_tok_mismatch' END], x -> x IS NOT NULL), ';') AS reason
+            FROM evs
+            WHERE doc_id IS NULL
+               OR op NOT IN ('I','U','D')
+               OR (op IN ('I','U') AND (tokens IS NULL OR n_tok <> len(tokens)))
+            ORDER BY lsn""",
       "q_cdc_tokenize" ->
-        s"""SELECT ${Tokenize.docIdSql("doc_id")} AS doc_id,
-                   ${Tokenize.tokensSql("text")} AS tokens,
-                   cast(len(${Tokenize.tokensSql("text")}) AS int) AS n_tok,
-                   source
+        s"""SELECT $docId AS doc_id, $toks AS tokens,
+                   cast(len($toks) AS int) AS n_tok, source
             FROM documents ORDER BY doc_id""",
+      "q_filter_pushdown" ->
+        """SELECT l_orderkey, l_linenumber, cast(l_quantity AS bigint) AS qty
+           FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+           ORDER BY l_orderkey, l_linenumber""",
       "q_agg_sum" ->
         """SELECT l_returnflag, l_linestatus,
-                  cast(sum(l_quantity) AS bigint) AS sum_qty,
-                  count(*) AS n_rows
-           FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
+                  cast(sum(l_quantity) AS bigint) AS sum_qty, count(*) AS n_rows
+           FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q_group_stats" ->
+        """SELECT event_type, count(*) AS n,
+                  round(avg(value), 4) AS avg_value,
+                  round(min(value), 4) AS min_value,
+                  round(max(value), 4) AS max_value
+           FROM events GROUP BY 1 ORDER BY 1""",
+      "q_null_profile" ->
+        """SELECT count(*) AS n_rows,
+                  cast(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_event_id,
+                  cast(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_ts,
+                  cast(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_user_id,
+                  cast(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_event_type,
+                  cast(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_value,
+                  cast(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_props
+           FROM events""",
+      "q_reconcile_counts" ->
+        """SELECT source, count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS sum_chars
+           FROM documents GROUP BY 1 ORDER BY 1""",
+      "q_centroid_groups" ->
+        """SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars,
+                  min(doc_id) AS first_doc
+           FROM documents GROUP BY 1 ORDER BY 1""",
+      "q_distinct" ->
+        "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
+      "q_join_broadcast" ->
+        """SELECT c_mktsegment, count(*) AS n_orders,
+                  round(sum(o_totalprice), 2) AS revenue
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1 ORDER BY 1""",
+      "q_join_anti" ->
+        """SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+           ORDER BY c_custkey""",
+      "q_join_semi" ->
+        """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+           WHERE c_custkey IN (SELECT o_custkey FROM orders)
+           GROUP BY 1 ORDER BY 1""",
+      "q_dedup_exact_firstwin" ->
+        """SELECT user_id, event_type, min(event_id) AS first_event
+           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q_lww" ->
+        """SELECT user_id,
+                  max_by(event_type, event_id) AS last_type,
+                  round(max_by(value, event_id), 4) AS last_value,
+                  max(event_id) AS last_event
+           FROM events GROUP BY 1 ORDER BY 1""",
+      "q_window_rank" ->
+        """SELECT user_id, event_id AS first_event_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+                 FROM events) WHERE rn = 1 ORDER BY user_id""",
+      "q_dup_flag" ->
+        """SELECT DISTINCT user_id, event_type,
+                  count(*) OVER (PARTITION BY user_id, event_type) AS cnt
+           FROM events QUALIFY cnt > 20 ORDER BY user_id, event_type""",
+      "q_topk" ->
+        "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
+      "q_union_evolve" ->
+        """SELECT doc_id, lang, source FROM documents WHERE lang = 'en'
+           UNION ALL
+           SELECT doc_id, lang, NULL AS source FROM documents WHERE lang = 'de'
+           ORDER BY doc_id""",
+      "q_conform_text" ->
+        """SELECT doc_id,
+                  upper(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text,
+                  list_filter(string_split(text, ' '), w -> length(w) > 0)[1] AS first_word,
+                  list_filter(string_split(text, ' '), w -> length(w) > 0)[-1] AS last_word,
+                  CASE lang WHEN 'en' THEN 'english' WHEN 'de' THEN 'german'
+                            WHEN 'es' THEN 'spanish' WHEN 'fr' THEN 'french'
+                            ELSE 'other' END AS lang_name,
+                  source || ' | ' || lang || ' | ' || cast(doc_id AS varchar) AS natural_key
+           FROM documents ORDER BY doc_id""",
+      "q_validate_route" ->
+        """SELECT event_id,
+                  array_to_string(list_filter([
+                    CASE WHEN value > 400 THEN 'value_out_of_range' END,
+                    CASE WHEN event_type = 'error' THEN 'error_event' END,
+                    CASE WHEN user_id % 37 = 0 THEN 'quarantined_user' END],
+                    x -> x IS NOT NULL), ';') AS reason
+           FROM events
+           WHERE value > 400 OR event_type = 'error' OR user_id % 37 = 0
+           ORDER BY event_id""",
+      "q_dedup_exact" ->
+        s"""WITH corpus AS ($exactDupCorpusSql)
+            SELECT md5(text) AS content_hash, min(doc_id) AS canonical,
+                   count(*) AS n_copies
+            FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY canonical""",
+      "q_dedup_minhash" ->
+        s"""WITH corpus AS (${DedupOps.variantDocsSql}),
+            sigged AS (
+              SELECT doc_id, ${DedupOps.shinglesSql("text")} AS sh FROM corpus),
+            sigs AS (
+              SELECT doc_id, sh, ${DedupOps.minhashSql("sh")} AS sig FROM sigged),
+            exploded AS (
+              SELECT doc_id, sh, unnest(${DedupOps.bandKeysSql("sig")}) AS bk FROM sigs),
+            banded AS (
+              SELECT doc_id, sh, bk.band AS band, bk.key AS key FROM exploded),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     ${DedupOps.jaccardSql("a.sh", "b.sh")} AS jaccard
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, jaccard FROM pairs
+            WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+      "q_dedup_simhash" ->
+        s"""WITH corpus AS (${DedupOps.variantDocsSql}),
+            sims AS (SELECT doc_id, ${DedupOps.simhashSql("text")} AS sim FROM corpus)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ${DedupOps.hammingSql("a.sim", "b.sim")} AS dist
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE ${DedupOps.hammingSql("a.sim", "b.sim")} <= 2
+            ORDER BY doc_a, doc_b""",
+      "q_dedup_jaccard" ->
+        s"""WITH corpus AS (${DedupOps.variantDocsSql})
+            SELECT a.doc_id AS doc_id,
+                   ${DedupOps.jaccardSql(
+                     DedupOps.shinglesSql("a.text"), DedupOps.shinglesSql("b.text"))} AS jaccard
+            FROM corpus a JOIN corpus b ON a.doc_id || '_v' = b.doc_id
+            ORDER BY doc_id""",
+      "q_lang_id" ->
+        s"""SELECT doc_id, ${TextAnalysis.langGuessSql("text")} AS lang_guess
+            FROM documents ORDER BY doc_id""",
+      "q_quality" ->
+        s"""SELECT doc_id, ${TextAnalysis.qualityColsSql("text")}
+            FROM documents ORDER BY doc_id""",
+      "q_token_count" ->
+        s"""SELECT doc_id, ${TextAnalysis.tokenCountColsSql("text")}
+            FROM documents ORDER BY doc_id""",
+      "q_fingerprint" ->
+        s"""SELECT doc_id, ${TextAnalysis.fingerprintSql(toks)} AS fp
+            FROM documents ORDER BY doc_id""",
+      "q_ann_topk" ->
+        """WITH qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+           scored AS (
+             SELECT q.q_id, e.vec_id,
+                    list_cosine_similarity(q.q_emb, e.embedding) AS raw
+             FROM embeddings e, qs q WHERE e.vec_id <> q.q_id),
+           ranked AS (
+             SELECT q_id, vec_id, raw,
+                    row_number() OVER (PARTITION BY q_id ORDER BY raw DESC, vec_id) AS rank
+             FROM scored)
+           SELECT q_id, rank, vec_id, round(raw, 4) AS score
+           FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""",
+      "q_ann_threshold" ->
+        """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS score
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4
+           ORDER BY vec_a, vec_b""",
+      "q_ann_lsh" -> {
+        val sig = Similarity.hyperplaneSigSql("embedding", 64)
+        s"""WITH sigs AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS score
+            FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.2
+            ORDER BY vec_a, vec_b"""
+      },
+      "q_multimodal_meta" ->
+        s"""SELECT $docId AS doc_id,
+                   (['image','audio','video'])[cast(doc_id % 3 AS int) + 1] AS media_type,
+                   cast(octet_length(encode(text)) AS int) AS byte_len,
+                   md5(text) AS checksum
+            FROM documents ORDER BY doc_id"""
     )
   }
 }

@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tokenize
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * All hashes are pure arithmetic over the cross-engine word tokens
+  * ([[Tokenize]]), so the DuckDB oracle reproduces signatures exactly —
+  * no engine-specific hash functions in any dedup path that needs an
+  * oracle. (For production-scale entropy, swap TokP/hash params; the
+  * operator shapes — shingle → sign → band → bucket-join — are what
+  * matter at 100 TB.)
+  *
+  * Reference analog: the content-hash dedup family
+  * (DeletePoints.py:11-40, duplicates.py:20-63) generalized from exact
+  * equality to near-duplicate detection.
+  */
+object DedupOps {
+  val P = 2147483647L // 2^31-1, Mersenne prime for the hash family
+
+  // ---- shingles: word-3-gram ints ----
+
+  /** Word-trigram shingles as ints in [0, P). Empty for <3-word docs. */
+  def shingles(text: Column): Column = {
+    val toks = Tokenize.tokens(text) // word-level ints, cross-engine
+    when(size(toks) < 3, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - 2),
+        i =>
+          ((element_at(toks, i).cast("long") * 131L +
+            element_at(toks, i + 1).cast("long")) * 131L +
+            element_at(toks, i + 2).cast("long")) % P))
+  }
+
+  def shinglesSql(t: String): String = {
+    val toks = Tokenize.tokensSql(t)
+    s"""(CASE WHEN len($toks) < 3 THEN []
+         ELSE list_transform(range(1, len($toks) - 1),
+           i -> ((cast(($toks)[i] AS bigint) * 131 + ($toks)[i+1]) * 131 + ($toks)[i+2]) % $P)
+         END)"""
+  }
+
+  // ---- MinHash signatures + LSH banding ----
+
+  val NumHashes = 16
+  val BandSize  = 4 // → 4 bands of 4
+
+  private def aCoef(i: Int): Long = 2L * i + 1
+  private def bCoef(i: Int): Long = 1L * i * i + 7
+
+  /** MinHash signature: array of NumHashes mins of h_i(s)=(a_i*s+b_i)%P.
+    * Null-safe: empty shingle set → signature of P (sentinel max). */
+  def minhash(sh: Column): Column =
+    transform(
+      sequence(lit(0), lit(NumHashes - 1)),
+      i => {
+        val hashed = transform(sh, s => (s * (i * 2L + lit(1L)) + (i * i + lit(7L))) % P)
+        coalesce(array_min(hashed), lit(P))
+      })
+
+  def minhashSql(shExpr: String): String =
+    s"""list_transform(range(0, $NumHashes),
+        i -> coalesce(list_min(list_transform($shExpr, s -> (s * (i*2+1) + (i*i+7)) % $P)), $P))"""
+
+  /** LSH band keys: one row key per band, combining the band's signature
+    * slice into a single long. Join docs on (band_idx, band_key) to get
+    * candidate pairs — the scale path: no all-pairs comparison. */
+  def bandKeys(sig: Column): Column =
+    transform(
+      sequence(lit(0), lit(NumHashes / BandSize - 1)),
+      b =>
+        struct(
+          b.as("band"),
+          aggregate(
+            transform(sequence(lit(1), lit(BandSize)), j => element_at(sig, b * BandSize + j)),
+            lit(0L),
+            (acc, v) => (acc * 131L + v) % P).as("key")))
+
+  def bandKeysSql(sigExpr: String): String =
+    s"""list_transform(range(0, ${NumHashes / BandSize}),
+        b -> {'band': b,
+              'key': list_reduce(
+                list_prepend(cast(0 AS bigint),
+                  list_transform(range(1, ${BandSize + 1}), j -> ($sigExpr)[b*$BandSize + j])),
+                (acc, v) -> (acc * 131 + v) % $P)})"""
+
+  // ---- SimHash (16-bit, word tokens) ----
+
+  val SimBits = 16
+
+  def simhash(text: Column): Column = {
+    val toks = Tokenize.tokens(text)
+    aggregate(
+      sequence(lit(0), lit(SimBits - 1)),
+      lit(0L),
+      (acc, k) =>
+        acc + when(
+          aggregate(toks, lit(0L),
+            (a, t) =>
+              a + (call_function("shiftright", t, k.cast("int")).cast("long")
+                .bitwiseAND(1L) * 2L - 1L)) > 0,
+          call_function("shiftleft", lit(1L), k.cast("int"))).otherwise(lit(0L)))
+  }
+
+  def simhashSql(t: String): String = {
+    val toks = Tokenize.tokensSql(t)
+    s"""list_sum(list_transform(range(0, $SimBits),
+        k -> CASE WHEN list_sum(list_transform($toks, tk -> ((tk >> k) & 1) * 2 - 1)) > 0
+                  THEN (cast(1 AS bigint) << k) ELSE 0 END))"""
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  def hammingSql(a: String, b: String): String = s"bit_count(xor($a, $b))"
+
+  // ---- exact n-gram Jaccard ----
+
+  /** |A∩B| / |A∪B| over distinct shingles, rounded 4dp. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    round(
+      size(array_intersect(da, db)).cast("double") /
+        greatest(size(array_union(da, db)), lit(1)), 4)
+  }
+
+  def jaccardSql(a: String, b: String): String =
+    s"""round(cast(len(list_intersect(list_distinct($a), list_distinct($b))) AS double)
+        / greatest(len(list_distinct(list_concat($a, $b))), 1), 4)"""
+
+  // ---- deterministic near-duplicate corpus ----
+
+  /** documents ∪ perturbed variants: docs with id % 7 == 0 get a copy
+    * (doc_id + "_v") whose text drops its first word — guaranteed
+    * near-dups for the dedup operators to find. Twin: [[variantDocsSql]]. */
+  def variantDocs(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      Tokenize.docId(col("doc_id")).as("doc_id"),
+      col("text"))
+    val variants = docs
+      .filter(col("doc_id") % 7 === 0)
+      .select(
+        concat(Tokenize.docId(col("doc_id")), lit("_v")).as("doc_id"),
+        expr("substring(text, locate(' ', text) + 1)").as("text"))
+    base.unionByName(variants)
+  }
+
+  def variantDocsSql: String =
+    s"""SELECT ${Tokenize.docIdSql("doc_id")} AS doc_id, text FROM documents
+        UNION ALL
+        SELECT ${Tokenize.docIdSql("doc_id")} || '_v' AS doc_id,
+               substring(text, position(' ' IN text) + 1) AS text
+        FROM documents WHERE doc_id % 7 = 0"""
+}
