@@ -26,8 +26,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     cdcMergeState(spark, "/root/testdata/sf0.001")
 
-  /** End-to-end pipeline over a fresh temp table; returns final state. */
-  private def cdcMergeState(spark: SparkSession, dir: String): DataFrame = {
+  /** End-to-end pipeline over a fresh temp table; returns final state.
+    * @param mode "cow" (rewrite touched buckets) or "mor" (delta files +
+    *             read-time fold) — same final state either way. */
+  private def cdcMergeState(
+      spark: SparkSession, dir: String, mode: String = "cow"): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft-cdc").toString
     val p = new CdcPipeline(spark, PipelineConfig(
       tableRoot = s"$base/table",
@@ -35,7 +38,8 @@ object SparkEntry {
       checkpointDir = s"$base/checkpoint",
       errorDir = s"$base/errors",
       lineageDir = s"$base/lineage",
-      numBuckets = 16))
+      numBuckets = 16,
+      mode = mode))
     CdcGenerator.writeBatches(spark, dir, s"$base/changelog", batches = 4)
     p.runAvailableNow(maxFilesPerTrigger = Some(1))
     p.readTable()
@@ -69,6 +73,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ════ CDC engine (the reference's role, SURVEY.md §0) ════
     "q_cdc_merge_state" -> ((s, dir) => cdcMergeState(s, dir)),
+    "q_cdc_merge_state_mor" -> ((s, dir) => cdcMergeState(s, dir, mode = "mor")),
     "q_cdc_events" -> ((s, dir) =>
       CdcGenerator.events(s, dir)
         .select(col("lsn"), col("op"), col("doc_id"), col("tokens"), col("n_tok"), col("source"))
@@ -345,6 +350,21 @@ object SparkEntry {
     val docId = Tokenize.docIdSql("doc_id")
     Map(
       "q_cdc_merge_state" ->
+        s"""WITH evs AS ($ev),
+            valid AS (
+              SELECT * FROM evs
+              WHERE doc_id IS NOT NULL
+                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+            last AS (
+              SELECT doc_id,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens,
+                     max_by(n_tok, lsn) AS n_tok,
+                     max_by(source, lsn) AS source
+              FROM valid GROUP BY doc_id)
+            SELECT doc_id, tokens, cast(n_tok AS bigint) AS n_tok, source
+            FROM last WHERE op <> 'D' ORDER BY doc_id""",
+      "q_cdc_merge_state_mor" ->
         s"""WITH evs AS ($ev),
             valid AS (
               SELECT * FROM evs

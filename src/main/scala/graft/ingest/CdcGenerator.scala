@@ -32,16 +32,30 @@ object CdcGenerator {
     when(col("doc_id") % 50 === 0, lit(12)).otherwise(lit(0))
 
   /** The generated change stream for one scale tier.
-    * @param sfDir directory holding documents.parquet */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read
+    *
+    * @param sfDir directory holding documents.parquet
+    * @param replicate >1 multiplies the stream for throughput benching:
+    *   each document spawns `replicate` independent doc_ids (distinct key
+    *   space, same update/delete/hot-key mix). The oracle-checked stream is
+    *   always replicate=1; the SQL twin [[eventsSql]] covers only that. */
+  def events(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
+    require(replicate >= 1)
+    val docs0 = spark.read
       .parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"), col("source"))
+    val docs =
+      if (replicate == 1) docs0
+      else docs0
+        .crossJoin(spark.range(replicate).toDF("_k"))
+        // scenario mix (reps/op/invalids) keys off the ORIGINAL doc_id so
+        // every replica carries the same skew profile; identity is unique
+        .withColumn("_rid", col("doc_id") * replicate + col("_k"))
+    val idCol = if (replicate == 1) col("doc_id") else col("_rid")
     val baseToks = Tokenize.tokens(col("text"))
     docs
       .withColumn("reps", repsCol)
       .withColumn("r", explode(sequence(lit(0), col("reps") - 1)))
-      .withColumn("lsn", col("r") * LsnStride + col("doc_id"))
+      .withColumn("lsn", col("r") * LsnStride * replicate + idCol)
       .withColumn(
         "op",
         when(col("r") === 0, lit("I"))
@@ -50,7 +64,7 @@ object CdcGenerator {
       .withColumn(
         "out_doc_id",
         when(col("doc_id") % 89 === 7 && col("r") === 0, lit(null: String))
-          .otherwise(Tokenize.docId(col("doc_id"))))
+          .otherwise(Tokenize.docId(idCol)))
       .withColumn(
         "tokens",
         when(col("op") === "D", lit(null))
@@ -110,13 +124,26 @@ object CdcGenerator {
       spark: SparkSession,
       sfDir: String,
       outDir: String,
-      batches: Int = 4): Int = {
-    val ev  = events(spark, sfDir)
-    val per = (MaxReps + batches - 1) / batches
-    (0 until batches).foreach { b =>
-      val lo = b.toLong * per * LsnStride
-      val hi = (b + 1).toLong * per * LsnStride
+      batches: Int = 4,
+      replicate: Int = 1): Int = {
+    // The generator pipeline is narrow (single doc file → crossJoin with a
+    // broadcast range → explode), so without an explicit repartition every
+    // batch lands as ONE file — and the consumer's whole pre-shuffle phase
+    // (read→conform→validate→partial agg) would run on one task. Real
+    // change logs arrive as many files; emulate that.
+    val nFiles = math.max(4, spark.sparkContext.defaultParallelism)
+    val ev     = events(spark, sfDir, replicate)
+    // Equal-COUNT consecutive LSN windows. A naive rep-index split puts
+    // ~95% of events (every doc's insert + first updates) in batch 0 and
+    // leaves later batches with only hot-key dribble — measured: 430k/9k/
+    // 9k/9k — which benchmarks nothing but full-table rewrite. Quantile
+    // boundaries keep the stream time-ordered AND balanced.
+    val qs = (1 until batches).map(_.toDouble / batches).toArray
+    val bounds = ev.stat.approxQuantile("lsn", qs, 0.001).map(_.toLong)
+    val ranges = (Long.MinValue +: bounds).zip(bounds :+ Long.MaxValue)
+    ranges.zipWithIndex.foreach { case ((lo, hi), b) =>
       ev.filter(col("lsn") >= lo && col("lsn") < hi)
+        .repartition(nFiles)
         .write
         .mode("overwrite")
         .parquet(f"$outDir/batch-$b%05d")

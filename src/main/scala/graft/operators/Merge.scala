@@ -79,12 +79,21 @@ object Merge {
     def bucketOf(docId: Column): Column =
       pmod(xxhash64(docId), lit(numBuckets.toLong)).cast("int")
 
-    val batch = dedupedBatch
-      .withColumn("_bucket", bucketOf(col("doc_id")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // A batch with >> numBuckets keys hits every bucket with near
+    // certainty; skip the extra touched-bucket job (and the cache the two
+    // passes would need) and take the whole table. Small batches (the
+    // common trickle case) pay one cheap job over a cached batch to prune
+    // the target read down to only-touched buckets.
+    val planStats = dedupedBatch.queryExecution.optimizedPlan.stats
+    val estRows = planStats.rowCount.map(_.longValue)
+      .getOrElse(planStats.sizeInBytes.longValue / 256L)
+    val bigBatch = estRows > numBuckets.toLong * 64
+    val batch0 = dedupedBatch.withColumn("_bucket", bucketOf(col("doc_id")))
+    val batch = if (bigBatch) batch0 else batch0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val touched: Set[Int] =
-        batch.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+        if (bigBatch) (0 until numBuckets).toSet
+        else batch.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
 
       // ---- join only the touched slice of the target ----
       val targetSlice = SchemaEvolution.align(
@@ -132,7 +141,10 @@ object Merge {
         .select(outCols :+ col("_action"): _*)
         .drop("_action")
 
+      val tW0      = System.nanoTime()
       val newFiles = table.writeDataFiles(survivors, commitId, numBuckets)
+      if (sys.env.contains("GRAFT_TIMING"))
+        System.err.println(f"[merge] writeDataFiles=${(System.nanoTime() - tW0) / 1e9}%.2fs")
       val m        = obs.get
 
       def g(k: String): Long = m.get(k) match {
@@ -165,6 +177,6 @@ object Merge {
         batchEvents = g("batch_events"), minLsn = g("min_lsn"), maxLsn = maxLsn,
         wallMs = (System.nanoTime() - t0) / 1000000,
         schemaChanges = changes.map(_.toString))
-    } finally batch.unpersist()
+    } finally { if (!bigBatch) batch.unpersist(); () }
   }
 }

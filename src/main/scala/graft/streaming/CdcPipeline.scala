@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
-import graft.operators.{Conform, Dedup, Merge, MergeStats, Validate}
+import graft.operators.{Conform, Dedup, Merge, MergeOnRead, MergeStats, Validate}
 import graft.table.SnapshotTable
 
 /** Configuration for one CDC ingest pipeline instance. */
@@ -22,7 +22,13 @@ case class PipelineConfig(
     // batch (hot-key defense at scale; below it the extra shuffle costs
     // more than it saves)
     saltThreshold: Long = 2000000L,
-    salt: Int = 32)
+    salt: Int = 32,
+    // "cow" rewrites touched buckets per commit; "mor" appends delta files
+    // (O(batch) commit) and folds at read/compaction time — the right mode
+    // for trickle batches against a large table
+    mode: String = "cow",
+    // mor: compact when deltaRows exceed this fraction of base rows
+    compactThreshold: Double = 0.5)
 
 /** The engine's core: change-log tail → conform → validate/route →
   * LWW dedup → exactly-once MERGE, as a Structured Streaming
@@ -36,6 +42,13 @@ case class PipelineConfig(
   *     chain is the ledger — a replayed batch is skipped before any write.
   *  3. Even a bypassed ledger cannot corrupt state: MERGE's row-level
   *     `batch.lsn > target._lsn` condition makes re-application a no-op.
+  *
+  * Delivery contract: the change log is a WAL tail — batches arrive in
+  * nondecreasing LSN order. Within a batch, order is arbitrary (LWW dedup
+  * absorbs it); duplicate delivery of any already-applied batch is a
+  * no-op. Cross-batch REORDERING (a delete delivered before the batch
+  * holding its insert) is out of contract — supporting it would require
+  * tombstone retention, which no ordered log tail needs.
   */
 final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
 
@@ -70,7 +83,11 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
           if (cfg.salt > 1 && batchEstimate(raw) >= cfg.saltThreshold)
             Dedup.lwwSalted(events, cfg.salt)
           else Dedup.lww(events)
-        Merge(table, deduped, commitId, batchId)
+        if (cfg.mode == "mor") {
+          val s = MergeOnRead(table, deduped, commitId, batchId)
+          maybeCompact()
+          s
+        } else Merge(table, deduped, commitId, batchId)
       } catch {
         case Conform.BatchRejected(missing) =>
           // Whole-batch reject (reference analog: checkRequiredFields
@@ -158,7 +175,18 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     seen.iterator().asScala.toSeq
   }
 
-  /** The authoritative table, logical view (internal columns stripped). */
+  /** Fold deltas into base when they outgrow the configured fraction of
+    * the table (MOR compaction trigger). */
+  private def maybeCompact(): Unit = {
+    val m = table.current.get
+    if (m.deltaRows > math.max(1L, (m.rowCount * cfg.compactThreshold).toLong)) {
+      MergeOnRead.compact(table, s"compact-v${m.version}")
+      ()
+    }
+  }
+
+  /** The authoritative table, logical view (internal columns stripped):
+    * base in COW mode, delta-resolved in MOR mode. */
   def readTable(): DataFrame =
-    table.read().drop(Merge.LsnCol)
+    MergeOnRead.resolve(table).drop(Merge.LsnCol)
 }

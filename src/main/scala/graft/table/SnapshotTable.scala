@@ -17,7 +17,11 @@ case class DataFile(path: String, bucket: Int, rows: Long)
 
 /** An immutable table snapshot. Commit ids make replay idempotent
   * (reference analog: archive_last_month's exists-check,
-  * CountyAddressPointETL.py:242-250). */
+  * CountyAddressPointETL.py:242-250).
+  *
+  * `files` are base data files (merged state). `deltaFiles` are
+  * merge-on-read change files (op + lsn + payload) not yet folded into the
+  * base; readers resolve them with LWW-by-LSN, compaction folds them. */
 case class Manifest(
     version: Long,
     parent: Long, // -1 for the first snapshot
@@ -27,7 +31,9 @@ case class Manifest(
     numBuckets: Int,
     watermarkLsn: Long,
     rowCount: Long,
-    files: Seq[DataFile]) {
+    files: Seq[DataFile],
+    deltaFiles: Seq[DataFile] = Seq.empty,
+    deltaRows: Long = 0L) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
 
@@ -71,6 +77,12 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
       val fn = arr.addObject()
       fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
     }
+    n.put("deltaRows", m.deltaRows)
+    val darr = n.putArray("deltaFiles")
+    m.deltaFiles.foreach { f =>
+      val fn = darr.addObject()
+      fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
@@ -87,7 +99,11 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
       rowCount = n.get("rowCount").asLong(),
       files = n.get("files").elements().asScala.map { fn: JsonNode =>
         DataFile(fn.get("path").asText(), fn.get("bucket").asInt(), fn.get("rows").asLong())
-      }.toSeq
+      }.toSeq,
+      deltaFiles = Option(n.get("deltaFiles")).map(_.elements().asScala.map { fn: JsonNode =>
+        DataFile(fn.get("path").asText(), fn.get("bucket").asInt(), fn.get("rows").asLong())
+      }.toSeq).getOrElse(Seq.empty),
+      deltaRows = Option(n.get("deltaRows")).map(_.asLong()).getOrElse(0L)
     )
   }
 
@@ -107,8 +123,15 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
 
   def currentVersion: Option[Long] = versions.lastOption
 
+  // Manifests are immutable once committed → cache by version so the
+  // ledger check does not re-read the whole chain every batch
+  // (O(versions) JSON reads per apply would degrade long streams).
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Manifest]()
+
   def manifest(v: Long): Manifest =
-    fromJson(new String(Files.readAllBytes(versionPath(v)), StandardCharsets.UTF_8))
+    manifestCache.computeIfAbsent(v, _ =>
+      fromJson(new String(Files.readAllBytes(versionPath(v)), StandardCharsets.UTF_8)))
 
   def current: Option[Manifest] = currentVersion.map(manifest)
 
@@ -129,12 +152,16 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
       case Some(bs) => m.files.filter(f => bs.contains(f.bucket))
       case None     => m.files
     }
-    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else
-      // Explicit schema: older files may predate a widening evolution
-      // (e.g. n_tok int32 -> int64); per-file upcast happens on read.
-      spark.read.schema(m.schema).parquet(files.map(_.path): _*)
+    readFiles(files, m.schema)
   }
+
+  /** Read an explicit file list under an explicit schema. Older files may
+    * predate a schema evolution; the explicit schema null-fills added
+    * columns and upcasts widened ones per file on read. */
+  def readFiles(files: Seq[DataFile], schema: StructType): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(_.path): _*)
 
   /** Untouched-bucket files carried forward into a child manifest. */
   def filesExcept(m: Manifest, buckets: Set[Int]): Seq[DataFile] =
@@ -169,19 +196,27 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
       .write.mode("overwrite")
       .partitionBy("_bucket")
       .parquet(dir.toString)
-    // Enumerate what was written; row counts from parquet footers.
+    // Enumerate what was written; row counts from parquet footers, read
+    // concurrently — serial footer opens were a measurable per-commit
+    // driver-side fixed cost (numBuckets sequential file opens).
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("_bucket="))
-      .flatMap { bdir =>
-        val bucket = bdir.getFileName.toString.stripPrefix("_bucket=").toInt
-        Files.list(bdir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map { f =>
-            val rows = parquetRowCount(f)
-            DataFile(f.toString, bucket, rows)
-          }
-      }.toSeq
+    else {
+      val paths = Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("_bucket="))
+        .flatMap { bdir =>
+          val bucket = bdir.getFileName.toString.stripPrefix("_bucket=").toInt
+          Files.list(bdir).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => (f, bucket))
+        }.toSeq
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.traverse(paths) { case (f, bucket) =>
+          Future(DataFile(f.toString, bucket, parquetRowCount(f)))
+        }, Duration.Inf)
+    }
   }
 
   private def parquetRowCount(p: Path): Long = {

@@ -20,14 +20,15 @@ class PipelineSpec extends SparkSpec {
         source = r.getAs[String]("source"))
     }
 
-  private def mkPipeline(base: String): CdcPipeline =
+  private def mkPipeline(base: String, mode: String = "cow"): CdcPipeline =
     new CdcPipeline(spark, PipelineConfig(
       tableRoot = s"$base/table",
       changeLogDir = s"$base/changelog",
       checkpointDir = s"$base/checkpoint",
       errorDir = s"$base/errors",
       lineageDir = s"$base/lineage",
-      numBuckets = 8))
+      numBuckets = 8,
+      mode = mode))
 
   private def tableState(p: CdcPipeline): Map[String, OracleFold.Doc] =
     p.readTable().collect().map { r =>
@@ -73,6 +74,27 @@ class PipelineSpec extends SparkSpec {
     // lineage emitted per batch
     val lineage = spark.read.parquet(s"$base/lineage")
     assert(lineage.count() == stats.size)
+  }
+
+  test("merge-on-read replay matches the oracle; compaction preserves state") {
+    import graft.operators.MergeOnRead
+    val base = tmpDir("mor")
+    val p    = mkPipeline(base, mode = "mor")
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 4)
+    p.runAvailableNow(maxFilesPerTrigger = Some(1))
+    val events = collectEvents(sf0001)
+    val oracle = OracleFold.fold(events)
+    assertStateMatches(tableState(p), oracle)
+
+    // deltas fold into base without changing the resolved state
+    MergeOnRead.compact(p.table, "test-compact")
+    assert(p.table.current.get.deltaFiles.isEmpty)
+    assertStateMatches(tableState(p), oracle)
+
+    // exactly-once holds in MOR mode too
+    val raw = spark.read.parquet(s"$base/changelog/batch-00000")
+    assert(p.applyBatch(raw, 0L).skipped)
+    assertStateMatches(tableState(p), oracle)
   }
 
   test("duplicate batch re-delivery is a ledger no-op (exactly-once)") {

@@ -1,0 +1,166 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.CdcGenerator
+import graft.operators.Dedup
+import graft.streaming.{CdcPipeline, PipelineConfig}
+
+/** Randomized (seeded, deterministic) properties — SURVEY.md §5.2-3:
+  * exactly-once and state equivalence must hold under ANY partition of the
+  * stream into batches, duplicate deliveries, and cross-batch LSN
+  * disorder. */
+class PropertySpec extends SparkSpec {
+
+  private val eventSchema = StructType(Seq(
+    StructField("lsn", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("doc_id", StringType, nullable = true),
+    StructField("tokens", ArrayType(IntegerType), nullable = true),
+    StructField("n_tok", LongType, nullable = true),
+    StructField("source", StringType, nullable = true)))
+
+  private def loadEvents(): Seq[Row] =
+    CdcGenerator.events(spark, sf0001)
+      .select("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+      .collect().toSeq
+
+  private def toOracleEvs(rows: Seq[Row]): Seq[OracleFold.Ev] = rows.map { r =>
+    OracleFold.Ev(
+      lsn = r.getAs[Long]("lsn"),
+      op = r.getAs[String]("op"),
+      docId = r.getAs[String]("doc_id"),
+      tokens = Option(r.getAs[scala.collection.Seq[Int]]("tokens")).orNull,
+      nTok = Option(r.getAs[Any]("n_tok")).map(_.asInstanceOf[Long]),
+      source = r.getAs[String]("source"))
+  }
+
+  private def mkPipeline(base: String): CdcPipeline =
+    new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/table",
+      changeLogDir = s"$base/changelog",
+      checkpointDir = s"$base/checkpoint",
+      errorDir = s"$base/errors",
+      lineageDir = s"$base/lineage",
+      numBuckets = 8))
+
+  private def tableState(p: CdcPipeline): Map[String, (Seq[Int], Long, String)] =
+    p.readTable().collect().map { r =>
+      r.getAs[String]("doc_id") -> ((
+        Option(r.getAs[scala.collection.Seq[Int]]("tokens")).map(_.toSeq).orNull,
+        r.getAs[Long]("n_tok"),
+        r.getAs[String]("source")))
+    }.toMap
+
+  private def oracleState(rows: Seq[Row]): Map[String, (Seq[Int], Long, String)] =
+    OracleFold.fold(toOracleEvs(rows)).map { case (k, d) =>
+      k -> ((Option(d.tokens).map(_.toSeq).orNull, d.nTok, d.source))
+    }
+
+  test("final state is invariant under random batching + duplicate redelivery") {
+    // Delivery contract (north rule: "monotonic sequence number" tail):
+    // batches arrive in nondecreasing LSN order — a change log is a WAL
+    // tail, not a shuffle. WITHIN a batch order is arbitrary (LWW dedup
+    // absorbs it) and duplicate delivery of any prefix batch is safe.
+    // Cross-batch reordering of a delete before its insert is NOT claimed
+    // (would need tombstones; no log tail delivers that way).
+    val all = loadEvents().sortBy(_.getAs[Long]("lsn"))
+    val want = oracleState(all)
+    val rnd = new Random(42)
+    (0 until 3).foreach { trial =>
+      val nBatches = 2 + rnd.nextInt(4)
+      // random CONTIGUOUS boundaries; rows shuffled within each batch
+      val cuts = (Seq(0, all.size) ++ Seq.fill(nBatches - 1)(rnd.nextInt(all.size + 1)))
+        .sorted
+      val grouped = cuts.zip(cuts.tail).zipWithIndex.map { case ((lo, hi), i) =>
+        i -> rnd.shuffle(all.slice(lo, hi))
+      }.toMap
+      val p = mkPipeline(tmpDir(s"prop-$trial"))
+      (0 until nBatches).foreach { b =>
+        val rows = grouped.getOrElse(b, Seq.empty)
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), eventSchema)
+        p.applyBatch(df, b.toLong)
+        // randomly redeliver an already-applied batch (exactly-once)
+        if (rnd.nextBoolean() && b > 0) {
+          val dup = rnd.nextInt(b)
+          val s = p.applyBatch(spark.createDataFrame(
+            spark.sparkContext.parallelize(grouped.getOrElse(dup, Seq.empty), 2),
+            eventSchema), dup.toLong)
+          assert(s.skipped, s"redelivered batch $dup must be a ledger no-op")
+        }
+      }
+      assert(tableState(p) == want, s"trial $trial (nBatches=$nBatches) state drift")
+    }
+  }
+
+  test("row-level LSN condition survives even a bypassed ledger (idempotent MERGE)") {
+    val all = loadEvents()
+    val want = oracleState(all)
+    val p = mkPipeline(tmpDir("bypass"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(all, 4), eventSchema)
+    p.applyBatch(df, 0L)
+    // re-apply the SAME events under a DIFFERENT batch id: the ledger does
+    // not catch it, but `batch.lsn > target._lsn` makes every row stale
+    val s = p.applyBatch(df, 1L)
+    assert(!s.skipped)
+    assert(s.inserted == 0 && s.updated == 0,
+      s"replay under new commit id must apply nothing: $s")
+    assert(tableState(p) == want)
+  }
+
+  test("salted LWW dedup ≡ single-phase LWW (associativity of max_by)") {
+    val ev = CdcGenerator.events(spark, sf0001)
+      .filter(col("doc_id").isNotNull)
+    val a = Dedup.lww(ev).orderBy("doc_id")
+      .select("lsn", "op", "doc_id", "n_tok", "source", "tokens").collect().toSeq
+    val b = Dedup.lwwSalted(ev, 7).orderBy("doc_id")
+      .select("lsn", "op", "doc_id", "n_tok", "source", "tokens").collect().toSeq
+    assert(a == b)
+  }
+
+  test("time travel: every snapshot version reproduces its prefix of the stream") {
+    val all = loadEvents().sortBy(_.getAs[Long]("lsn"))
+    val chunks = all.grouped(math.max(1, all.size / 3)).toSeq
+    val p = mkPipeline(tmpDir("tt"))
+    val versionAfter = chunks.zipWithIndex.map { case (rows, b) =>
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), eventSchema)
+      p.applyBatch(df, b.toLong)
+      (p.table.currentVersion.get, chunks.take(b + 1).flatten)
+    }
+    versionAfter.foreach { case (v, prefix) =>
+      val got = p.table.read(Some(v)).drop("_lsn").collect().map { r =>
+        r.getAs[String]("doc_id") -> ((
+          Option(r.getAs[scala.collection.Seq[Int]]("tokens")).map(_.toSeq).orNull,
+          r.getAs[Long]("n_tok"),
+          r.getAs[String]("source")))
+      }.toMap
+      assert(got == oracleState(prefix), s"version $v mismatch")
+    }
+  }
+
+  test("widened n_tok stays byte-equal through evolution (§7.4-6)") {
+    import spark.implicits._
+    val p = mkPipeline(tmpDir("widen"))
+    // first batch: n_tok as INT (narrow writer schema)
+    val narrow = Seq((1L, "I", "a", Seq(1, 2, 3), 3))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok")
+    p.applyBatch(narrow, 0L)
+    // second batch: n_tok as LONG with a value above Int range on doc b
+    val wide = Seq(
+      (10L, "U", "a", Seq(4, 5), 2L),
+      (11L, "I", "b", Seq(7), 1L))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok")
+    p.applyBatch(wide, 1L)
+    val rows = p.readTable().orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[String]("doc_id")).toSeq == Seq("a", "b"))
+    assert(rows(0).getAs[scala.collection.Seq[Int]]("tokens") == Seq(4, 5))
+    assert(rows(0).getAs[Long]("n_tok") == 2L)
+    // read of the evolved table upcasts old files on the fly
+    assert(p.readTable().schema("n_tok").dataType == LongType)
+  }
+}
