@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ingest.CdcGenerator
+import graft.operators.MergeOnRead
+import graft.streaming.{CdcPipeline, PipelineConfig}
+
+/** Single isolated CDC measurement in a fresh JVM (diagnostic harness for
+  * the scaling study; Bench aggregates the official numbers).
+  *
+  * args: <mode> <cores> <changeLogDir> <batches> <buckets>
+  * If changeLogDir is "-", stages a fresh one from SPARK_GRAFT_SF_DIR ×
+  * SPARK_GRAFT_REPLICATE first. Prints one line:
+  *   BENCHONE mode=<m> cores=<c> events=<n> sec=<s> eps=<n/s>
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val mode    = args(0)
+    val cores   = args(1).toInt
+    val batches = if (args.length > 3) args(3).toInt else 4
+    val buckets = if (args.length > 4) args(4).toInt else 64
+
+    val evDir = sys.env.get("GRAFT_EVENTLOG")
+    evDir.foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+    val b0 = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-benchone-$mode-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+    val spark = evDir.fold(b0)(d =>
+      b0.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", d))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (mode == "stage") {
+      // just materialize the change log to args(2) and exit
+      val sfDir     = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "90").toInt
+      CdcGenerator.writeBatches(spark, sfDir, args(2), batches, replicate, filesPerBatch = 32)
+      println(s"BENCHONE staged ${args(2)}")
+      spark.stop()
+      return
+    }
+    val changeLog =
+      if (args(2) != "-") args(2)
+      else {
+        val sfDir     = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "90").toInt
+        val d = java.nio.file.Files.createTempDirectory("graft-benchone-log").toString
+        CdcGenerator.writeBatches(spark, sfDir, d, batches, replicate, filesPerBatch = 32)
+        d
+      }
+    val nEvents = spark.read.parquet(s"$changeLog/batch-*").count()
+
+    // warmup on a sliver (JIT + codegen)
+    val warm = java.nio.file.Files.createTempDirectory("graft-benchone-warm").toString
+    CdcGenerator.writeBatches(spark, "/root/testdata/sf0.001", warm, 2)
+    runOnce(spark, warm, 2, 8, mode)
+
+    val sec = runOnce(spark, changeLog, batches, buckets, mode)
+    println(f"BENCHONE mode=$mode cores=$cores events=$nEvents sec=$sec%.2f eps=${nEvents / sec}%.1f")
+    spark.stop()
+  }
+
+  def runOnce(
+      spark: SparkSession, changeLog: String, batches: Int, buckets: Int,
+      mode: String): Double = {
+    val base = java.nio.file.Files.createTempDirectory("graft-benchone-run").toString
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/table",
+      changeLogDir = changeLog,
+      checkpointDir = s"$base/checkpoint",
+      errorDir = s"$base/errors",
+      lineageDir = s"$base/lineage",
+      numBuckets = buckets,
+      mode = mode,
+      compactThreshold = Double.PositiveInfinity))
+    val t0 = System.nanoTime()
+    (0 until batches).foreach { b =>
+      p.applyBatch(spark.read.parquet(f"$changeLog/batch-$b%05d"), b.toLong)
+    }
+    if (mode == "mor") { MergeOnRead.compact(p.table, "final"); () }
+    (System.nanoTime() - t0) / 1e9
+  }
+}

@@ -50,6 +50,9 @@ object CdcGenerator {
         // scenario mix (reps/op/invalids) keys off the ORIGINAL doc_id so
         // every replica carries the same skew profile; identity is unique
         .withColumn("_rid", col("doc_id") * replicate + col("_k"))
+        // documents is one small file → the whole crossJoin+explode chain
+        // would otherwise generate millions of events in ONE task
+        .repartition(spark.sparkContext.defaultParallelism)
     val idCol = if (replicate == 1) col("doc_id") else col("_rid")
     val baseToks = Tokenize.tokens(col("text"))
     docs
@@ -125,14 +128,20 @@ object CdcGenerator {
       sfDir: String,
       outDir: String,
       batches: Int = 4,
-      replicate: Int = 1): Int = {
+      replicate: Int = 1,
+      filesPerBatch: Int = 0): Int = {
     // The generator pipeline is narrow (single doc file → crossJoin with a
     // broadcast range → explode), so without an explicit repartition every
     // batch lands as ONE file — and the consumer's whole pre-shuffle phase
     // (read→conform→validate→partial agg) would run on one task. Real
     // change logs arrive as many files; emulate that.
-    val nFiles = math.max(4, spark.sparkContext.defaultParallelism)
-    val ev     = events(spark, sfDir, replicate)
+    val nFiles =
+      if (filesPerBatch > 0) filesPerBatch
+      else math.max(4, spark.sparkContext.defaultParallelism)
+    // cached: the quantile probe + one filter pass per batch would
+    // otherwise regenerate the full stream batches+1 times
+    val ev = events(spark, sfDir, replicate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Equal-COUNT consecutive LSN windows. A naive rep-index split puts
     // ~95% of events (every doc's insert + first updates) in batch 0 and
     // leaves later batches with only hot-key dribble — measured: 430k/9k/
@@ -148,6 +157,7 @@ object CdcGenerator {
         .mode("overwrite")
         .parquet(f"$outDir/batch-$b%05d")
     }
+    ev.unpersist()
     batches
   }
 }

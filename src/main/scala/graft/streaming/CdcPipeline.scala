@@ -129,12 +129,18 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
   private def writeErrors(errors: DataFrame): Unit =
     errors.write.mode(SaveMode.Append).parquet(s"${cfg.errorDir}")
 
-  /** Per-batch lineage to the metrics table: offset range, rows applied,
-    * conflict count, skew ratio (max/avg bucket rows this commit). */
+  /** Per-batch AND per-partition lineage to the metrics table: one row
+    * per bucket this commit wrote (partition_id = bucket, rows from the
+    * committed file's footer) plus a batch summary row (partition_id =
+    * -1) carrying the offset range, rows applied, conflict count, and
+    * skew ratio (max/avg bucket rows this commit). */
   private def writeLineage(s: MergeStats, batchId: Long): Unit = {
     import spark.implicits._
-    val commitFiles = table.current.toSeq.flatMap(_.files)
-      .filter(_.path.contains(s"c-${s.commitId}"))
+    val cur = table.current
+    // exact dir match — a bare prefix would conflate commit b1 with b10
+    val commitFiles = cur.toSeq.flatMap(m => m.files ++ m.deltaFiles)
+      .filter(f => f.path.contains(s"/c-${s.commitId}/") ||
+        f.path.contains(s"/c-${s.commitId}.d/"))
     val skew =
       if (commitFiles.isEmpty) 1.0
       else {
@@ -142,13 +148,21 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         val avg  = rows.sum / rows.size
         if (avg == 0) 1.0 else rows.max / avg
       }
-    val rec = graft.LineageRecord(
+    val summary = graft.LineageRecord(
       commit_id = s.commitId, batch_id = batchId, partition_id = -1,
       offset_start = s.minLsn, offset_end = s.maxLsn,
       rows_applied = s.inserted + s.updated + s.deleted,
       conflict_count = s.updated + s.staleEvents,
       skew_ratio = skew, wall_ms = s.wallMs)
-    Seq(rec).toDS().write.mode(SaveMode.Append).parquet(cfg.lineageDir)
+    val perBucket = commitFiles.map { f =>
+      graft.LineageRecord(
+        commit_id = s.commitId, batch_id = batchId, partition_id = f.bucket,
+        offset_start = s.minLsn, offset_end = s.maxLsn,
+        rows_applied = f.rows, conflict_count = -1,
+        skew_ratio = skew, wall_ms = s.wallMs)
+    }
+    (summary +: perBucket).toDS().coalesce(1)
+      .write.mode(SaveMode.Append).parquet(cfg.lineageDir)
   }
 
   /** Stream the change-log directory to completion (AvailableNow) and
@@ -176,10 +190,13 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
   }
 
   /** Fold deltas into base when they outgrow the configured fraction of
-    * the table (MOR compaction trigger). */
+    * the TOTAL table (base + deltas — a ratio on base alone would fire
+    * forever against an empty base). Set compactThreshold = infinity to
+    * run compaction purely as scheduled maintenance via
+    * [[MergeOnRead.compact]]. */
   private def maybeCompact(): Unit = {
     val m = table.current.get
-    if (m.deltaRows > math.max(1L, (m.rowCount * cfg.compactThreshold).toLong)) {
+    if (m.deltaRows > (m.rowCount + m.deltaRows) * cfg.compactThreshold) {
       MergeOnRead.compact(table, s"compact-v${m.version}")
       ()
     }

@@ -219,6 +219,36 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Garbage-collect data files referenced only by versions older than
+    * the last `retainVersions` (default: current only). Manifests are
+    * NEVER deleted — the manifest chain IS the exactly-once ledger, and
+    * dropping one would forget an applied commit id; only their data
+    * files are reclaimed (time travel to vacuumed versions 404s, by
+    * design — same tradeoff as Iceberg's expire_snapshots).
+    * Also sweeps orphan files from crashed writes (present on disk,
+    * referenced by no manifest at all).
+    * @return (files deleted, files kept) */
+  def vacuum(retainVersions: Int = 1): (Int, Int) = {
+    require(retainVersions >= 1)
+    val keep = versions.takeRight(retainVersions)
+    val live: Set[Path] = keep.flatMap { v =>
+      val m = manifest(v)
+      (m.files ++ m.deltaFiles).map(f => Paths.get(f.path).toAbsolutePath.normalize)
+    }.toSet
+    val dataDir = Paths.get(root, "data")
+    if (!Files.isDirectory(dataDir)) return (0, live.size)
+    var deleted = 0
+    Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach { p =>
+      if (Files.isRegularFile(p) && !live.contains(p.toAbsolutePath.normalize)) {
+        Files.delete(p); deleted += 1
+      } else if (Files.isDirectory(p) && p != dataDir &&
+          !Files.list(p).iterator().hasNext) {
+        Files.delete(p)
+      }
+    }
+    (deleted, live.size)
+  }
+
   private def parquetRowCount(p: Path): Long = {
     // Cheap footer read via Spark would spin up a job per file; use the
     // parquet-hadoop API directly (ships in /opt/spark/jars).
