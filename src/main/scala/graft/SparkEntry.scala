@@ -160,6 +160,55 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("c_mktsegment"))),
 
+    // J6 analog — orphan-event detection: change events referencing no
+    // doc in the live registry (docs with id%5==2 are "unregistered")
+    "q_orphan_events" -> ((s, dir) => {
+      val registry = docs(s, dir)
+        .filter(col("doc_id") % 5 =!= 2)
+        .select(Tokenize.docId(col("doc_id")).as("doc_id"))
+      CdcGenerator.events(s, dir)
+        .filter(col("doc_id").isNotNull)
+        .join(broadcast(registry), Seq("doc_id"), "left_anti")
+        .select(col("lsn"), col("doc_id"), col("op"))
+        .orderBy(col("lsn"))
+    }),
+    // J1 analog — enrichment via two chained broadcast dimension joins:
+    // event → (doc registry: doc_id→lang) → (lang dim: lang→lang_name)
+    "q_enrich_dims" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val docDim = d.select(Tokenize.docId(col("doc_id")).as("doc_id"), col("lang"))
+      val langDim = d.select(col("lang")).distinct()
+        .withColumn("lang_name",
+          coalesce(
+            element_at(
+              map(lit("en"), lit("english"), lit("de"), lit("german"),
+                lit("es"), lit("spanish"), lit("fr"), lit("french")),
+              col("lang")),
+            lit("other")))
+      CdcGenerator.events(s, dir)
+        .filter(col("doc_id").isNotNull && col("op") =!= "D")
+        .join(broadcast(docDim), Seq("doc_id"), "left")
+        .join(broadcast(langDim), Seq("lang"), "left")
+        .select(col("lsn"), col("doc_id"), col("lang"), col("lang_name"))
+        .orderBy(col("lsn"))
+    }),
+    // A5 analog — synthetic base rows: (source,lang) groups with ≥2 docs
+    // and no standalone "base" doc (here: a short doc) get one synthesized
+    // rollup row at the group mean with first-member attrs
+    "q_synthetic_base" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val groups = d.groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_members") >= 2)
+      val standalone = d.filter(col("n_chars") < 200)
+        .select(col("source"), col("lang")).distinct()
+      groups.join(standalone, Seq("source", "lang"), "left_anti")
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // ════ window semantics (W1-W3) ════
     "q_dedup_exact_firstwin" -> ((s, dir) =>
       evts(s, dir)
@@ -307,26 +356,30 @@ object SparkEntry {
 
     // ════ similarity search ════
     "q_ann_topk" -> ((s, dir) => {
+      graft.plans.CosineSim.register(s)
       val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
       val qs = vecs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      Similarity.bruteForceTopK(vecs, qs, 10).orderBy(col("q_id"), col("rank"))
+      Similarity.bruteForceTopK(vecs, qs, 10, Similarity.cosineFast)
+        .orderBy(col("q_id"), col("rank"))
     }),
     "q_ann_threshold" -> ((s, dir) => {
+      graft.plans.CosineSim.register(s)
       val v = emb(s, dir).select(col("vec_id"), col("embedding"))
       v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("score", Similarity.cosine(col("a.embedding"), col("b.embedding")))
+        .withColumn("score", Similarity.cosineFast(col("a.embedding"), col("b.embedding")))
         .filter(col("score") > 0.4)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(col("score"), 4).as("score"))
         .orderBy(col("vec_a"), col("vec_b"))
     }),
     "q_ann_lsh" -> ((s, dir) => {
+      graft.plans.CosineSim.register(s)
       val v = emb(s, dir)
         .select(col("vec_id"), col("embedding"),
           Similarity.hyperplaneSig(col("embedding"), 64).as("sig"))
       v.as("a").join(v.as("b"), col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("score", Similarity.cosine(col("a.embedding"), col("b.embedding")))
+        .withColumn("score", Similarity.cosineFast(col("a.embedding"), col("b.embedding")))
         .filter(col("score") > 0.2)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(col("score"), 4).as("score"))
@@ -444,6 +497,41 @@ object SparkEntry {
         """SELECT c_mktsegment, count(*) AS n_customers FROM customer
            WHERE c_custkey IN (SELECT o_custkey FROM orders)
            GROUP BY 1 ORDER BY 1""",
+      "q_orphan_events" ->
+        s"""WITH evs AS ($ev),
+            registry AS (SELECT $docId AS doc_id FROM documents WHERE doc_id % 5 <> 2)
+            SELECT lsn, doc_id, op FROM evs
+            WHERE doc_id IS NOT NULL
+              AND doc_id NOT IN (SELECT doc_id FROM registry)
+            ORDER BY lsn""",
+      "q_enrich_dims" ->
+        s"""WITH evs AS ($ev),
+            doc_dim AS (SELECT $docId AS doc_id, lang FROM documents),
+            lang_dim AS (
+              SELECT DISTINCT lang,
+                CASE lang WHEN 'en' THEN 'english' WHEN 'de' THEN 'german'
+                          WHEN 'es' THEN 'spanish' WHEN 'fr' THEN 'french'
+                          ELSE 'other' END AS lang_name
+              FROM documents)
+            SELECT e.lsn, e.doc_id, d.lang, l.lang_name
+            FROM evs e
+            LEFT JOIN doc_dim d ON e.doc_id = d.doc_id
+            LEFT JOIN lang_dim l ON d.lang = l.lang
+            WHERE e.doc_id IS NOT NULL AND e.op <> 'D'
+            ORDER BY e.lsn""",
+      "q_synthetic_base" ->
+        """WITH groups AS (
+             SELECT source, lang, count(*) AS n_members,
+                    round(avg(n_chars), 4) AS avg_chars,
+                    min(doc_id) AS first_doc
+             FROM documents GROUP BY 1, 2 HAVING count(*) >= 2),
+           standalone AS (
+             SELECT DISTINCT source, lang FROM documents WHERE n_chars < 200)
+           SELECT g.* FROM groups g
+           WHERE NOT EXISTS (
+             SELECT 1 FROM standalone s
+             WHERE s.source = g.source AND s.lang = g.lang)
+           ORDER BY source, lang""",
       "q_dedup_exact_firstwin" ->
         """SELECT user_id, event_type, min(event_id) AS first_event
            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",

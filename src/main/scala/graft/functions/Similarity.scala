@@ -28,6 +28,11 @@ object Similarity {
     * float divergence → always round/threshold well away from boundaries). */
   def cosineSql(a: String, b: String): String = s"list_cosine_similarity($a, $b)"
 
+  /** Hot-path cosine: the fused single-loop codegen expression
+    * [[graft.plans.CosineSim]]. Call `CosineSim.register(spark)` once per
+    * session first. Same semantics as [[cosine]]. */
+  def cosineFast(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
   // ---- deterministic pseudo-random hyperplanes for LSH ----
 
   val SigBits = 8
@@ -60,11 +65,12 @@ object Similarity {
   def bruteForceTopK(
       vectors: DataFrame, // (vec_id, embedding)
       queries: DataFrame, // (q_id, q_emb)
-      k: Int): DataFrame = {
+      k: Int,
+      score: (Column, Column) => Column = cosine): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = vectors
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+      .withColumn("score", score(col("q_emb"), col("embedding")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))

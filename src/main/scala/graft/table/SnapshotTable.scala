@@ -169,19 +169,25 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
 
   // ---- commit ----
 
-  /** Atomically commit a new snapshot. Throws if `version` already exists
-    * (lost the race / duplicate apply). */
+  /** Atomically commit a new snapshot. Throws (FileAlreadyExistsException)
+    * if `version` already exists — lost the race / duplicate apply.
+    *
+    * NOTE: rename (Files.move ATOMIC_MOVE) is WRONG here — POSIX rename
+    * silently REPLACES an existing target, so a racing writer would
+    * clobber a committed manifest. Hard-link creation is the POSIX
+    * atomic fail-if-exists publish (compare-and-swap on the version
+    * number); on an object store this becomes a conditional PUT. */
   def commit(m: Manifest): Unit = {
     Files.createDirectories(snapDir)
     val tmp = Files.createTempFile(snapDir, s".v${m.version}-", ".tmp")
-    try {
-      Files.write(tmp, toJson(m).getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, versionPath(m.version), StandardCopyOption.ATOMIC_MOVE)
-    } catch {
+    try Files.write(tmp, toJson(m).getBytes(StandardCharsets.UTF_8))
+    catch {
       case NonFatal(e) =>
         try Files.deleteIfExists(tmp) catch { case NonFatal(_) => () }
         throw e
     }
+    try Files.createLink(versionPath(m.version), tmp)
+    finally { try Files.deleteIfExists(tmp) catch { case NonFatal(_) => () } }
   }
 
   /** Write `df` as this commit's data files, one parquet file per bucket.
