@@ -40,8 +40,10 @@ object SparkEntry {
       lineageDir = s"$base/lineage",
       numBuckets = 16,
       mode = mode))
-    CdcGenerator.writeBatches(spark, dir, s"$base/changelog", batches = 4)
-    p.runAvailableNow(maxFilesPerTrigger = Some(1))
+    // 4 files per logical batch + 4 files per trigger → exactly 4
+    // micro-batches regardless of session parallelism
+    CdcGenerator.writeBatches(spark, dir, s"$base/changelog", batches = 4, filesPerBatch = 4)
+    p.runAvailableNow(maxFilesPerTrigger = Some(4))
     p.readTable()
       .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
       .orderBy(col("doc_id"))

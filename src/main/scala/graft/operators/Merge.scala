@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.table.{Manifest, SnapshotTable}
@@ -45,7 +45,17 @@ case class MergeStats(
   */
 object Merge {
 
-  val LsnCol = "_lsn"
+  val LsnCol  = "_lsn"
+  /** Deletes persist as tombstone rows (payload nulled, `_lsn` = delete
+    * LSN) so LAST-writer-wins stays correct under ANY delivery order —
+    * without them, a delete applied before a lower-LSN insert of the same
+    * doc arrives would let the late insert resurrect the doc (Kafka
+    * log-compaction / Iceberg equality-delete semantics). Readers filter
+    * them; compaction/vacuum can expire them below the applied-LSN
+    * frontier. */
+  val TombCol = "_tombstone"
+
+  val InternalCols: Seq[String] = Seq(LsnCol, TombCol)
 
   /** Payload columns = everything that persists in the target table. */
   private def payloadSchemaOf(batch: DataFrame): StructType =
@@ -69,11 +79,13 @@ object Merge {
     }
 
     // ---- schema gate / evolution ----
-    val targetPayload = StructType(cur.schema.fields.filterNot(_.name == LsnCol))
+    val targetPayload =
+      StructType(cur.schema.fields.filterNot(f => InternalCols.contains(f.name)))
     val (evolvedPayload, changes) =
       SchemaEvolution.evolve(targetPayload, payloadSchemaOf(dedupedBatch))
-    val physicalSchema =
-      StructType(evolvedPayload.fields :+ StructField(LsnCol, LongType, nullable = false))
+    val physicalSchema = StructType(evolvedPayload.fields ++ Seq(
+      StructField(LsnCol, LongType, nullable = false),
+      StructField(TombCol, BooleanType, nullable = true)))
 
     val numBuckets = cur.numBuckets
     def bucketOf(docId: Column): Column =
@@ -111,15 +123,24 @@ object Merge {
       val j         = tt.join(bb, tt("doc_id") === bb("doc_id"), "full_outer")
       val takeBatch = bb("doc_id").isNotNull &&
         (tt("doc_id").isNull || bb("lsn") > tt(LsnCol))
+      val ttLive = tt("doc_id").isNotNull && !coalesce(tt(TombCol), lit(false))
+      // "tombstone": a winning delete persists as a row (see TombCol) —
+      // for stats it is split live-target (delete) vs not (delete_noop)
       val action = when(tt("doc_id").isNotNull && !takeBatch, lit("keep"))
-        .when(takeBatch && bb("op") =!= "D" && tt("doc_id").isNull, lit("insert"))
-        .when(takeBatch && bb("op") =!= "D", lit("update"))
-        .when(takeBatch && bb("op") === "D" && tt("doc_id").isNotNull, lit("delete"))
+        .when(takeBatch && bb("op") =!= "D" && ttLive, lit("update"))
+        .when(takeBatch && bb("op") =!= "D", lit("insert"))
+        .when(takeBatch && bb("op") === "D" && ttLive, lit("delete"))
         .otherwise(lit("delete_noop"))
+      val isTomb = col("_action").isin("delete", "delete_noop")
 
       val outCols: Seq[Column] =
-        payloadCols.map(f => when(col("_action") === "keep", tt(f)).otherwise(bb(f)).as(f)) ++ Seq(
+        payloadCols.map { f =>
+          val fromBatch = if (f == "doc_id") bb(f) else when(isTomb, lit(null)).otherwise(bb(f))
+          when(col("_action") === "keep", tt(f)).otherwise(fromBatch).as(f)
+        } ++ Seq(
           when(col("_action") === "keep", tt(LsnCol)).otherwise(bb("lsn")).as(LsnCol),
+          when(col("_action") === "keep", coalesce(tt(TombCol), lit(false)))
+            .otherwise(isTomb).as(TombCol),
           coalesce(bb("_bucket"), bucketOf(tt("doc_id"))).as("_bucket"))
 
       val obs = Observation(s"merge-$commitId")
@@ -132,12 +153,12 @@ object Merge {
           sum(when(col("_action") === "delete", 1L).otherwise(0L)).as("deleted"),
           sum(when(col("_action") === "delete_noop", 1L).otherwise(0L)).as("delete_noops"),
           sum(when(col("_action") === "keep" && bb("doc_id").isNotNull, 1L).otherwise(0L)).as("stale"),
-          sum(when(bb("doc_id").isNotNull || col("_action") === "delete_noop", 1L).otherwise(0L)).as("batch_events"),
+          sum(when(bb("doc_id").isNotNull, 1L).otherwise(0L)).as("batch_events"),
           min(bb("lsn")).as("min_lsn"),
           max(bb("lsn")).as("max_lsn"))
 
+      // ALL rows survive — tombstones included
       val survivors = annotated
-        .filter(!col("_action").isin("delete", "delete_noop"))
         .select(outCols :+ col("_action"): _*)
         .drop("_action")
 

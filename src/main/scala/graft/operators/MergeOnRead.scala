@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 
 import graft.table.{Manifest, SnapshotTable}
 
@@ -48,12 +48,14 @@ object MergeOnRead {
     }
 
     // schema gate / evolution — identical rules to COW
-    val targetPayload = StructType(cur.schema.fields.filterNot(_.name == LsnCol))
+    val targetPayload = StructType(cur.schema.fields.filterNot(f =>
+      Merge.InternalCols.contains(f.name)))
     val batchPayload = StructType(dedupedBatch.schema.fields.filterNot(f =>
       (DeltaCols :+ "ingest_ts").contains(f.name)))
     val (evolvedPayload, changes) = SchemaEvolution.evolve(targetPayload, batchPayload)
-    val physicalSchema =
-      StructType(evolvedPayload.fields :+ StructField(LsnCol, LongType, nullable = false))
+    val physicalSchema = StructType(evolvedPayload.fields ++ Seq(
+      StructField(LsnCol, LongType, nullable = false),
+      StructField(Merge.TombCol, BooleanType, nullable = true)))
 
     val numBuckets = cur.numBuckets
     val present    = dedupedBatch.columns.toSet
@@ -112,44 +114,62 @@ object MergeOnRead {
   }
 
   /** Resolved (fully merged) view of a snapshot: base ∪ deltas → LWW by
-    * LSN per doc_id → live rows only. Both sides shuffle on doc_id once;
-    * base rows act as op='I' events at their stored `_lsn`. */
+    * LSN per doc_id. Both sides shuffle on doc_id once; base rows act as
+    * events at their stored `_lsn` (op = D for persisted tombstones).
+    * The result RETAINS winning tombstones as `_tombstone = true` rows —
+    * readers filter them, [[compact]] persists them (so late lower-LSN
+    * events can never resurrect a deleted doc), vacuum/expiry drops them
+    * below the applied-LSN frontier. */
   def resolve(table: SnapshotTable, version: Option[Long] = None): DataFrame = {
     val m = version.map(table.manifest).orElse(table.current).getOrElse(
       throw new IllegalStateException(s"no snapshot at ${table.root}"))
     val base = table.readFiles(m.files, m.schema)
     if (m.deltaFiles.isEmpty) return base
 
+    val payloadCols =
+      m.schema.fieldNames.filterNot(Merge.InternalCols.contains).toSeq
     val deltaSchema = StructType(
-      m.schema.fields.filterNot(_.name == LsnCol) ++
+      m.schema.fields.filterNot(f => Merge.InternalCols.contains(f.name)) ++
         Seq(StructField("lsn", LongType, nullable = false),
           StructField("op", StringType, nullable = false)))
     val deltas = table.readFiles(m.deltaFiles, deltaSchema)
 
-    val payloadCols = m.schema.fieldNames.filterNot(_ == LsnCol).toSeq
+    val baseOp = when(coalesce(col(Merge.TombCol), lit(false)), lit("D"))
+      .otherwise(lit("I")).as("op")
     val asEvents = base
-      .select(payloadCols.map(col) :+ col(LsnCol).as("lsn") :+ lit("I").as("op"): _*)
+      .select(payloadCols.map(col) :+ col(LsnCol).as("lsn") :+ baseOp: _*)
       .unionByName(deltas.select(payloadCols.map(col) :+ col("lsn") :+ col("op"): _*))
     val ev = struct((payloadCols ++ DeltaCols).map(col): _*)
     asEvents
       .groupBy(col("doc_id"))
       .agg(max_by(ev, col("lsn")).as("_e"))
-      .filter(col("_e.op") =!= "D")
-      .select(payloadCols.map(c => col(s"_e.$c").as(c)) :+ col("_e.lsn").as(LsnCol): _*)
+      .select(
+        payloadCols.map(c => col(s"_e.$c").as(c)) ++ Seq(
+          col("_e.lsn").as(LsnCol),
+          (col("_e.op") === "D").as(Merge.TombCol)): _*)
   }
 
   /** Fold all deltas into fresh base files (one rewrite), emptying the
-    * delta list. A no-op commit when there are no deltas. */
-  def compact(table: SnapshotTable, commitId: String): MergeStats = {
+    * delta list; tombstones persist through compaction. A no-op commit
+    * when there are no deltas.
+    * @param expireTombstonesBelow drop tombstones with `_lsn` strictly
+    *   below this LSN (safe once the source can no longer replay events
+    *   older than it — the applied-LSN frontier). */
+  def compact(
+      table: SnapshotTable, commitId: String,
+      expireTombstonesBelow: Long = Long.MinValue): MergeStats = {
     val t0  = System.nanoTime()
     val cur = table.current.getOrElse(
       throw new IllegalStateException("table has no snapshot"))
-    if (cur.deltaFiles.isEmpty)
+    if (cur.deltaFiles.isEmpty && expireTombstonesBelow == Long.MinValue)
       return MergeStats(commitId, cur.version, skipped = true, 0, cur.rowCount,
         cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1,
         (System.nanoTime() - t0) / 1000000, Seq.empty)
 
     val resolved = resolve(table)
+      .filter(
+        !coalesce(col(Merge.TombCol), lit(false)) ||
+          col(LsnCol) >= expireTombstonesBelow)
       .withColumn("_bucket",
         pmod(xxhash64(col("doc_id")), lit(cur.numBuckets.toLong)).cast("int"))
     val newFiles = table.writeDataFiles(resolved, commitId, cur.numBuckets)

@@ -43,12 +43,13 @@ case class PipelineConfig(
   *  3. Even a bypassed ledger cannot corrupt state: MERGE's row-level
   *     `batch.lsn > target._lsn` condition makes re-application a no-op.
   *
-  * Delivery contract: the change log is a WAL tail — batches arrive in
-  * nondecreasing LSN order. Within a batch, order is arbitrary (LWW dedup
-  * absorbs it); duplicate delivery of any already-applied batch is a
-  * no-op. Cross-batch REORDERING (a delete delivered before the batch
-  * holding its insert) is out of contract — supporting it would require
-  * tombstone retention, which no ordered log tail needs.
+  * Delivery contract: duplicate delivery of an applied batch is a no-op
+  * (ledger), and ARBITRARY event-to-batch assignment is tolerated — LWW
+  * by LSN plus persisted delete tombstones ([[Merge.TombCol]]) make the
+  * final state order-independent; even a delete delivered before the
+  * batch holding its insert cannot be undone by the late lower-LSN
+  * insert. Tombstones expire at compaction once the applied-LSN frontier
+  * passes them ([[MergeOnRead.compact]]'s expireTombstonesBelow).
   */
 final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
 
@@ -59,7 +60,8 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
       spark, cfg.tableRoot,
       StructType(Conform.EventSchema.fields.filterNot(f =>
         Seq("lsn", "op", "ingest_ts").contains(f.name)))
-        .add("_lsn", "long", nullable = false),
+        .add(Merge.LsnCol, "long", nullable = false)
+        .add(Merge.TombCol, "boolean", nullable = true),
       cfg.numBuckets)
   }
 
@@ -202,8 +204,10 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     }
   }
 
-  /** The authoritative table, logical view (internal columns stripped):
-    * base in COW mode, delta-resolved in MOR mode. */
+  /** The authoritative table, logical view: delta-resolved (MOR),
+    * tombstones filtered, internal columns stripped. */
   def readTable(): DataFrame =
-    MergeOnRead.resolve(table).drop(Merge.LsnCol)
+    MergeOnRead.resolve(table)
+      .filter(!coalesce(col(Merge.TombCol), lit(false)))
+      .drop(Merge.InternalCols: _*)
 }

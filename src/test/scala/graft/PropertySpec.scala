@@ -39,14 +39,15 @@ class PropertySpec extends SparkSpec {
       source = r.getAs[String]("source"))
   }
 
-  private def mkPipeline(base: String): CdcPipeline =
+  private def mkPipeline(base: String, mode: String = "cow"): CdcPipeline =
     new CdcPipeline(spark, PipelineConfig(
       tableRoot = s"$base/table",
       changeLogDir = s"$base/changelog",
       checkpointDir = s"$base/checkpoint",
       errorDir = s"$base/errors",
       lineageDir = s"$base/lineage",
-      numBuckets = 8))
+      numBuckets = 8,
+      mode = mode))
 
   private def tableState(p: CdcPipeline): Map[String, (Seq[Int], Long, String)] =
     p.readTable().collect().map { r =>
@@ -61,24 +62,19 @@ class PropertySpec extends SparkSpec {
       k -> ((Option(d.tokens).map(_.toSeq).orNull, d.nTok, d.source))
     }
 
-  test("final state is invariant under random batching + duplicate redelivery") {
-    // Delivery contract (north rule: "monotonic sequence number" tail):
-    // batches arrive in nondecreasing LSN order — a change log is a WAL
-    // tail, not a shuffle. WITHIN a batch order is arbitrary (LWW dedup
-    // absorbs it) and duplicate delivery of any prefix batch is safe.
-    // Cross-batch reordering of a delete before its insert is NOT claimed
-    // (would need tombstones; no log tail delivers that way).
-    val all = loadEvents().sortBy(_.getAs[Long]("lsn"))
+  test("final state is invariant under ARBITRARY batching + duplicate redelivery") {
+    // Strongest delivery claim: tombstoned deletes make LWW-by-LSN
+    // correct under ANY partition of the stream into batches — even a
+    // delete delivered before the batch holding its insert cannot be
+    // undone by the late lower-LSN insert. Plus: duplicate delivery of
+    // any already-applied batch is a ledger no-op.
+    val all = loadEvents()
     val want = oracleState(all)
     val rnd = new Random(42)
     (0 until 3).foreach { trial =>
       val nBatches = 2 + rnd.nextInt(4)
-      // random CONTIGUOUS boundaries; rows shuffled within each batch
-      val cuts = (Seq(0, all.size) ++ Seq.fill(nBatches - 1)(rnd.nextInt(all.size + 1)))
-        .sorted
-      val grouped = cuts.zip(cuts.tail).zipWithIndex.map { case ((lo, hi), i) =>
-        i -> rnd.shuffle(all.slice(lo, hi))
-      }.toMap
+      // fully random assignment → batches interleave LSN ranges arbitrarily
+      val grouped = all.groupBy(_ => rnd.nextInt(nBatches))
       val p = mkPipeline(tmpDir(s"prop-$trial"))
       (0 until nBatches).foreach { b =>
         val rows = grouped.getOrElse(b, Seq.empty)
@@ -113,6 +109,29 @@ class PropertySpec extends SparkSpec {
     assert(tableState(p) == want)
   }
 
+  test("delete delivered BEFORE its insert still deletes (tombstone LWW)") {
+    import spark.implicits._
+    val p = mkPipeline(tmpDir("ooo"))
+    // batch 0 carries the delete (higher LSN), batch 1 the insert
+    val b0 = Seq(
+      (9L, "D", "x", None: Option[Seq[Int]], None: Option[Long], null: String),
+      (1L, "I", "y", Some(Seq(1)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    val b1 = Seq((2L, "I", "x", Some(Seq(7, 8)), Some(2L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    val s0 = p.applyBatch(b0, 0L)
+    assert(s0.deleteNoops == 1L, "early delete lands as a tombstone")
+    p.applyBatch(b1, 1L)
+    val live = p.readTable().select("doc_id").collect().map(_.getString(0)).toSet
+    assert(live == Set("y"), s"late insert resurrected a deleted doc: $live")
+    // and both modes agree: same stream through MOR
+    val pm = mkPipeline(tmpDir("ooo-mor"), mode = "mor")
+    pm.applyBatch(b0, 0L); pm.applyBatch(b1, 1L)
+    assert(pm.readTable().select("doc_id").collect().map(_.getString(0)).toSet == Set("y"))
+    graft.operators.MergeOnRead.compact(pm.table, "c1")
+    assert(pm.readTable().select("doc_id").collect().map(_.getString(0)).toSet == Set("y"))
+  }
+
   test("salted LWW dedup ≡ single-phase LWW (associativity of max_by)") {
     val ev = CdcGenerator.events(spark, sf0001)
       .filter(col("doc_id").isNotNull)
@@ -133,7 +152,10 @@ class PropertySpec extends SparkSpec {
       (p.table.currentVersion.get, chunks.take(b + 1).flatten)
     }
     versionAfter.foreach { case (v, prefix) =>
-      val got = p.table.read(Some(v)).drop("_lsn").collect().map { r =>
+      val got = p.table.read(Some(v))
+        .filter(!coalesce(col("_tombstone"), lit(false)))
+        .drop("_lsn", "_tombstone")
+        .collect().map { r =>
         r.getAs[String]("doc_id") -> ((
           Option(r.getAs[scala.collection.Seq[Int]]("tokens")).map(_.toSeq).orNull,
           r.getAs[Long]("n_tok"),
