@@ -242,6 +242,15 @@ object SparkEntry {
         .distinct()
         .orderBy(col("user_id"), col("event_type"))),
 
+    // tumbling event-time window, batch-expressed (F13 + §2.10 analog)
+    "q_event_windows" -> ((s, dir) =>
+      evts(s, dir)
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("window_start"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("window_start"))),
+
     // ════ sorts / limits (§2.6) ════
     "q_topk" -> ((s, dir) =>
       docs(s, dir)
@@ -298,20 +307,28 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => {
       val corpus = DedupOps.variantDocs(docs(s, dir))
         .withColumn("sh", DedupOps.shingles(col("text")))
-        .withColumn("sig", DedupOps.minhash(col("sh")))
       val banded = corpus
-        .select(col("doc_id"), col("sh"), explode(DedupOps.bandKeys(col("sig"))).as("bk"))
-        .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+        .select(col("doc_id"),
+          explode(DedupOps.bandKeys(DedupOps.minhash(col("sh")))).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      // dedupe candidate PAIRS first (ids only), then join shingles back
+      // once per unique pair — carrying the shingle arrays through the
+      // band join + distinct shuffled ~100x more bytes (45.9s → see
+      // BENCH); verify: same pairs, same jaccard, same oracle
       val pairs = banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          DedupOps.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      val sh = corpus.select(col("doc_id"), col("sh"))
+      pairs
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          DedupOps.jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-      pairs.orderBy(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
     "q_dedup_simhash" -> ((s, dir) => {
       val corpus = DedupOps.variantDocs(docs(s, dir))
@@ -386,6 +403,24 @@ object SparkEntry {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(col("score"), 4).as("score"))
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      graft.plans.CosineSim.register(s)
+      val v = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val assigned = Similarity.ivfAssign(v, 16, Similarity.cosineFast)
+      val qs = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cent_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("raw").desc, col("vec_id"))
+      assigned.as("a")
+        .join(qs.as("q"), col("a.cent_id") === col("q.cent_id") && col("a.vec_id") =!= col("q.q_id"))
+        .withColumn("raw", Similarity.cosineFast(col("q.q_emb"), col("a.embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("a.vec_id").as("vec_id"),
+          round(col("raw"), 4).as("score"))
+        .orderBy(col("q_id"), col("rank"))
     }),
 
     // ════ multimodal plumbing ════
@@ -551,6 +586,10 @@ object SparkEntry {
         """SELECT DISTINCT user_id, event_type,
                   count(*) OVER (PARTITION BY user_id, event_type) AS cnt
            FROM events QUALIFY cnt > 20 ORDER BY user_id, event_type""",
+      "q_event_windows" ->
+        """SELECT cast(epoch(date_trunc('hour', ts)) AS bigint) AS window_start,
+                  count(*) AS n_events, round(avg(value), 4) AS avg_value
+           FROM events GROUP BY 1 ORDER BY 1""",
       "q_topk" ->
         "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
       "q_union_evolve" ->
@@ -654,6 +693,29 @@ object SparkEntry {
             WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.2
             ORDER BY vec_a, vec_b"""
       },
+      "q_ann_ivf" ->
+        """WITH cents AS (
+             SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 16),
+           assigned AS (
+             SELECT vec_id, embedding, cent_id FROM (
+               SELECT e.vec_id, e.embedding, c.cent_id,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC, c.cent_id) AS rn
+               FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+           qs AS (
+             SELECT vec_id AS q_id, embedding AS q_emb, cent_id
+             FROM assigned WHERE vec_id < 5),
+           scored AS (
+             SELECT q.q_id, a.vec_id,
+                    list_cosine_similarity(q.q_emb, a.embedding) AS raw
+             FROM assigned a JOIN qs q
+               ON a.cent_id = q.cent_id AND a.vec_id <> q.q_id),
+           ranked AS (
+             SELECT q_id, vec_id, raw,
+                    row_number() OVER (PARTITION BY q_id ORDER BY raw DESC, vec_id) AS rank
+             FROM scored)
+           SELECT q_id, rank, vec_id, round(raw, 4) AS score
+           FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""",
       "q_multimodal_meta" ->
         s"""SELECT $docId AS doc_id,
                    (['image','audio','video'])[cast(doc_id % 3 AS int) + 1] AS media_type,

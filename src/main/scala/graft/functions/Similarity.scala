@@ -59,6 +59,29 @@ object Similarity {
                     i -> cast(($v)[i] AS double) * (((i-1)*31 + j*17) % 7 - 3))) > 0
                   THEN (cast(1 AS bigint) << j) ELSE 0 END))"""
 
+  /** IVF-style ANN: assign every vector to its nearest of K coarse
+    * centroids (here: the first K vectors as deterministic "trained"
+    * centroids — swap in k-means output at scale), then search only
+    * within the query's cell. The scale path: per-query candidate set is
+    * |cell| ≈ N/K instead of N, and the assignment join broadcasts only
+    * the K centroids. */
+  def ivfAssign(
+      vectors: DataFrame, // (vec_id, embedding)
+      k: Int,
+      score: (Column, Column) => Column = cosine): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = vectors.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_sim").desc, col("cent_id"))
+    vectors
+      .join(broadcast(cents))
+      .withColumn("_sim", score(col("embedding"), col("cent")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+  }
+
   /** Brute-force top-k neighbors for each query vector.
     * The query side is broadcast (tiny); scores carry 4dp rounding for
     * cross-engine comparison. */

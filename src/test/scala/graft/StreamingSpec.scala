@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.ingest.CdcGenerator
+import graft.operators.Conform
+import graft.streaming.StreamOps
+
+/** Streaming operator semantics: watermarked event-time windows and
+  * mapGroupsWithState keyed state — each checked against its own batch
+  * twin over the identical input. */
+class StreamingSpec extends SparkSpec {
+
+  private def stageChangeLog(base: String): String = {
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 3)
+    s"$base/changelog"
+  }
+
+  // few files per trigger → several micro-batches, so the watermark
+  // actually advances (append-mode emission needs a NEXT batch)
+  private def readStreamOf(dir: String) =
+    spark.readStream.schema(Conform.EventSchema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$dir/batch-*")
+
+  test("watermarked tumbling-window agg ≡ batch agg over the same events") {
+    val base = tmpDir("win")
+    val dir  = stageChangeLog(base)
+
+    val q = StreamOps.opCountsByWindow(readStreamOf(dir)).writeStream
+      .format("memory").queryName("win_metrics")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // Append mode only emits windows the watermark has CLOSED; compare on
+    // the emitted ones — every emitted row must equal its batch twin, and
+    // at least one window must have closed.
+    val got = spark.table("win_metrics")
+      .select("window_start", "op", "n_events", "max_lsn")
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty, "no windows closed — watermark never advanced")
+    val want = StreamOps.opCountsByWindow(spark.read.schema(Conform.EventSchema)
+        .parquet(s"$dir/batch-*"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    got.foreach { case (k, v) =>
+      assert(want.get(k).contains(v), s"window $k: stream=$v batch=${want.get(k)}")
+    }
+  }
+
+  test("mapGroupsWithState doc progress ≡ batch fold over the same events") {
+    val base = tmpDir("mgws")
+    val dir  = stageChangeLog(base)
+
+    val got = StreamOps.runDocProgress(spark, readStreamOf(dir), s"$base/ckpt", "doc_prog")
+      .collect().map(r => r.getAs[String]("doc_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("last_lsn"), r.getAs[Boolean]("deleted"))))
+      .toMap
+
+    val want = spark.read.schema(Conform.EventSchema).parquet(s"$dir/batch-*")
+      .filter(col("doc_id").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("lsn")).as("last"),
+        (max_by(col("op"), col("lsn")) === "D").as("del"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+    assert(got.keySet == want.keySet,
+      s"key drift: +${(got.keySet -- want.keySet).take(3)} -${(want.keySet -- got.keySet).take(3)}")
+    got.foreach { case (k, v) =>
+      assert(want(k) == v, s"doc $k: stream=$v batch=${want(k)}")
+    }
+  }
+}
