@@ -183,6 +183,46 @@ class PipelineSpec extends SparkSpec {
     ()
   }
 
+  test("snapshot isolation: a pinned version reads identically across later commits") {
+    import spark.implicits._
+    val p = mkPipeline(tmpDir("iso"))
+    p.applyBatch(
+      Seq((1L, "I", "a", Seq(1, 2), 2L, "s"), (2L, "I", "b", Seq(3), 1L, "s"))
+        .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    val v1 = p.table.currentVersion.get
+    val before = p.table.read(Some(v1)).orderBy("doc_id").collect().toSeq
+    // later commits mutate the live table…
+    p.applyBatch(
+      Seq(
+        (10L, "U", "a", Some(Seq(9, 9)), Some(2L), "s"),
+        (11L, "D", "b", None: Option[Seq[Int]], None: Option[Long], "s"))
+        .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 1L)
+    // …but the pinned version is byte-stable (immutable files + manifest)
+    assert(p.table.read(Some(v1)).orderBy("doc_id").collect().toSeq == before)
+    assert(p.readTable().count() == 1L)
+  }
+
+  test("MOR auto-compaction folds deltas once they outgrow the threshold") {
+    import graft.operators.MergeOnRead
+    val base = tmpDir("autocompact")
+    val p    = mkPipeline(base, mode = "mor")
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 4)
+    p.runAvailableNow(maxFilesPerTrigger = Some(4))
+    val m = p.table.current.get
+    // default threshold 0.5 on (base+deltas): the pipeline must have
+    // compacted at least once, and deltas cannot exceed the ratio
+    assert(p.table.versions.map(p.table.manifest(_).commitId)
+      .exists(_.startsWith("compact-")), "no auto-compaction commit found")
+    assert(m.deltaRows <= ((m.rowCount + m.deltaRows) * 0.5).toLong + 1,
+      s"deltas above threshold: ${m.deltaRows} vs base ${m.rowCount}")
+    // resolved state unaffected by when compaction ran
+    val events = collectEvents(sf0001)
+    assertStateMatches(tableState(p), OracleFold.fold(events))
+    // a manual compact afterwards is a cheap no-op or a fold — never corruption
+    MergeOnRead.compact(p.table, "manual-final")
+    assertStateMatches(tableState(p), OracleFold.fold(events))
+  }
+
   test("schema evolution: added column then widened n_tok (E2)") {
     import spark.implicits._
     val base = tmpDir("evolve")
