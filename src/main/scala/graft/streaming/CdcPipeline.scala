@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
-import graft.operators.{Conform, Dedup, Merge, MergeOnRead, MergeStats, Validate}
+import graft.operators.{Conform, Dedup, Merge, MergeOnRead, MergeStats, SchemaEvolution, Validate}
 import graft.table.SnapshotTable
 
 /** Configuration for one CDC ingest pipeline instance. */
@@ -91,11 +91,17 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
           s
         } else Merge(table, deduped, commitId, batchId)
       } catch {
+        // Whole-batch rejects (reference analog: checkRequiredFields
+        // abort) — recorded as an error + an empty commit so the ledger
+        // marks the batch applied and the STREAM keeps running:
         case Conform.BatchRejected(missing) =>
-          // Whole-batch reject (reference analog: checkRequiredFields
-          // abort) — recorded as an error + an empty commit so the ledger
-          // marks the batch applied.
-          rejectBatch(raw, commitId, batchId, missing)
+          rejectBatch(raw, commitId, batchId, s"missing_required_column:${missing.mkString(",")}")
+        case SchemaEvolution.Incompatible(msg) =>
+          // extra column re-appeared with a non-widenable type
+          rejectBatch(raw, commitId, batchId, s"schema_incompatible:$msg")
+        case e: org.apache.spark.sql.AnalysisException =>
+          // un-castable required column (e.g. tokens arrived as string)
+          rejectBatch(raw, commitId, batchId, s"conform_failed:${e.getMessage.takeWhile(_ != '\n')}")
       }
     writeLineage(stats, batchId)
     stats
@@ -109,14 +115,14 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
 
   private def rejectBatch(
       raw: DataFrame, commitId: String, batchId: Long,
-      missing: Seq[String]): MergeStats = {
+      reason: String): MergeStats = {
     val err = raw
       .limit(1000) // sample of the rejected batch for the quarantine table
       .select(
         lit(commitId).as("commit_id"),
         lit(-1L).as("lsn"),
         lit(null).cast("string").as("doc_id"),
-        lit(s"batch_rejected:missing_required_column:${missing.mkString(",")}").as("reason"),
+        lit(s"batch_rejected:$reason").as("reason"),
         to_json(struct(raw.columns.map(col).toIndexedSeq: _*)).as("raw"))
     writeErrors(err)
     val cur = table.current.get
@@ -125,7 +131,7 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
       commitId = commitId, batchId = batchId))
     MergeStats(commitId, cur.version + 1, skipped = false, 0, cur.rowCount,
       cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1, 0,
-      Seq(s"batch_rejected:${missing.mkString(",")}"))
+      Seq(s"batch_rejected:$reason"))
   }
 
   private def writeErrors(errors: DataFrame): Unit =

@@ -223,6 +223,29 @@ class PipelineSpec extends SparkSpec {
     assertStateMatches(tableState(p), OracleFold.fold(events))
   }
 
+  test("non-widenable schema conflict quarantines the batch, never kills the stream") {
+    import spark.implicits._
+    val p = mkPipeline(tmpDir("conflict"))
+    // batch 0 introduces extra column upstream:int
+    p.applyBatch(
+      Seq((1L, "I", "a", Seq(1), 1L, "s", 7))
+        .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source", "upstream"), 0L)
+    // batch 1 re-sends upstream as STRING — non-widenable conflict
+    val s1 = p.applyBatch(
+      Seq((2L, "I", "b", Seq(2), 1L, "s", "oops"))
+        .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source", "upstream"), 1L)
+    assert(s1.schemaChanges.exists(_.contains("schema_incompatible")), s1.schemaChanges)
+    // quarantined + ledgered, table state intact, next good batch applies
+    assert(p.applyBatch(
+      Seq((2L, "I", "b", Seq(2), 1L, "s", "oops"))
+        .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source", "upstream"), 1L).skipped)
+    val s2 = p.applyBatch(
+      Seq((3L, "I", "c", Seq(3), 1L, "s", 8))
+        .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source", "upstream"), 2L)
+    assert(s2.inserted == 1)
+    assert(p.readTable().select("doc_id").collect().map(_.getString(0)).toSet == Set("a", "c"))
+  }
+
   test("schema evolution: added column then widened n_tok (E2)") {
     import spark.implicits._
     val base = tmpDir("evolve")
