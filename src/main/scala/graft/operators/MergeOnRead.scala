@@ -120,10 +120,27 @@ object MergeOnRead {
     * readers filter them, [[compact]] persists them (so late lower-LSN
     * events can never resurrect a deleted doc), vacuum/expiry drops them
     * below the applied-LSN frontier. */
-  def resolve(table: SnapshotTable, version: Option[Long] = None): DataFrame = {
+  def resolve(table: SnapshotTable, version: Option[Long] = None): DataFrame =
+    resolveBuckets(table, buckets = None, version)
+
+  /** [[resolve]] restricted to a bucket subset: both base and delta file
+    * lists prune BEFORE any IO (point lookups touch 1/numBuckets of the
+    * table). Correct because doc_id fully determines its bucket. */
+  def resolveBuckets(
+      table: SnapshotTable, buckets: Set[Int]): DataFrame =
+    resolveBuckets(table, Some(buckets), None)
+
+  private def resolveBuckets(
+      table: SnapshotTable,
+      buckets: Option[Set[Int]],
+      version: Option[Long]): DataFrame = {
     val m = version.map(table.manifest).orElse(table.current).getOrElse(
       throw new IllegalStateException(s"no snapshot at ${table.root}"))
-    val base = table.readFiles(m.files, m.schema)
+    def prune(fs: Seq[graft.table.DataFile]) = buckets match {
+      case Some(bs) => fs.filter(f => bs.contains(f.bucket))
+      case None     => fs
+    }
+    val base = table.readFiles(prune(m.files), m.schema)
     if (m.deltaFiles.isEmpty) return base
 
     val payloadCols =
@@ -132,7 +149,7 @@ object MergeOnRead {
       m.schema.fields.filterNot(f => Merge.InternalCols.contains(f.name)) ++
         Seq(StructField("lsn", LongType, nullable = false),
           StructField("op", StringType, nullable = false)))
-    val deltas = table.readFiles(m.deltaFiles, deltaSchema)
+    val deltas = table.readFiles(prune(m.deltaFiles), deltaSchema)
 
     val baseOp = when(coalesce(col(Merge.TombCol), lit(false)), lit("D"))
       .otherwise(lit("I")).as("op")
@@ -191,4 +208,14 @@ object MergeOnRead {
   /** Column helper shared with tests. */
   def bucketOf(docId: Column, numBuckets: Int): Column =
     pmod(xxhash64(docId), lit(numBuckets.toLong)).cast("int")
+
+  /** Driver-side twin of [[bucketOf]] — MUST hash identically to Spark's
+    * `xxhash64` (XXH64 over UTF-8 bytes, seed 42) so point lookups prune
+    * to the right bucket. */
+  def bucketOfValue(docId: String, numBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(docId),
+      org.apache.spark.sql.types.StringType, 42L)
+    (((h % numBuckets) + numBuckets) % numBuckets).toInt
+  }
 }

@@ -216,4 +216,32 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     MergeOnRead.resolve(table)
       .filter(!coalesce(col(Merge.TombCol), lit(false)))
       .drop(Merge.InternalCols: _*)
+
+  /** Typed view of the authoritative table (the engine contract's
+    * `Dataset[TokenDoc]`; `n_tok` downcast from the widened internal
+    * long). */
+  def readTyped(): org.apache.spark.sql.Dataset[graft.TokenDoc] = {
+    import spark.implicits._
+    readTable()
+      .select(col("doc_id"), col("tokens"),
+        col("n_tok").cast("int").as("n_tok"), col("source"))
+      .as[graft.TokenDoc]
+  }
+
+  /** Point lookup by doc_id: prunes the read to the key's single hash
+    * bucket (1/numBuckets of the data files) before filtering — the
+    * partition-pruning path a doc-id-keyed table exists for. */
+  def lookup(docId: String): DataFrame = {
+    val m = table.current.get
+    val bucket = graft.operators.MergeOnRead
+      .bucketOfValue(docId, m.numBuckets)
+    val base = table.read(buckets = Some(Set(bucket)))
+    val fromBase =
+      if (m.deltaFiles.isEmpty) base
+      else MergeOnRead.resolveBuckets(table, Set(bucket))
+    fromBase
+      .filter(col("doc_id") === docId &&
+        !coalesce(col(Merge.TombCol), lit(false)))
+      .drop(Merge.InternalCols: _*)
+  }
 }

@@ -158,6 +158,40 @@ class PipelineSpec extends SparkSpec {
     assert(p.applyBatch(raw, 0L).skipped)
   }
 
+  test("typed view + bucket-pruned point lookup agree with the oracle") {
+    import graft.operators.MergeOnRead
+    val base = tmpDir("lookup")
+    val p    = mkPipeline(base, mode = "mor")
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 3)
+    p.runAvailableNow(maxFilesPerTrigger = Some(4))
+    val oracle = OracleFold.fold(collectEvents(sf0001))
+
+    // driver-side bucket twin must match Spark's xxhash64 bucketing
+    import spark.implicits._
+    val n = p.table.current.get.numBuckets
+    val sparkBuckets = Seq("doc1", "doc42", "doc137").toDF("doc_id")
+      .select(col("doc_id"), MergeOnRead.bucketOf(col("doc_id"), n).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    sparkBuckets.foreach { case (id, b) =>
+      assert(MergeOnRead.bucketOfValue(id, n) == b, s"bucket twin drift for $id")
+    }
+
+    // point lookups: a live doc, and a deleted doc (tombstoned)
+    val live = oracle.keys.head
+    val row  = p.lookup(live).collect()
+    assert(row.length == 1 && row(0).getAs[String]("doc_id") == live)
+    assert(row(0).getAs[scala.collection.Seq[Int]]("tokens") == oracle(live).tokens)
+    val deleted = collectEvents(sf0001).filter(e => e.op == "D" && e.docId != null)
+      .map(_.docId).headOption
+    deleted.foreach(d => assert(p.lookup(d).isEmpty, s"deleted $d visible via lookup"))
+
+    // typed Dataset view round-trips the contract shape
+    val typed = p.readTyped().collect().map(t => t.doc_id -> t).toMap
+    assert(typed.size == oracle.size)
+    assert(typed(live).tokens.toSeq == oracle(live).tokens)
+    assert(typed(live).n_tok == oracle(live).nTok.toInt)
+  }
+
   test("vacuum reclaims superseded files; state, ledger, exactly-once survive") {
     val base = tmpDir("vacuum")
     val p    = mkPipeline(base)
