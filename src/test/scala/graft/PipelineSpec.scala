@@ -54,6 +54,12 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("driver contract: SparkEntry.entry returns non-empty final state") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0, "entry() must smoke-check rows > 0")
+    assert(df.columns.toSeq == Seq("doc_id", "tokens", "n_tok", "source"))
+  }
+
   test("streaming replay matches the in-memory oracle (north rule)") {
     val base = tmpDir("e2e")
     val p    = mkPipeline(base)
