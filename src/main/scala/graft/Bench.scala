@@ -154,9 +154,10 @@ object Bench {
     val modes = modeNames.map(ModeResult)
     val best  = modes.maxBy(m => math.max(m.epsHi, m.epsMax))
     val headline = math.max(best.epsHi, best.epsMax)
-    // the rule's criterion is per-job; report the best mode's N→4N
-    // efficiency (per-mode values are all in the JSON)
-    val bestEff = modes.map(_.eff).max
+    // the rule's criterion is per-job; the top-level efficiency must be
+    // the SAME job as the top-level throughput (best_mode's), not the max
+    // across modes — per-mode values are all in the JSON
+    val bestEff = best.eff
 
     // ---- per-operator query timings on the tier (at max cores) ----
     // SPARK_GRAFT_QUERIES=0 skips them (fast CDC-only iteration)
@@ -168,6 +169,7 @@ object Bench {
           val t0 = System.nanoTime()
           try fn(sQ, sfDir).count()
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+          finally SparkEntry.releaseCaches()
           name -> (System.nanoTime() - t0) / 1e9
       }
     val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")

@@ -20,6 +20,25 @@ import graft.streaming.{CdcPipeline, PipelineConfig}
   */
 object SparkEntry {
 
+  /** Caches taken out by queries (q_dedup_minhash persists its shingled
+    * corpus — it feeds three joins). A query fn returns a LAZY DataFrame,
+    * so the query itself cannot unpersist; the runner (Bench/Verify)
+    * calls [[releaseCaches]] after each query's action so one session
+    * running all queries doesn't accumulate cached blocks. */
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def tracked(df: DataFrame): DataFrame = {
+    val cached = df.persist()
+    liveCaches.add(cached)
+    cached
+  }
+
+  def releaseCaches(): Unit = {
+    var df = liveCaches.poll()
+    while (df != null) { df.unpersist(); df = liveCaches.poll() }
+  }
+
   /** Flagship: run the full CDC pipeline (generate change log → stream →
     * conform → validate/route → LWW dedup → exactly-once MERGE) on
     * sf0.001 and return the final authoritative table state. */
@@ -44,8 +63,13 @@ object SparkEntry {
     // micro-batches regardless of session parallelism
     CdcGenerator.writeBatches(spark, dir, s"$base/changelog", batches = 4, filesPerBatch = 4)
     p.runAvailableNow(maxFilesPerTrigger = Some(4))
+    // token content goes out as a scalar csv projection: the driver's
+    // pandas comparator sorts+hashes every column, and a raw array<int>
+    // column crashes it (unhashable ndarray) — concat_ws keeps the bytes
+    // checkable (DuckDB twin: array_to_string) without the array type
     p.readTable()
-      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+      .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
+        col("n_tok"), col("source"))
       .orderBy(col("doc_id"))
   }
 
@@ -78,7 +102,8 @@ object SparkEntry {
     "q_cdc_merge_state_mor" -> ((s, dir) => cdcMergeState(s, dir, mode = "mor")),
     "q_cdc_events" -> ((s, dir) =>
       CdcGenerator.events(s, dir)
-        .select(col("lsn"), col("op"), col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+        .select(col("lsn"), col("op"), col("doc_id"),
+          concat_ws(",", col("tokens")).as("tokens_csv"), col("n_tok"), col("source"))
         .orderBy(col("lsn"))),
     "q_cdc_errors" -> ((s, dir) => {
       val conformed = Conform(CdcGenerator.events(s, dir))
@@ -90,7 +115,7 @@ object SparkEntry {
       docs(s, dir)
         .select(
           Tokenize.docId(col("doc_id")).as("doc_id"),
-          Tokenize.tokens(col("text")).as("tokens"),
+          concat_ws(",", Tokenize.tokens(col("text"))).as("tokens_csv"),
           size(Tokenize.tokens(col("text"))).as("n_tok"),
           col("source"))
         .orderBy(col("doc_id"))),
@@ -309,9 +334,9 @@ object SparkEntry {
       // cache the shingled corpus: it feeds both sides of the band
       // self-join AND the jaccard join-back; recomputing the shingle +
       // signature chain 4x dominated this query's cost
-      val corpus = DedupOps.variantDocs(docs(s, dir))
-        .withColumn("sh", DedupOps.shingles(col("text")))
-        .persist()
+      val corpus = tracked(
+        DedupOps.variantDocs(docs(s, dir))
+          .withColumn("sh", DedupOps.shingles(col("text"))))
       val banded = corpus
         .select(col("doc_id"),
           explode(DedupOps.bandKeys(call_function("graft_minhash", col("sh")))).as("bk"))
@@ -464,7 +489,8 @@ object SparkEntry {
                      max_by(n_tok, lsn) AS n_tok,
                      max_by(source, lsn) AS source
               FROM valid GROUP BY doc_id)
-            SELECT doc_id, tokens, cast(n_tok AS bigint) AS n_tok, source
+            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
+                   cast(n_tok AS bigint) AS n_tok, source
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
       "q_cdc_merge_state_mor" ->
         s"""WITH evs AS ($ev),
@@ -479,10 +505,17 @@ object SparkEntry {
                      max_by(n_tok, lsn) AS n_tok,
                      max_by(source, lsn) AS source
               FROM valid GROUP BY doc_id)
-            SELECT doc_id, tokens, cast(n_tok AS bigint) AS n_tok, source
+            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
+                   cast(n_tok AS bigint) AS n_tok, source
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
       "q_cdc_events" ->
-        s"WITH evs AS ($ev) SELECT lsn, op, doc_id, tokens, n_tok, source FROM evs ORDER BY lsn",
+        // coalesce('') twins Spark's concat_ws, which is never null (a D
+        // event carries tokens = NULL)
+        s"""WITH evs AS ($ev)
+            SELECT lsn, op, doc_id,
+                   coalesce(array_to_string(tokens, ','), '') AS tokens_csv,
+                   n_tok, source
+            FROM evs ORDER BY lsn""",
       "q_cdc_errors" ->
         s"""WITH evs AS ($ev)
             SELECT lsn, doc_id,
@@ -498,7 +531,7 @@ object SparkEntry {
                OR (op IN ('I','U') AND (tokens IS NULL OR n_tok <> len(tokens)))
             ORDER BY lsn""",
       "q_cdc_tokenize" ->
-        s"""SELECT $docId AS doc_id, $toks AS tokens,
+        s"""SELECT $docId AS doc_id, array_to_string($toks, ',') AS tokens_csv,
                    cast(len($toks) AS int) AS n_tok, source
             FROM documents ORDER BY doc_id""",
       "q_filter_pushdown" ->

@@ -36,6 +36,14 @@ object Conform {
   case class BatchRejected(missing: Seq[String])
       extends Exception(s"missing required column(s): ${missing.mkString(",")}")
 
+  /** A required column exists but cannot be cast to its canonical type
+    * (e.g. tokens arrived as string). Distinct from environmental
+    * AnalysisExceptions (missing data file, bad path), which must
+    * PROPAGATE and fail the stream loudly instead of quarantining a
+    * valid batch. */
+  case class ConformFailed(detail: String)
+      extends Exception(s"batch not castable to event schema: $detail")
+
   /** Schema gate + normalization to the canonical event shape.
     * - missing `source` column → additive schema evolution, defaults to
     *   "unknown" (null values likewise default — E1 does not list null
@@ -69,7 +77,16 @@ object Conform {
     )
     val known = EventSchema.fieldNames.toSet
     val extras = raw.columns.filterNot(known.contains).toIndexedSeq.map(col)
-    raw.select(canonical ++ extras: _*)
+    // The analysis error scope is exactly this select: `raw` itself is
+    // already resolved, so an AnalysisException here can only be an
+    // un-castable canonical column — a data-shape problem, rethrown as
+    // ConformFailed so the pipeline quarantines it. Analysis errors from
+    // any OTHER stage are not caught anywhere and fail the stream.
+    try raw.select(canonical ++ extras: _*)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw ConformFailed(e.getMessage.takeWhile(_ != '\n'))
+    }
   }
 
   /** Map the reference's dirty-null sentinels to real null (P2). */

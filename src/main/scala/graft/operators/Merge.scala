@@ -68,15 +68,26 @@ object Merge {
       commitId: String,
       batchId: Long): MergeStats = {
     val t0  = System.nanoTime()
-    val cur = table.current.getOrElse(
+    val cur0 = table.current.getOrElse(
       throw new IllegalStateException("table has no snapshot; create() first"))
 
     if (table.appliedCommitIds.contains(commitId)) {
       // Exactly-once: the ledger says this commit already landed.
-      return MergeStats(commitId, cur.version, skipped = true, 0,
-        cur.rowCount, cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1,
+      return MergeStats(commitId, cur0.version, skipped = true, 0,
+        cur0.rowCount, cur0.rowCount, 0, 0, 0, 0, 0, 0, -1, -1,
         (System.nanoTime() - t0) / 1000000, Seq.empty)
     }
+
+    // A COW merge joins only BASE files; pending MOR deltas (pipeline
+    // restarted in cow mode after running mor) would silently vanish.
+    // Fold them first — idempotent: a crash-replay re-enters with the
+    // deltas already empty and the compact skips.
+    val cur =
+      if (cur0.deltaFiles.isEmpty) cur0
+      else {
+        MergeOnRead.compact(table, s"$commitId.pre-compact")
+        table.current.get
+      }
 
     // ---- schema gate / evolution ----
     val targetPayload =

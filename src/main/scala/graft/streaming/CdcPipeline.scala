@@ -99,9 +99,13 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         case SchemaEvolution.Incompatible(msg) =>
           // extra column re-appeared with a non-widenable type
           rejectBatch(raw, commitId, batchId, s"schema_incompatible:$msg")
-        case e: org.apache.spark.sql.AnalysisException =>
-          // un-castable required column (e.g. tokens arrived as string)
-          rejectBatch(raw, commitId, batchId, s"conform_failed:${e.getMessage.takeWhile(_ != '\n')}")
+        case Conform.ConformFailed(detail) =>
+          // un-castable required column (e.g. tokens arrived as string).
+          // Deliberately NOT a blanket AnalysisException catch: an
+          // environment-caused analysis error (vacuumed data file, bad
+          // errorDir path) must fail the stream, not ledger the batch as
+          // applied with only a sample retained.
+          rejectBatch(raw, commitId, batchId, s"conform_failed:$detail")
       }
     writeLineage(stats, batchId)
     stats
@@ -134,8 +138,14 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
       Seq(s"batch_rejected:$reason"))
   }
 
+  /** Append to the quarantine table — but not for empty error sets: a
+    * clean stream would otherwise pay a fixed parquet-append job every
+    * batch. The isEmpty probe early-terminates at the first error row, so
+    * dirty batches pay one cheap limit-1 scan; clean batches trade the
+    * append job for a scan of the (already-filtered) error branch. */
   private def writeErrors(errors: DataFrame): Unit =
-    errors.write.mode(SaveMode.Append).parquet(s"${cfg.errorDir}")
+    if (!errors.isEmpty)
+      errors.write.mode(SaveMode.Append).parquet(s"${cfg.errorDir}")
 
   /** Per-batch AND per-partition lineage to the metrics table: one row
     * per bucket this commit wrote (partition_id = bucket, rows from the
@@ -219,12 +229,16 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
 
   /** Typed view of the authoritative table (the engine contract's
     * `Dataset[TokenDoc]`; `n_tok` downcast from the widened internal
-    * long). */
+    * long). A value above Int range — the exact case widening exists
+    * for — must FAIL the read, not wrap silently in the downcast. */
   def readTyped(): org.apache.spark.sql.Dataset[graft.TokenDoc] = {
     import spark.implicits._
     readTable()
       .select(col("doc_id"), col("tokens"),
-        col("n_tok").cast("int").as("n_tok"), col("source"))
+        when(col("n_tok") > Int.MaxValue,
+          raise_error(concat(lit("n_tok exceeds Int range for doc_id="), col("doc_id"))))
+          .otherwise(col("n_tok").cast("int")).as("n_tok"),
+        col("source"))
       .as[graft.TokenDoc]
   }
 

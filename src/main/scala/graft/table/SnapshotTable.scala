@@ -194,11 +194,16 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     * `df` must carry an int `_bucket` column; it is dropped from the data.
     * Returns the DataFile list. */
   def writeDataFiles(df: DataFrame, commitId: String, numBuckets: Int): Seq[DataFile] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, element_at, lit}
     val dir = Paths.get(root, "data", s"c-$commitId")
-    // One shuffle, exactly one output task per touched bucket: the write
-    // never fans out into numBuckets x tasks small files.
-    df.repartition(numBuckets, col("_bucket"))
+    // EXACTLY one reduce task per bucket: plain repartition(N, _bucket)
+    // murmur3-hashes the bucket VALUE, so ~37% of tasks sit empty while
+    // collided tasks carry 2-3 buckets (stragglers at large bucket
+    // counts). Remap each bucket id through a probe value chosen so that
+    // pmod(murmur3(probe), N) == bucket — an identity partitioner built
+    // from the stock HashPartitioning, no sampling pass, no custom RDD.
+    df.repartition(numBuckets,
+        element_at(lit(SnapshotTable.identityProbes(numBuckets)), col("_bucket") + 1))
       .write.mode("overwrite")
       .partitionBy("_bucket")
       .parquet(dir.toString)
@@ -269,6 +274,31 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
 }
 
 object SnapshotTable {
+
+  /** probes(b) murmur3-hashes (seed 42, int) into partition b of an
+    * n-way HashPartitioning — the driver-side inverse table that turns
+    * repartition-by-hash into an identity partitioner on bucket ids.
+    * Expected n·ln(n) trials, microseconds even at 10k buckets; cached. */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
+
+  def identityProbes(n: Int): Array[Int] =
+    probeCache.computeIfAbsent(n, _ => {
+      import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      import org.apache.spark.sql.types.IntegerType
+      val probes = new Array[Int](n)
+      val found  = new Array[Boolean](n)
+      var remaining = n
+      var i = 0
+      while (remaining > 0) {
+        val h = Murmur3HashFunction.hash(i, IntegerType, 42L).toInt
+        val b = ((h % n) + n) % n
+        if (!found(b)) { found(b) = true; probes(b) = i; remaining -= 1 }
+        i += 1
+      }
+      probes
+    })
+
   /** Create an empty table (version 0, no files). */
   def create(
       spark: SparkSession,

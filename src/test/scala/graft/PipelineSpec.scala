@@ -57,7 +57,8 @@ class PipelineSpec extends SparkSpec {
   test("driver contract: SparkEntry.entry returns non-empty final state") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0, "entry() must smoke-check rows > 0")
-    assert(df.columns.toSeq == Seq("doc_id", "tokens", "n_tok", "source"))
+    // tokens ride as a csv scalar so the driver's comparator can sort+hash
+    assert(df.columns.toSeq == Seq("doc_id", "tokens_csv", "n_tok", "source"))
   }
 
   test("streaming replay matches the in-memory oracle (north rule)") {
