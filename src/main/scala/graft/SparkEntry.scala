@@ -377,6 +377,50 @@ object SparkEntry {
         .select(col("canonical"), col("n_copies"))
         .orderBy(col("canonical"))
     }),
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      // Pairwise near-dup listing within hamming ≤ k (SURVEY J7 full).
+      // Layered for a self-similar corpus (this one: ~9% of ALL pairs
+      // qualify — dup clusters are the norm, not the exception):
+      //  1. collapse exact-signature clusters (linear groupBy) — docs
+      //     with equal sigs are interchangeable for hamming distance;
+      //  2. pigeonhole band join over DISTINCT sigs only (hamming ≤ k ⇒
+      //     some 15-bit band of the 60 agrees exactly → recall 1) — the
+      //     rep collapse cuts band candidates 9× at sf0.1 (34.6M → 3.8M,
+      //     vs 16.3M brute-force pairs; measured, see PlanSpec gate);
+      //  3. expand sig pairs back to doc pairs = exactly the output, plus
+      //     within-cluster pairs at dist 0.
+      graft.plans.SimHashSig.register(s)
+      // cache: the shingle+signature chain feeds three consumers
+      val sigged = tracked(
+        DedupOps.variantDocs(docs(s, dir))
+          .select(col("doc_id"),
+            call_function("graft_simhash", DedupOps.shingles(col("text"))).as("sig")))
+      val within = sigged.as("a")
+        .join(sigged.as("b"),
+          col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          lit(0).as("dist"))
+      val reps = sigged.select(col("sig")).distinct()
+      val banded = reps
+        .select(col("sig"), explode(DedupOps.simBandKeys(col("sig"))).as("bk"))
+        .select(col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val sigPairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.sig") < col("b.sig"))
+        .select(col("a.sig").as("sig_a"), col("b.sig").as("sig_b"),
+          DedupOps.hamming(col("a.sig"), col("b.sig")).cast("int").as("dist"))
+        .filter(col("dist") <= DedupOps.SimHammingK)
+        .distinct()
+      val cross = sigPairs
+        .join(sigged.as("ma"), col("sig_a") === col("ma.sig"))
+        .join(sigged.as("mb"), col("sig_b") === col("mb.sig"))
+        .select(
+          least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+          greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+          col("dist"))
+      within.unionByName(cross).orderBy(col("doc_a"), col("doc_b"))
+    }),
     "q_dedup_jaccard" -> ((s, dir) => {
       val withVariant = DedupOps.variantDocs(docs(s, dir))
       val a = withVariant.as("a")
@@ -420,25 +464,78 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
     "q_ann_threshold" -> ((s, dir) => {
+      // Exact cosine-threshold self-join. These embeddings are isotropic
+      // (pair scores ~N(0, .014); the >0.4 hits ARE the random tail, max
+      // 0.51), so NO candidate scheme can reach recall 1 below Ω(n²)
+      // compares — the honest exact plan is a TILED theta-join
+      // (1-Bucket-Theta): block both sides, replicate each row K times,
+      // equi-join on tile id. Distributed-safe where the old
+      // `a.vec_id < b.vec_id` BroadcastNestedLoopJoin was not: no side is
+      // ever broadcast whole, tiles are (n/K)² and evenly spread, and
+      // shuffle volume is O(nK), tunable to the cluster. The NEAR-dup
+      // threshold case — the one a training pipeline actually sweeps —
+      // goes through LSH candidates instead: q_ann_threshold_near.
       graft.plans.CosineSim.register(s)
       val v = emb(s, dir).select(col("vec_id"), col("embedding"))
-      v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("score", Similarity.cosineFast(col("a.embedding"), col("b.embedding")))
-        .filter(col("score") > 0.4)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(col("score"), 4).as("score"))
+      Similarity.thresholdSelfJoin(s, v, 0.4, tilesPerSide = 8)
         .orderBy(col("vec_a"), col("vec_b"))
     }),
     "q_ann_lsh" -> ((s, dir) => {
+      // Multi-table hyperplane LSH: candidates share ANY of L=4 16-bit
+      // table signatures (round 1's single 8-bit signature had — by
+      // arithmetic accident — only 7 distinct hyperplanes; see
+      // plans/HyperplaneSigs). Pairs are deduped on ids BEFORE the
+      // embedding payload joins back (the minhash lesson: never carry
+      // the payload through the band join).
       graft.plans.CosineSim.register(s)
-      val v = emb(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          Similarity.hyperplaneSig(col("embedding"), 64).as("sig"))
-      v.as("a").join(v.as("b"), col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("score", Similarity.cosineFast(col("a.embedding"), col("b.embedding")))
+      graft.plans.HyperplaneSigs.register(s)
+      val v = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val banded = v.select(
+        col("vec_id"),
+        posexplode(call_function("graft_hyperplane_sigs",
+          col("embedding"), lit(Similarity.LshBits), lit(Similarity.LshTables))))
+        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "sig"))
+      val pairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      pairs
+        .join(v.as("ea"), col("vec_a") === col("ea.vec_id"))
+        .join(v.as("eb"), col("vec_b") === col("eb.vec_id"))
+        .withColumn("score", Similarity.cosineFast(col("ea.embedding"), col("eb.embedding")))
         .filter(col("score") > 0.2)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(col("score"), 4).as("score"))
+        .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("score"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+    "q_ann_threshold_near" -> ((s, dir) => {
+      // The threshold join a training pipeline actually sweeps: near-dup
+      // pairs (cos > 0.9) over corpus ∪ perturbed variants, found via
+      // multi-table LSH candidates + exact re-check — per-pair miss
+      // ~7e-5 at cos≥0.98 while random pairs collide at ~0.4%, so the
+      // candidate set is ~n·k, not n². Contrast q_ann_threshold (exact,
+      // tiled) for arbitrary thresholds on isotropic data.
+      graft.plans.CosineSim.register(s)
+      graft.plans.HyperplaneSigs.register(s)
+      val corpus = Similarity.variantVectors(emb(s, dir))
+      val banded = corpus.select(
+        col("vec_id"),
+        posexplode(call_function("graft_hyperplane_sigs",
+          col("embedding"), lit(Similarity.NearBits), lit(Similarity.NearTables))))
+        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "sig"))
+      val pairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      pairs
+        .join(corpus.as("ea"), col("vec_a") === col("ea.vec_id"))
+        .join(corpus.as("eb"), col("vec_b") === col("eb.vec_id"))
+        .withColumn("score", Similarity.cosineFast(col("ea.embedding"), col("eb.embedding")))
+        .filter(col("score") > 0.9)
+        .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("score"))
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
@@ -690,6 +787,23 @@ object SparkEntry {
             SELECT min(doc_id) AS canonical, count(*) AS n_copies
             FROM sims GROUP BY sim HAVING count(*) > 1
             ORDER BY canonical""",
+      "q_dedup_simhash_pairs" ->
+        s"""WITH corpus AS (${DedupOps.variantDocsSql}),
+            sims AS (
+              SELECT doc_id, cast(${DedupOps.simhashSql("text")} AS bigint) AS sig
+              FROM corpus),
+            banded AS (
+              SELECT doc_id, sig, bk.band AS band, bk.key AS key
+              FROM (SELECT doc_id, sig,
+                      unnest(${DedupOps.simBandKeysSql("sig")}) AS bk
+                    FROM sims)),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     cast(${DedupOps.hammingSql("a.sig", "b.sig")} AS int) AS dist
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, dist FROM pairs
+            WHERE dist <= ${DedupOps.SimHammingK} ORDER BY doc_a, doc_b""",
       "q_dedup_jaccard" ->
         s"""WITH corpus AS (${DedupOps.variantDocsSql})
             SELECT a.doc_id AS doc_id,
@@ -728,14 +842,32 @@ object SparkEntry {
            WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4
            ORDER BY vec_a, vec_b""",
       "q_ann_lsh" -> {
-        val sig = Similarity.hyperplaneSigSql("embedding", 64)
-        s"""WITH sigs AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings)
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS score
-            FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.2
+        val sigs = Similarity.hyperplaneSigsSql(
+          "embedding", 64, Similarity.LshBits, Similarity.LshTables)
+        s"""WITH sigged AS (SELECT vec_id, $sigs AS sigs FROM embeddings),
+            banded AS (
+              SELECT vec_id, t.tbl AS tbl, sigs[t.tbl + 1] AS sig
+              FROM sigged CROSS JOIN
+                (SELECT unnest(range(0, ${Similarity.LshTables})) AS tbl) t),
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM banded a JOIN banded b
+                ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id)
+            SELECT p.vec_a, p.vec_b,
+                   round(list_cosine_similarity(ea.embedding, eb.embedding), 4) AS score
+            FROM pairs p
+            JOIN embeddings ea ON p.vec_a = ea.vec_id
+            JOIN embeddings eb ON p.vec_b = eb.vec_id
+            WHERE list_cosine_similarity(ea.embedding, eb.embedding) > 0.2
             ORDER BY vec_a, vec_b"""
       },
+      "q_ann_threshold_near" ->
+        s"""WITH corpus AS (${Similarity.variantVectorsSql})
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS score
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.9
+            ORDER BY vec_a, vec_b""",
       "q_ann_ivf" ->
         """WITH cents AS (
              SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 16),

@@ -129,6 +129,33 @@ object DedupOps {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
   def hammingSql(a: String, b: String): String = s"bit_count(xor($a, $b))"
 
+  // ---- banded simhash pair join (pairwise near-dup within hamming≤k) ----
+  // Pigeonhole: two sigs within hamming ≤ k agree EXACTLY on at least one
+  // of k+1 disjoint bit bands, so an equal-band equi-join generates every
+  // qualifying pair (recall 1) with bounded candidate output — the scale
+  // answer to "emit every pair within distance k" that an all-pairs
+  // hamming scan (O(n²)) cannot give. Reference analog: the self
+  // theta-join within distance, testing.py:82-114.
+
+  val SimHammingK  = 3
+  val SimBands     = SimHammingK + 1 // 4 bands × 15 bits = 60
+  val SimBandBits  = SimBits / SimBands
+  private val SimBandMask = (1L << SimBandBits) - 1
+
+  /** One struct(band, key) per 15-bit slice of the 60-bit signature. */
+  def simBandKeys(sig: Column): Column =
+    transform(
+      sequence(lit(0), lit(SimBands - 1)),
+      b =>
+        struct(
+          b.as("band"),
+          call_function("shiftright", sig, (b * SimBandBits).cast("int"))
+            .bitwiseAND(lit(SimBandMask)).as("key")))
+
+  def simBandKeysSql(sigExpr: String): String =
+    s"""list_transform(range(0, $SimBands),
+        b -> {'band': b, 'key': ($sigExpr >> (b*$SimBandBits)) & $SimBandMask})"""
+
   // ---- exact n-gram Jaccard ----
 
   /** |A∩B| / |A∪B| over distinct shingles, rounded 4dp. */

@@ -34,30 +34,91 @@ object Similarity {
   def cosineFast(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   // ---- deterministic pseudo-random hyperplanes for LSH ----
+  // Weight family (see plans/HyperplaneSigs for why the SQUARE matters —
+  // round 1's affine family collapsed to 7 distinct hyperplanes):
+  //   idx = (i-1) + dim*(j + bits*t);  h = (idx*M)%P; h = (h*h)%P;
+  //   h = (h*M)%P;  w = h%7 - 3
+  // Integer weights (≤3 bits) times float-widened-to-double are exact, so
+  // signatures are bit-identical across engines, not approximately equal.
 
-  val SigBits = 8
+  val P = graft.plans.HyperplaneSigs.P
+  val M = graft.plans.HyperplaneSigs.M
 
-  /** Hyperplane j component i = ((i*31 + j*17) % 7) - 3 — integer-valued,
-    * exactly reproducible in SQL on both engines. */
-  def hyperplaneSig(v: Column, dim: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(SigBits - 1)),
-      lit(0L),
-      (acc, j) =>
-        acc + when(
-          aggregate(
-            sequence(lit(1), lit(dim)),
-            lit(0.0),
-            (a, i) =>
-              a + element_at(v, i.cast("int")).cast("double") *
-                (((i - 1) * 31 + j * 17) % 7 - lit(3)).cast("double")) > 0,
-          call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L)))
+  /** q_ann_lsh defaults: multi-table union (any-table collision is a
+    * candidate) — L tables of b sign-bits. */
+  val LshBits   = 16
+  val LshTables = 4
 
-  def hyperplaneSigSql(v: String, dim: Int): String =
-    s"""list_sum(list_transform(range(0, $SigBits),
-        j -> CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
-                    i -> cast(($v)[i] AS double) * (((i-1)*31 + j*17) % 7 - 3))) > 0
-                  THEN (cast(1 AS bigint) << j) ELSE 0 END))"""
+  /** Composed (built-ins only) twin of the fused
+    * [[graft.plans.HyperplaneSigs]] — the equivalence-test reference; the
+    * hot path uses `graft_hyperplane_sigs` via call_function. Returns
+    * array<long> of length `tables`. */
+  def hyperplaneSigs(v: Column, dim: Int, bits: Int, tables: Int): Column =
+    transform(
+      sequence(lit(0), lit(tables - 1)),
+      t =>
+        aggregate(
+          sequence(lit(0), lit(bits - 1)),
+          lit(0L),
+          (acc, j) =>
+            acc + when(
+              aggregate(
+                sequence(lit(1), lit(dim)),
+                lit(0.0),
+                (a, i) => {
+                  val idx = (i - 1).cast("long") +
+                    lit(dim.toLong) * (j.cast("long") + lit(bits.toLong) * t)
+                  val h1 = (idx * M) % P
+                  val h2 = (h1 * h1) % P
+                  val h3 = (h2 * M) % P
+                  a + element_at(v, i.cast("int")).cast("double") *
+                    (h3 % 7 - lit(3)).cast("double")
+                }) > 0,
+              call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))))
+
+  /** DuckDB twin of [[hyperplaneSigs]] (list_sum promotes to int128 →
+    * cast each signature back to bigint). */
+  def hyperplaneSigsSql(v: String, dim: Int, bits: Int, tables: Int): String =
+    s"""list_transform(range(0, $tables),
+        t -> cast(list_sum(list_transform(range(0, $bits),
+          j -> CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+                 i -> cast(($v)[i] AS double) *
+                      (((((((i-1) + $dim*(j + $bits*t)) * $M) % $P)
+                         * ((((i-1) + $dim*(j + $bits*t)) * $M) % $P)) % $P * $M) % $P % 7 - 3)
+               )) > 0
+               THEN (cast(1 AS bigint) << j) ELSE 0 END)) AS bigint))"""
+
+  /** q_ann_threshold_near params: the near-dup regime (cos ≥ ~0.98,
+    * θ ≤ 11.5°, per-bit collision ≥ 0.936) where LSH candidates earn
+    * their keep — per-pair miss ≤ (1-0.936^12)^16 ≈ 7e-5 while a random
+    * pair collides with ≈ 16·2^-12 ≈ 0.4% — vs the isotropic-threshold
+    * case (q_ann_threshold) where no candidate scheme beats Ω(n²). */
+  val NearBits   = 12
+  val NearTables = 16
+
+  /** embeddings ∪ deterministic near-duplicate variants: vec_id%5==0 gets
+    * a copy (vec_id+1000000) with components 1-8 scaled ×1.5 — cosine to
+    * its base is (1+0.5s)/sqrt(1+1.25s) ∈ [0.9798, 1] for prefix-energy
+    * fraction s. Float×1.5 is exact in IEEE single, so the variant bytes
+    * (and thus signatures and scores) are engine-independent.
+    * Twin: [[variantVectorsSql]]. */
+  def variantVectors(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"))
+      .unionByName(
+        vectors.filter(col("vec_id") % 5 === 0)
+          .select(
+            (col("vec_id") + 1000000L).as("vec_id"),
+            concat(
+              transform(slice(col("embedding"), 1, 8), x => x * lit(1.5f)),
+              slice(col("embedding"), 9, Int.MaxValue)).as("embedding")))
+
+  val variantVectorsSql: String =
+    """SELECT vec_id, embedding FROM embeddings
+       UNION ALL
+       SELECT vec_id + 1000000 AS vec_id,
+              list_concat(list_transform(embedding[1:8], x -> x * cast(1.5 AS float)),
+                          embedding[9:]) AS embedding
+       FROM embeddings WHERE vec_id % 5 = 0"""
 
   /** IVF-style ANN: assign every vector to its nearest of K coarse
     * centroids (here: the first K vectors as deterministic "trained"
@@ -80,6 +141,44 @@ object Similarity {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
+  }
+
+  /** Exact all-pairs cosine-threshold self-join as a TILED theta-join
+    * (the 1-Bucket-Theta shape): row r gets block id r.vec_id % K; the
+    * K×K ordered tile table is broadcast; side A joins its K tiles by
+    * block (each row replicated K times), side B likewise; tiles then
+    * equi-join on tile id, and `a.vec_id < b.vec_id` inside the tile
+    * keeps each unordered pair exactly once (pair (x,y), x.id<y.id,
+    * meets ONLY in tile (blk(x), blk(y)) with x on side A).
+    *
+    * Why not LSH here: exact recall at an arbitrary threshold over
+    * isotropic vectors requires Ω(n²) compares; what a cluster buys is
+    * BOUNDED MEMORY and even spread — each task holds one (n/K)² tile,
+    * never a broadcast copy of a whole side, and K tunes replication
+    * (O(nK) shuffle) against tile size. */
+  def thresholdSelfJoin(
+      spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, // (vec_id, embedding)
+      minScore: Double,
+      tilesPerSide: Int): DataFrame = {
+    import spark.implicits._
+    val k = tilesPerSide
+    val tiles = (0 until k).flatMap(i => (0 until k).map(j => (i, j, i * k + j)))
+      .toDF("blk_a", "blk_b", "tile")
+    val a = vectors
+      .withColumn("blk", pmod(col("vec_id"), lit(k)))
+      .join(broadcast(tiles), col("blk") === col("blk_a"))
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("tile"))
+    val b = vectors
+      .withColumn("blk", pmod(col("vec_id"), lit(k)))
+      .join(broadcast(tiles), col("blk") === col("blk_b"))
+      .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("tile"))
+    a.join(b, Seq("tile"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosineFast(col("emb_a"), col("emb_b")))
+      .filter(col("score") > minScore)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+        round(col("score"), 4).as("score"))
   }
 
   /** Brute-force top-k neighbors for each query vector.

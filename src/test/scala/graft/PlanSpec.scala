@@ -98,6 +98,78 @@ class PlanSpec extends SparkSpec {
     assert(diff == 0, s"$diff rows diverge between fused and composed simhash")
   }
 
+  test("HyperplaneSigs (fused codegen) ≡ built-in-composed signatures") {
+    import graft.plans.HyperplaneSigs
+    HyperplaneSigs.register(spark)
+    val vecs = spark.read.parquet(s"$sf001/embeddings.parquet").limit(100)
+    val diff = vecs
+      .withColumn("slow", Similarity.hyperplaneSigs(col("embedding"), 64, 12, 6))
+      .withColumn("fast",
+        call_function("graft_hyperplane_sigs", col("embedding"), lit(12), lit(6)))
+      .filter(col("slow") =!= col("fast"))
+      .count()
+    assert(diff == 0, s"$diff rows diverge between fused and composed hyperplane sigs")
+  }
+
+  test("hyperplane family is non-degenerate: tables produce distinct partitions") {
+    import graft.plans.HyperplaneSigs
+    HyperplaneSigs.register(spark)
+    // round 1's affine family collapsed to 7 distinct hyperplanes, which
+    // made every table's bucketing identical; the squared family must
+    // give each table its own signature space
+    val sigs = spark.read.parquet(s"$sf001/embeddings.parquet").limit(200)
+      .select(call_function("graft_hyperplane_sigs",
+        col("embedding"), lit(16), lit(4)).as("s"))
+    val perTable = (0 until 4).map(t =>
+      sigs.select(element_at(col("s"), t + 1)).distinct().count())
+    assert(perTable.forall(_ > 50), s"degenerate table signatures: $perTable")
+    val crossTableEqual = sigs
+      .filter(element_at(col("s"), 1) === element_at(col("s"), 2)).count()
+    assert(crossTableEqual < 10,
+      s"tables 1 and 2 near-identical on $crossTableEqual/200 vectors")
+  }
+
+  test("q_ann_threshold is a tiled theta-join: no nested-loop, no whole-side broadcast") {
+    val plan = planOf("q_ann_threshold")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs fell back to nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
+  }
+
+  test("banded simhash pair join generates sub-quadratic candidates (J7 scale gate)") {
+    import graft.functions.DedupOps
+    import graft.plans.SimHashSig
+    SimHashSig.register(spark)
+    val sigged = DedupOps.variantDocs(
+        spark.read.parquet(s"$sf001/documents.parquet"))
+      .select(col("doc_id"),
+        call_function("graft_simhash", DedupOps.shingles(col("text"))).as("sig"))
+      .cache()
+    val n = sigged.count()
+    def bandCand(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(explode(DedupOps.simBandKeys(col("sig"))).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"))
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("k"))
+      .agg(sum(col("k") * col("k"))).collect()(0).getLong(0)
+    // candidate volume = Σ over (band,key) groups of k² — the pigeonhole
+    // join's cost. On a self-similar corpus the RAW band join degenerates
+    // (giant template clusters agree on whole bands), so the query
+    // collapses exact-signature clusters to one representative first;
+    // that structural step must cut candidates by a large factor
+    // (measured 9× at sf0.1: 34.6M → 3.8M vs 16.3M all-pairs).
+    val raw  = bandCand(sigged)
+    val reps = bandCand(sigged.select(col("sig")).distinct())
+    val allPairs = n * n / 2
+    info(s"banded simhash: n=$n rawCand=$raw repCand=$reps all-pairs=$allPairs " +
+      f"repRatio=${reps.toDouble / allPairs}%.3f")
+    sigged.unpersist()
+    assert(reps < raw / 2,
+      s"rep collapse did not reduce band candidates: $reps vs raw $raw")
+    assert(reps < allPairs,
+      s"rep-banded candidates ($reps) exceed brute-force all-pairs ($allPairs)")
+  }
+
   test("snapshot commit is compare-and-swap: a version can be claimed once") {
     import org.apache.spark.sql.types._
     val root = tmpDir("cas")
