@@ -45,11 +45,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     cdcMergeState(spark, "/root/testdata/sf0.001")
 
-  /** End-to-end pipeline over a fresh temp table; returns final state.
-    * @param mode "cow" (rewrite touched buckets) or "mor" (delta files +
-    *             read-time fold) — same final state either way. */
-  private def cdcMergeState(
-      spark: SparkSession, dir: String, mode: String = "cow"): DataFrame = {
+  /** Build + stream a full pipeline over a fresh temp table. */
+  private def runPipeline(
+      spark: SparkSession, dir: String, mode: String): CdcPipeline = {
     val base = java.nio.file.Files.createTempDirectory("graft-cdc").toString
     val p = new CdcPipeline(spark, PipelineConfig(
       tableRoot = s"$base/table",
@@ -63,15 +61,30 @@ object SparkEntry {
     // micro-batches regardless of session parallelism
     CdcGenerator.writeBatches(spark, dir, s"$base/changelog", batches = 4, filesPerBatch = 4)
     p.runAvailableNow(maxFilesPerTrigger = Some(4))
-    // token content goes out as a scalar csv projection: the driver's
-    // pandas comparator sorts+hashes every column, and a raw array<int>
-    // column crashes it (unhashable ndarray) — concat_ws keeps the bytes
-    // checkable (DuckDB twin: array_to_string) without the array type
-    p.readTable()
-      .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
-        col("n_tok"), col("source"))
+    p
+  }
+
+  /** Final-state projection. Token content goes out as a scalar csv: the
+    * driver's pandas comparator sorts+hashes every column, and a raw
+    * array<int> column crashes it (unhashable ndarray) — concat_ws keeps
+    * the bytes checkable (DuckDB twin: array_to_string) without the
+    * array type. Extra derived columns (enrichment) ride along sorted. */
+  private def finalState(p: CdcPipeline): DataFrame = {
+    val t = p.readTable()
+    val extras = t.columns.toSeq
+      .filterNot(Seq("doc_id", "tokens", "n_tok", "source").contains).sorted
+    t.select(
+      Seq(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
+        col("n_tok"), col("source")) ++ extras.map(col): _*)
       .orderBy(col("doc_id"))
   }
+
+  /** End-to-end pipeline over a fresh temp table; returns final state.
+    * @param mode "cow" (rewrite touched buckets) or "mor" (delta files +
+    *             read-time fold) — same final state either way. */
+  private def cdcMergeState(
+      spark: SparkSession, dir: String, mode: String = "cow"): DataFrame =
+    finalState(runPipeline(spark, dir, mode))
 
   private def docs(s: SparkSession, dir: String)  = s.read.parquet(s"$dir/documents.parquet")
   private def evts(s: SparkSession, dir: String)  = s.read.parquet(s"$dir/events.parquet")
@@ -105,6 +118,36 @@ object SparkEntry {
         .select(col("lsn"), col("op"), col("doc_id"),
           concat_ws(",", col("tokens")).as("tokens_csv"), col("n_tok"), col("source"))
         .orderBy(col("lsn"))),
+    "q_delete_where" -> ((s, dir) => {
+      // Table maintenance: stream the full pipeline, then retract two bad
+      // sources by predicate (tombstones at watermark+1 through the same
+      // MERGE path). MOR mode: the retraction itself is an O(matches)
+      // delta commit, not a table rewrite.
+      val p = runPipeline(s, dir, mode = "mor")
+      graft.operators.TableMaintenance.deleteWhere(
+        p.table, col("source").isin("src3", "src7"), "purge-src3-src7", mode = "mor")
+      finalState(p)
+    }),
+    "q_enrich_rewrite" -> ((s, dir) => {
+      // Enrichment-only rewrite: UPDATE-only merge re-deriving a tier
+      // column from a broadcast source dimension (reference analog:
+      // update_address_point_grids.py:9-21). The added column evolves
+      // the target schema additively.
+      val p = runPipeline(s, dir, mode = "cow")
+      graft.operators.TableMaintenance.enrichRewrite(
+        p.table, "enrich-tier", mode = "cow") { live =>
+        val dim = live.select(col("source")).distinct()
+          .withColumn("src_num", substring(col("source"), 4, 10).cast("int"))
+          .withColumn("source_tier",
+            when(col("src_num").isNull, lit("unclassified"))
+              .when(col("src_num") % 3 === 0, lit("gold"))
+              .when(col("src_num") % 3 === 1, lit("silver"))
+              .otherwise(lit("bronze")))
+          .drop("src_num")
+        live.join(broadcast(dim), Seq("source"), "left")
+      }
+      finalState(p)
+    }),
     "q_cdc_errors" -> ((s, dir) => {
       val conformed = Conform(CdcGenerator.events(s, dir))
       Validate(conformed, "oracle-run").errors
@@ -234,6 +277,30 @@ object SparkEntry {
         .select(col("source"), col("lang")).distinct()
       groups.join(standalone, Seq("source", "lang"), "left_anti")
         .orderBy(col("source"), col("lang"))
+    }),
+
+    // A5 full — the synthesized rollup rows UNIONED BACK into the corpus
+    // (the reference inserts them, CreateApartmentDuplicates.py:97-98);
+    // flagged rows carry the group-mean size and a derived key
+    "q_synthetic_rows" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(
+        Tokenize.docId(col("doc_id")).as("doc_id"),
+        col("source"), col("lang"),
+        round(col("n_chars").cast("double"), 4).as("n_chars"),
+        lit(0).as("is_synthetic"))
+      val groups = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_members"), round(avg(col("n_chars")), 4).as("avg_chars"))
+        .filter(col("n_members") >= 2)
+      val standalone = d.filter(col("n_chars") < 200)
+        .select(col("source"), col("lang")).distinct()
+      val synth = groups.join(standalone, Seq("source", "lang"), "left_anti")
+        .select(
+          concat_ws("|", lit("synth"), col("source"), col("lang")).as("doc_id"),
+          col("source"), col("lang"),
+          col("avg_chars").as("n_chars"),
+          lit(1).as("is_synthetic"))
+      base.unionByName(synth).orderBy(col("doc_id"))
     }),
 
     // ════ window semantics (W1-W3) ════
@@ -605,6 +672,43 @@ object SparkEntry {
             SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
                    cast(n_tok AS bigint) AS n_tok, source
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
+      "q_delete_where" ->
+        s"""WITH evs AS ($ev),
+            valid AS (
+              SELECT * FROM evs
+              WHERE doc_id IS NOT NULL
+                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+            last AS (
+              SELECT doc_id,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens,
+                     max_by(n_tok, lsn) AS n_tok,
+                     max_by(source, lsn) AS source
+              FROM valid GROUP BY doc_id)
+            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
+                   cast(n_tok AS bigint) AS n_tok, source
+            FROM last
+            WHERE op <> 'D' AND source NOT IN ('src3', 'src7')
+            ORDER BY doc_id""",
+      "q_enrich_rewrite" ->
+        s"""WITH evs AS ($ev),
+            valid AS (
+              SELECT * FROM evs
+              WHERE doc_id IS NOT NULL
+                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+            last AS (
+              SELECT doc_id,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens,
+                     max_by(n_tok, lsn) AS n_tok,
+                     max_by(source, lsn) AS source
+              FROM valid GROUP BY doc_id)
+            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
+                   cast(n_tok AS bigint) AS n_tok, source,
+                   CASE cast(substr(source, 4) AS int) % 3
+                     WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
+                     ELSE 'bronze' END AS source_tier
+            FROM last WHERE op <> 'D' ORDER BY doc_id""",
       "q_cdc_events" ->
         // coalesce('') twins Spark's concat_ws, which is never null (a D
         // event carries tokens = NULL)
@@ -711,6 +815,25 @@ object SparkEntry {
              SELECT 1 FROM standalone s
              WHERE s.source = g.source AND s.lang = g.lang)
            ORDER BY source, lang""",
+      "q_synthetic_rows" ->
+        s"""WITH groups AS (
+             SELECT source, lang, count(*) AS n_members,
+                    round(avg(n_chars), 4) AS avg_chars
+             FROM documents GROUP BY 1, 2 HAVING count(*) >= 2),
+           standalone AS (
+             SELECT DISTINCT source, lang FROM documents WHERE n_chars < 200)
+           SELECT $docId AS doc_id, source, lang,
+                  round(cast(n_chars AS double), 4) AS n_chars,
+                  0 AS is_synthetic
+           FROM documents
+           UNION ALL
+           SELECT 'synth' || '|' || g.source || '|' || g.lang AS doc_id,
+                  g.source, g.lang, g.avg_chars AS n_chars, 1 AS is_synthetic
+           FROM groups g
+           WHERE NOT EXISTS (
+             SELECT 1 FROM standalone s
+             WHERE s.source = g.source AND s.lang = g.lang)
+           ORDER BY doc_id""",
       "q_dedup_exact_firstwin" ->
         """SELECT user_id, event_type, min(event_id) AS first_event
            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.table.SnapshotTable
+
+/** Table-maintenance operations a production operator reaches for weekly,
+  * expressed as ordinary commits through the same MERGE machinery as the
+  * CDC stream — so they inherit the ledger (idempotent replay), the LSN
+  * ordering contract, lineage, and both commit modes for free.
+  *
+  * - [[deleteWhere]] — delete-by-predicate (GDPR purge, bad-source
+  *   retraction). Reference analog: delete_by_query,
+  *   DeletePoints.py:42-48.
+  * - [[enrichRewrite]] — UPDATE-only rewrite re-deriving columns from a
+  *   dimension join. Reference analog: the grid-enrichment rewrite job,
+  *   update_address_point_grids.py:9-21.
+  */
+object TableMaintenance {
+
+  /** Tombstone every live row matching `predicate`, as one commit at a
+    * fresh LSN just above the table's watermark. The events flow through
+    * the standard Merge/MergeOnRead path, so replays are ledger no-ops
+    * and late CDC events below the watermark cannot resurrect the rows.
+    *
+    * Scale shape: one resolved scan filtered by the (pushdown-eligible)
+    * predicate produces only doc_id + constants — O(matches) shuffle, and
+    * under MOR an O(matches) commit. */
+  def deleteWhere(
+      table: SnapshotTable,
+      predicate: Column,
+      commitId: String,
+      mode: String = "cow"): MergeStats = {
+    val cur = table.current.getOrElse(
+      throw new IllegalStateException("table has no snapshot"))
+    val lsn = cur.watermarkLsn + 1
+    val batch = MergeOnRead.resolve(table)
+      .filter(!coalesce(col(Merge.TombCol), lit(false)))
+      .filter(predicate)
+      .select(col("doc_id"), lit(lsn).as("lsn"), lit("D").as("op"))
+    commit(table, batch, commitId, mode)
+  }
+
+  /** Re-derive payload columns for EVERY live row (an UPDATE-only merge):
+    * `derive` maps the live rows to their rewritten payload — typically a
+    * broadcast dimension join adding/refreshing derived columns. Added
+    * columns evolve the target schema additively; doc_id must be
+    * preserved row-for-row (this is a rewrite, not an upsert of new keys).
+    * All rewrites commit at one fresh LSN above the watermark. */
+  def enrichRewrite(
+      table: SnapshotTable,
+      commitId: String,
+      mode: String = "cow")(derive: DataFrame => DataFrame): MergeStats = {
+    val cur = table.current.getOrElse(
+      throw new IllegalStateException("table has no snapshot"))
+    val lsn = cur.watermarkLsn + 1
+    val live = MergeOnRead.resolve(table)
+      .filter(!coalesce(col(Merge.TombCol), lit(false)))
+      .drop(Merge.InternalCols: _*)
+    val batch = derive(live)
+      .withColumn("lsn", lit(lsn))
+      .withColumn("op", lit("U"))
+    commit(table, batch, commitId, mode)
+  }
+
+  private def commit(
+      table: SnapshotTable, batch: DataFrame,
+      commitId: String, mode: String): MergeStats =
+    if (mode == "mor") MergeOnRead(table, batch, commitId, batchId = -2L)
+    else Merge(table, batch, commitId, batchId = -2L)
+}

@@ -136,6 +136,61 @@ class PipelineSpec extends SparkSpec {
     assertStateMatches(tableState(p2), state1)
   }
 
+  test("deleteWhere tombstones the predicate slice in both modes; replay is a no-op") {
+    import graft.operators.TableMaintenance
+    for (mode <- Seq("cow", "mor")) {
+      val base = tmpDir(s"delwhere-$mode")
+      val p    = mkPipeline(base, mode)
+      CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 2)
+      p.runAvailableNow()
+      val before = tableState(p)
+      val victims = before.filter(_._2.source == "src3").keySet
+      assert(victims.nonEmpty, "fixture must contain src3 docs")
+
+      val st = TableMaintenance.deleteWhere(
+        p.table, col("source") === "src3", "purge-src3", mode)
+      assert(st.batchEvents == victims.size.toLong, s"[$mode] delete batch size")
+      val after = tableState(p)
+      assert(after.keySet == before.keySet -- victims, s"[$mode] wrong surviving keys")
+      (before.keySet -- victims).foreach(k => assert(after(k) == before(k)))
+
+      // replay: ledgered commit id → skipped, state unchanged
+      val st2 = TableMaintenance.deleteWhere(
+        p.table, col("source") === "src3", "purge-src3", mode)
+      assert(st2.skipped, s"[$mode] replayed deleteWhere must skip")
+      assert(tableState(p) == after)
+      // the tombstones sit ABOVE the watermark: a late replayed insert of
+      // a victim doc (its original lsn) must not resurrect it
+      assert(p.lookup(victims.head).isEmpty, s"[$mode] victim still visible")
+    }
+  }
+
+  test("enrichRewrite re-derives a column for every live row (UPDATE-only merge)") {
+    import graft.operators.TableMaintenance
+    val base = tmpDir("enrich")
+    val p    = mkPipeline(base)
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 2)
+    p.runAvailableNow()
+    val before = tableState(p)
+
+    val st = TableMaintenance.enrichRewrite(p.table, "enrich-1") { live =>
+      val dim = live.select(col("source")).distinct()
+        .withColumn("source_tier", upper(col("source")))
+      live.join(broadcast(dim), Seq("source"), "left")
+    }
+    assert(st.updated == before.size.toLong, "every live row must be an update")
+    assert(st.inserted == 0 && st.deleted == 0, "rewrite must not insert/delete")
+    assert(st.schemaChanges.exists(_.contains("source_tier")), "additive evolution")
+
+    val after = p.readTable()
+    assert(after.columns.contains("source_tier"))
+    assert(after.filter(col("source_tier") =!= upper(col("source"))).count() == 0)
+    // payload columns other than the derived one are untouched
+    assertStateMatches(tableState(p), before)
+    // replay no-op
+    assert(TableMaintenance.enrichRewrite(p.table, "enrich-1")(identity).skipped)
+  }
+
   test("orphan delete is a counted no-op, not an error (G3)") {
     import spark.implicits._
     val base = tmpDir("orphan")
