@@ -37,7 +37,11 @@ case class MergeStats(
   *    buckets' files carry forward by manifest reference (zero IO).
   *  - The target⋈batch full-outer join shuffles both sides on doc_id;
   *    AQE handles skewed buckets (skew-join split) and the batch side was
-  *    already LWW-reduced (one row per key) by [[Dedup]].
+  *    already LWW-reduced (one row per key) by [[Dedup]]. VERIFIED that
+  *    AQE applies here despite the per-batch "adaptive.enabled is not
+  *    supported in streaming" warning — that covers only the outer
+  *    streaming plan; this join executes under AdaptiveSparkPlanExec
+  *    inside foreachBatch (PlanSpec "AQE wraps the MERGE join" gate).
   *  - All merge metrics come from `Dataset.observe` on the single write
   *    pass — no second job over the join.
   *  - Row-level condition `batch.lsn > target._lsn` makes replayed or

@@ -130,6 +130,13 @@ object MergeOnRead {
       table: SnapshotTable, buckets: Set[Int]): DataFrame =
     resolveBuckets(table, Some(buckets), None)
 
+  /** Dirty-bucket counts up to this size resolve as one plan branch PER
+    * BUCKET (scan → coalesce(1) → in-task sort+fold): zero exchanges.
+    * Above it the plan would bloat, so the dirty slice takes ONE exchange
+    * keyed on the bucket id (exact identity partitioner) — never on
+    * doc_id, and never covering clean buckets. */
+  private val PerBucketPlanLimit = 64
+
   private def resolveBuckets(
       table: SnapshotTable,
       buckets: Option[Set[Int]],
@@ -140,30 +147,100 @@ object MergeOnRead {
       case Some(bs) => fs.filter(f => bs.contains(f.bucket))
       case None     => fs
     }
-    val base = table.readFiles(prune(m.files), m.schema)
-    if (m.deltaFiles.isEmpty) return base
+    val baseFiles  = prune(m.files)
+    val deltaFiles = prune(m.deltaFiles)
+    if (deltaFiles.isEmpty) return table.readFiles(baseFiles, m.schema)
+
+    // Bucket-aligned fold. Both sides are bucketed by the SAME
+    // pmod(xxhash64(doc_id), B), so the LWW fold never needs a doc_id
+    // shuffle: buckets WITHOUT deltas stream straight from base files
+    // (zero IO amplification, zero shuffle — the common trickle case
+    // leaves most of the table here), and only delta-carrying buckets
+    // fold, each inside a single task over its own files.
+    val dirtyBuckets = deltaFiles.map(_.bucket).distinct.sorted
+    val dirtySet     = dirtyBuckets.toSet
+    val clean = table.readFiles(
+      baseFiles.filterNot(f => dirtySet.contains(f.bucket)), m.schema)
 
     val payloadCols =
       m.schema.fieldNames.filterNot(Merge.InternalCols.contains).toSeq
+    val payloadFields =
+      m.schema.fields.filter(f => payloadCols.contains(f.name)).toSeq
     val deltaSchema = StructType(
-      m.schema.fields.filterNot(f => Merge.InternalCols.contains(f.name)) ++
+      payloadFields ++
         Seq(StructField("lsn", LongType, nullable = false),
           StructField("op", StringType, nullable = false)))
-    val deltas = table.readFiles(prune(m.deltaFiles), deltaSchema)
-
     val baseOp = when(coalesce(col(Merge.TombCol), lit(false)), lit("D"))
       .otherwise(lit("I")).as("op")
-    val asEvents = base
-      .select(payloadCols.map(col) :+ col(LsnCol).as("lsn") :+ baseOp: _*)
-      .unionByName(deltas.select(payloadCols.map(col) :+ col("lsn") :+ col("op"): _*))
-    val ev = struct((payloadCols ++ DeltaCols).map(col): _*)
-    asEvents
-      .groupBy(col("doc_id"))
-      .agg(max_by(ev, col("lsn")).as("_e"))
-      .select(
-        payloadCols.map(c => col(s"_e.$c").as(c)) ++ Seq(
-          col("_e.lsn").as(LsnCol),
-          (col("_e.op") === "D").as(Merge.TombCol)): _*)
+    def eventsOf(base: DataFrame, deltas: DataFrame): DataFrame =
+      base.select(payloadCols.map(col) :+ col(LsnCol).as("lsn") :+ baseOp: _*)
+        .unionByName(deltas.select(payloadCols.map(col) :+ col("lsn") :+ col("op"): _*))
+
+    val folded =
+      if (dirtyBuckets.size <= PerBucketPlanLimit) {
+        // one narrow branch per dirty bucket; the union schedules as ONE
+        // stage with one task per bucket — no exchange anywhere
+        dirtyBuckets.map { b =>
+          localLww(
+            eventsOf(
+              table.readFiles(baseFiles.filter(_.bucket == b), m.schema),
+              table.readFiles(deltaFiles.filter(_.bucket == b), deltaSchema))
+              .coalesce(1),
+            payloadFields)
+        }.reduce(_ unionByName _)
+      } else {
+        // many dirty buckets: one exchange over the dirty slice only,
+        // keyed on the bucket id through the identity-probe remap (equal
+        // bucket → one partition; doc_id is never a shuffle key)
+        val probes = graft.table.SnapshotTable.identityProbes(m.numBuckets)
+        val withB = eventsOf(
+          table.readFiles(baseFiles.filter(f => dirtySet.contains(f.bucket)), m.schema),
+          table.readFiles(deltaFiles, deltaSchema))
+          .withColumn("_b", bucketOf(col("doc_id"), m.numBuckets))
+        localLww(
+          withB
+            .repartition(m.numBuckets, element_at(lit(probes), col("_b") + 1))
+            .drop("_b"),
+          payloadFields)
+      }
+    clean.unionByName(folded)
+  }
+
+  /** Last-writer-wins fold WITHIN each partition (callers guarantee all
+    * rows of a doc_id share a partition — the bucket invariant): external
+    * sort by (doc_id, lsn), then keep the last row of every doc_id run.
+    * Same result as groupBy(doc_id).agg(max_by(…, lsn)) without the hash
+    * aggregate or its exchange; O(1) state per task beyond the sort. */
+  private def localLww(
+      events: DataFrame, payloadFields: Seq[StructField]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = StructType(payloadFields ++ Seq(
+      StructField(LsnCol, LongType, nullable = false),
+      StructField(Merge.TombCol, BooleanType, nullable = true)))
+    val nPayload = payloadFields.size
+    val docIdIdx = payloadFields.indexWhere(_.name == "doc_id")
+    val lsnIdx   = nPayload
+    val opIdx    = nPayload + 1
+    events
+      .sortWithinPartitions(col("doc_id"), col("lsn"))
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[Row] {
+          override def hasNext: Boolean = in.hasNext
+          override def next(): Row = {
+            var cur = in.next()
+            while (in.hasNext &&
+                java.util.Objects.equals(in.head.get(docIdIdx), cur.get(docIdIdx)))
+              cur = in.next()
+            val vals = new Array[Any](nPayload + 2)
+            var i = 0
+            while (i < nPayload) { vals(i) = cur.get(i); i += 1 }
+            vals(lsnIdx) = cur.getLong(lsnIdx)
+            vals(opIdx)  = cur.getString(opIdx) == "D"
+            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          }
+        }
+      }(Encoders.row(outSchema))
   }
 
   /** Fold all deltas into fresh base files (one rewrite), emptying the

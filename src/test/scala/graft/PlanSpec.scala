@@ -170,6 +170,97 @@ class PlanSpec extends SparkSpec {
       s"rep-banded candidates ($reps) exceed brute-force all-pairs ($allPairs)")
   }
 
+  test("MOR resolve is bucket-local: no doc_id exchange, clean buckets stream through") {
+    import graft.ingest.CdcGenerator
+    import graft.operators.{Dedup, MergeOnRead}
+    import graft.streaming.{CdcPipeline, PipelineConfig}
+    val base = tmpDir("morplan")
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/table", changeLogDir = s"$base/changelog",
+      checkpointDir = s"$base/checkpoint", errorDir = s"$base/errors",
+      lineageDir = s"$base/lineage", numBuckets = 8, mode = "mor",
+      compactThreshold = Double.PositiveInfinity))
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 2)
+    p.runAvailableNow()
+    assert(p.table.current.get.deltaFiles.nonEmpty, "fixture must carry deltas")
+
+    val resolved = MergeOnRead.resolve(p.table)
+    resolved.collect()
+    val plan = resolved.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+      s"MOR resolve shuffles on doc_id:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"per-bucket fold path must have NO exchange at all:\n$plan")
+
+    // and the fold result equals the aggregate-based LWW of base∪deltas
+    val viaAgg = {
+      import org.apache.spark.sql.functions._
+      val m = p.table.current.get
+      val payload = m.schema.fieldNames.filterNot(graft.operators.Merge.InternalCols.contains).toSeq
+      val b = p.table.readFiles(m.files, m.schema)
+        .select(payload.map(col) :+ col("_lsn").as("lsn") :+
+          when(coalesce(col("_tombstone"), lit(false)), lit("D")).otherwise(lit("I")).as("op"): _*)
+      val deltaSchema = org.apache.spark.sql.types.StructType(
+        m.schema.fields.filterNot(f => graft.operators.Merge.InternalCols.contains(f.name)) ++
+          Seq(org.apache.spark.sql.types.StructField("lsn", org.apache.spark.sql.types.LongType, false),
+            org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType, false)))
+      val d = p.table.readFiles(m.deltaFiles, deltaSchema)
+        .select(payload.map(col) :+ col("lsn") :+ col("op"): _*)
+      Dedup.lww(b.unionByName(d))
+    }
+    val lhs = resolved
+      .filter(!coalesce(col("_tombstone"), lit(false)))
+      .select(col("doc_id"), col("n_tok"), col("_lsn"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rhs = viaAgg
+      .filter(col("op") =!= "D")
+      .select(col("doc_id"), col("n_tok"), col("lsn"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lhs == rhs, s"bucket-local fold diverges from aggregate LWW")
+  }
+
+  test("AQE wraps the MERGE join inside foreachBatch (skew-join CAN fire)") {
+    // Settles the round-1 open question: Spark logs "adaptive.enabled is
+    // not supported in streaming DataFrames" per micro-batch, but that
+    // warning covers only the OUTER streaming plan — every job launched
+    // inside foreachBatch re-plans as a batch query. This gate asserts
+    // the merge's full-outer join actually executes under
+    // AdaptiveSparkPlanExec, so skewJoin.enabled applies to the hot path
+    // (and Dedup.lwwSalted remains the pre-aggregation defense above the
+    // salt threshold).
+    import graft.ingest.CdcGenerator
+    import graft.streaming.{CdcPipeline, PipelineConfig}
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          f: String, qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = {
+        plans.add((qe.executedPlan.getClass.getSimpleName, qe.executedPlan.toString)); ()
+      }
+      override def onFailure(
+          f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val base = tmpDir("aqeprobe")
+      val p = new CdcPipeline(spark, PipelineConfig(
+        tableRoot = s"$base/table", changeLogDir = s"$base/changelog",
+        checkpointDir = s"$base/checkpoint", errorDir = s"$base/errors",
+        lineageDir = s"$base/lineage", numBuckets = 8, mode = "cow"))
+      CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 2)
+      p.runAvailableNow()
+      // listener delivery is async — poll until the merge plans land
+      import scala.collection.JavaConverters._
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      def captured() = plans.iterator().asScala.toSeq.filter(_._2.contains("FullOuter"))
+      while (captured().isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      val mergeWrites = captured()
+      assert(mergeWrites.nonEmpty, "no merge join captured by the listener")
+      assert(mergeWrites.forall(_._1 == "AdaptiveSparkPlanExec"),
+        s"merge join ran outside AQE: ${mergeWrites.map(_._1).distinct}")
+      assert(mergeWrites.forall(_._2.contains("isFinalPlan=true")))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("snapshot commit is compare-and-swap: a version can be claimed once") {
     import org.apache.spark.sql.types._
     val root = tmpDir("cas")
