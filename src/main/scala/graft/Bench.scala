@@ -111,6 +111,74 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Measured ANN-LSH evidence for the round report: recall of the
+    * multi-table hyperplane candidates against exact brute-force top-10,
+    * plus candidate-pair volume vs n²/2, at several (bits, tables)
+    * configs — AND the near-dup regime (variant pairs at cos ≥ 0.98)
+    * where LSH is actually selective. These embeddings are ISOTROPIC
+    * (pair cosines ~N(0, 0.014)), the theoretical worst case: with p₁ at
+    * the top-10 angle ≈ 0.65/bit vs p₂ = 0.5/bit random, the ρ =
+    * ln p₁/ln p₂ ≈ 0.66 bound says high top-k recall costs a large
+    * candidate fraction no matter the tuning — the study REPORTS that
+    * tradeoff rather than hiding it; clustered real-corpus behavior is
+    * what the near-dup row demonstrates. */
+  private[graft] def annStudy(s: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Similarity
+    graft.plans.CosineSim.register(s)
+    graft.plans.HyperplaneSigs.register(s)
+    val v = s.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).cache()
+    val n = v.count()
+    val qs = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val truth = Similarity.bruteForceTopK(v, qs, 10, Similarity.cosineFast)
+      .select(least(col("q_id"), col("vec_id")).as("pa"),
+        greatest(col("q_id"), col("vec_id")).as("pb")).cache()
+    val nTruth = truth.count()
+
+    def study(bits: Int, tables: Int): String = {
+      val banded = v.select(col("vec_id"),
+          posexplode(call_function("graft_hyperplane_sigs",
+            col("embedding"), lit(bits), lit(tables))))
+        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "sig"))
+      val pairs = banded.as("a").join(banded.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("pa"), col("b.vec_id").as("pb"))
+        .distinct().cache()
+      val cand   = pairs.count()
+      val found  = truth.join(pairs, Seq("pa", "pb"), "left_semi").count()
+      pairs.unpersist()
+      val frac = cand.toDouble / (n.toDouble * (n - 1) / 2)
+      f""""b${bits}_L$tables":{"recall_at10":${found.toDouble / nTruth}%.3f,"cand_pairs":$cand,"cand_frac":$frac%.4f}"""
+    }
+    val topk = Seq((16, 4), (10, 128), (10, 512)).map { case (b, l) => study(b, l) }
+
+    // near-dup regime: every variant pair sits at cos ≥ 0.98; recall of
+    // the q_ann_threshold_near config must be 1.0 with tiny candidates
+    val corpus = Similarity.variantVectors(v)
+    val banded = corpus.select(col("vec_id"),
+        posexplode(call_function("graft_hyperplane_sigs",
+          col("embedding"), lit(Similarity.NearBits), lit(Similarity.NearTables))))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "sig"))
+    val nearPairs = banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("pa"), col("b.vec_id").as("pb"))
+      .distinct().cache()
+    val nearCand  = nearPairs.count()
+    val nVariants = v.filter(col("vec_id") % 5 === 0).count()
+    val nearFound = nearPairs
+      .filter(col("pb") === col("pa") + 1000000L).count()
+    nearPairs.unpersist()
+    v.unpersist(); truth.unpersist()
+    val m = n + nVariants
+    (topk :+
+      f""""near_b${Similarity.NearBits}_L${Similarity.NearTables}":{"recall":${nearFound.toDouble / nVariants}%.3f,"cand_pairs":$nearCand,"cand_frac":${nearCand.toDouble / (m.toDouble * (m - 1) / 2)}%.5f}""")
+      .mkString("{", ",", "}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir     = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val maxCpus   = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -173,9 +241,10 @@ object Bench {
           name -> (System.nanoTime() - t0) / 1e9
       }
     val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val annJson = if (runQueries) annStudy(sQ, sfDir) else "{}"
 
     println(
-      f"""{"metric":"change-events/sec applied (end-to-end MERGE throughput)","value":$headline%.1f,"unit":"events/sec","sf":"$sfDir","queries":$qJson,"cdc":{"events":$nEvents,"batches":$batches,"buckets":$buckets,"replicate":$replicate,"cores_n":$loCpus,"cores_4n":$hiCpus,"cores_max":$maxCpus,"best_mode":"${best.mode}","scaling_efficiency":$bestEff%.3f,${modes.map(_.json).mkString(",")}},"query_total_sec":${queries.map(_._2).sum}%.2f}""")
+      f"""{"metric":"change-events/sec applied (end-to-end MERGE throughput)","value":$headline%.1f,"unit":"events/sec","sf":"$sfDir","queries":$qJson,"cdc":{"events":$nEvents,"batches":$batches,"buckets":$buckets,"replicate":$replicate,"cores_n":$loCpus,"cores_4n":$hiCpus,"cores_max":$maxCpus,"best_mode":"${best.mode}","scaling_efficiency":$bestEff%.3f,${modes.map(_.json).mkString(",")}},"ann_lsh_study":$annJson,"query_total_sec":${queries.map(_._2).sum}%.2f}""")
     sQ.stop()
   }
 }

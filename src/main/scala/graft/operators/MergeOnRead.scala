@@ -130,6 +130,23 @@ object MergeOnRead {
       table: SnapshotTable, buckets: Set[Int]): DataFrame =
     resolveBuckets(table, Some(buckets), None)
 
+  /** Point-lookup read path: hash-bucket pruning (doc_id determines its
+    * bucket) AND zone-map pruning (skip files whose footer min/max doc_id
+    * range cannot contain the key — [[graft.table.DataFile.mayContain]]).
+    * At many commits per bucket the zone map skips the commit files the
+    * key never landed in; stat-less files are never pruned.
+    *
+    * The result is valid ONLY for rows with doc_id = docId (other keys in
+    * surviving files may fold against a pruned subset of their events) —
+    * callers must filter on the key, as [[graft.streaming.CdcPipeline.lookup]]
+    * does. */
+  def resolveKey(table: SnapshotTable, docId: String): DataFrame = {
+    val m = table.current.getOrElse(
+      throw new IllegalStateException(s"no snapshot at ${table.root}"))
+    resolveBuckets(
+      table, Some(Set(bucketOfValue(docId, m.numBuckets))), None, Some(docId))
+  }
+
   /** Dirty-bucket counts up to this size resolve as one plan branch PER
     * BUCKET (scan → coalesce(1) → in-task sort+fold): zero exchanges.
     * Above it the plan would bloat, so the dirty slice takes ONE exchange
@@ -140,12 +157,19 @@ object MergeOnRead {
   private def resolveBuckets(
       table: SnapshotTable,
       buckets: Option[Set[Int]],
-      version: Option[Long]): DataFrame = {
+      version: Option[Long],
+      key: Option[String] = None): DataFrame = {
     val m = version.map(table.manifest).orElse(table.current).getOrElse(
       throw new IllegalStateException(s"no snapshot at ${table.root}"))
-    def prune(fs: Seq[graft.table.DataFile]) = buckets match {
-      case Some(bs) => fs.filter(f => bs.contains(f.bucket))
-      case None     => fs
+    def prune(fs: Seq[graft.table.DataFile]) = {
+      val byBucket = buckets match {
+        case Some(bs) => fs.filter(f => bs.contains(f.bucket))
+        case None     => fs
+      }
+      key match {
+        case Some(k) => byBucket.filter(_.mayContain(k))
+        case None    => byBucket
+      }
     }
     val baseFiles  = prune(m.files)
     val deltaFiles = prune(m.deltaFiles)

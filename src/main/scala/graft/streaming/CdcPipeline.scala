@@ -243,19 +243,13 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
   }
 
   /** Point lookup by doc_id: prunes the read to the key's single hash
-    * bucket (1/numBuckets of the data files) before filtering — the
-    * partition-pruning path a doc-id-keyed table exists for. */
-  def lookup(docId: String): DataFrame = {
-    val m = table.current.get
-    val bucket = graft.operators.MergeOnRead
-      .bucketOfValue(docId, m.numBuckets)
-    val base = table.read(buckets = Some(Set(bucket)))
-    val fromBase =
-      if (m.deltaFiles.isEmpty) base
-      else MergeOnRead.resolveBuckets(table, Set(bucket))
-    fromBase
+    * bucket (1/numBuckets of the data files), then drops files whose
+    * footer min/max doc_id range cannot contain the key (zone map) —
+    * before any IO. The partition-pruning path a doc-id-keyed table
+    * exists for. */
+  def lookup(docId: String): DataFrame =
+    MergeOnRead.resolveKey(table, docId)
       .filter(col("doc_id") === docId &&
         !coalesce(col(Merge.TombCol), lit(false)))
       .drop(Merge.InternalCols: _*)
-  }
 }

@@ -12,8 +12,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
 /** One data file tracked by a manifest. `bucket` is
   * pmod(xxhash64(doc_id), numBuckets) for every row in the file, so MERGE
   * rewrites only the buckets a batch touches (copy-on-write with bounded
-  * write amplification — SURVEY.md §7.4-5). */
-case class DataFile(path: String, bucket: Int, rows: Long)
+  * write amplification — SURVEY.md §7.4-5).
+  *
+  * `minKey`/`maxKey` are the file's doc_id zone map, harvested for free
+  * from the parquet footer statistics at commit time: point lookups and
+  * key-range scans skip files whose range cannot contain the key — the
+  * second pruning axis after the hash bucket (reference analog: pushed
+  * where-clauses, UpdateAddressPointsSDE.py:27-29). None on pre-zone-map
+  * manifests or stat-less files → never prunes (safe). */
+case class DataFile(
+    path: String, bucket: Int, rows: Long,
+    minKey: Option[String] = None, maxKey: Option[String] = None) {
+  /** Can this file contain `key`? Unknown stats → must read. */
+  def mayContain(key: String): Boolean =
+    minKey.forall(_ <= key) && maxKey.forall(_ >= key)
+}
 
 /** An immutable table snapshot. Commit ids make replay idempotent
   * (reference analog: archive_last_month's exists-check,
@@ -72,19 +85,26 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     n.put("numBuckets", m.numBuckets)
     n.put("watermarkLsn", m.watermarkLsn)
     n.put("rowCount", m.rowCount)
-    val arr = n.putArray("files")
-    m.files.foreach { f =>
+    def putFile(arr: com.fasterxml.jackson.databind.node.ArrayNode, f: DataFile): Unit = {
       val fn = arr.addObject()
       fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
+      f.minKey.foreach(fn.put("minKey", _))
+      f.maxKey.foreach(fn.put("maxKey", _))
+      ()
     }
+    val arr = n.putArray("files")
+    m.files.foreach(putFile(arr, _))
     n.put("deltaRows", m.deltaRows)
     val darr = n.putArray("deltaFiles")
-    m.deltaFiles.foreach { f =>
-      val fn = darr.addObject()
-      fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
-    }
+    m.deltaFiles.foreach(putFile(darr, _))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
+
+  private def fileFrom(fn: JsonNode): DataFile =
+    DataFile(
+      fn.get("path").asText(), fn.get("bucket").asInt(), fn.get("rows").asLong(),
+      Option(fn.get("minKey")).map(_.asText()),
+      Option(fn.get("maxKey")).map(_.asText()))
 
   private def fromJson(s: String): Manifest = {
     val n = mapper.readTree(s)
@@ -97,12 +117,9 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
       numBuckets = n.get("numBuckets").asInt(),
       watermarkLsn = n.get("watermarkLsn").asLong(),
       rowCount = n.get("rowCount").asLong(),
-      files = n.get("files").elements().asScala.map { fn: JsonNode =>
-        DataFile(fn.get("path").asText(), fn.get("bucket").asInt(), fn.get("rows").asLong())
-      }.toSeq,
-      deltaFiles = Option(n.get("deltaFiles")).map(_.elements().asScala.map { fn: JsonNode =>
-        DataFile(fn.get("path").asText(), fn.get("bucket").asInt(), fn.get("rows").asLong())
-      }.toSeq).getOrElse(Seq.empty),
+      files = n.get("files").elements().asScala.map(fileFrom).toSeq,
+      deltaFiles = Option(n.get("deltaFiles"))
+        .map(_.elements().asScala.map(fileFrom).toSeq).getOrElse(Seq.empty),
       deltaRows = Option(n.get("deltaRows")).map(_.asLong()).getOrElse(0L)
     )
   }
@@ -225,7 +242,10 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
       import scala.concurrent.ExecutionContext.Implicits.global
       Await.result(
         Future.traverse(paths) { case (f, bucket) =>
-          Future(DataFile(f.toString, bucket, parquetRowCount(f)))
+          Future {
+            val (rows, minK, maxK) = parquetFooterStats(f)
+            DataFile(f.toString, bucket, rows, minK, maxK)
+          }
         }, Duration.Inf)
     }
   }
@@ -260,16 +280,44 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     (deleted, live.size)
   }
 
-  private def parquetRowCount(p: Path): Long = {
-    // Cheap footer read via Spark would spin up a job per file; use the
-    // parquet-hadoop API directly (ships in /opt/spark/jars).
+  /** (rows, doc_id min, doc_id max) straight from the parquet footer —
+    * the writer already computed the column statistics; reading them here
+    * makes the manifest zone map free (no extra pass over the data).
+    * Footer reads via Spark would spin up a job per file; parquet-hadoop
+    * ships in /opt/spark/jars. */
+  private def parquetFooterStats(p: Path): (Long, Option[String], Option[String]) = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
     val r = ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val blocks = r.getFooter.getBlocks
+      var minK: String = null
+      var maxK: String = null
+      blocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          if (c.getPath.toDotString == "doc_id") {
+            val st = c.getStatistics
+            if (st != null && !st.isEmpty && st.hasNonNullValue) {
+              val lo = st.genericGetMin match {
+                case bin: Binary => bin.toStringUsingUTF8
+                case other       => String.valueOf(other)
+              }
+              val hi = st.genericGetMax match {
+                case bin: Binary => bin.toStringUsingUTF8
+                case other       => String.valueOf(other)
+              }
+              if (minK == null || lo < minK) minK = lo
+              if (maxK == null || hi > maxK) maxK = hi
+            }
+          }
+        }
+      }
+      (r.getRecordCount, Option(minK), Option(maxK))
+    } finally r.close()
   }
 }
 

@@ -191,6 +191,39 @@ class PipelineSpec extends SparkSpec {
     assert(TableMaintenance.enrichRewrite(p.table, "enrich-1")(identity).skipped)
   }
 
+  test("zone maps: manifests carry footer min/max doc_id; lookups skip foreign files") {
+    import spark.implicits._
+    import graft.operators.MergeOnRead
+    val base = tmpDir("zonemap")
+    val p    = mkPipeline(base, mode = "mor")
+    // two MOR commits with DISJOINT key ranges: a-keys then z-keys
+    def batch(prefix: String, lsn0: Long) =
+      (0 until 10).map(i => (lsn0 + i, "I", s"$prefix$i", Seq(1, 2, 3), 3L, "srcZ"))
+        .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    p.applyBatch(batch("a", 100L), 0L)
+    p.applyBatch(batch("z", 200L), 1L)
+
+    val m = p.table.current.get
+    val withStats = m.deltaFiles.filter(f => f.minKey.isDefined && f.maxKey.isDefined)
+    assert(withStats == m.deltaFiles, "every committed file must carry a zone map")
+    withStats.foreach(f => assert(f.minKey.get <= f.maxKey.get))
+
+    // the zone map must separate the two commits: a-files never claim z5
+    val bucket = MergeOnRead.bucketOfValue("z5", m.numBuckets)
+    val bucketFiles = m.deltaFiles.filter(_.bucket == bucket)
+    val pruned      = bucketFiles.filter(_.mayContain("z5"))
+    assert(pruned.forall(_.minKey.get.startsWith("z")),
+      s"zone map kept a-range files for z5: $pruned")
+    assert(pruned.size < bucketFiles.size || bucketFiles.forall(_.minKey.get.startsWith("z")),
+      "zone map pruned nothing despite disjoint ranges")
+
+    // and the pruned lookup still answers correctly
+    val row = p.lookup("z5").collect()
+    assert(row.length == 1 && row(0).getAs[String]("doc_id") == "z5")
+    assert(p.lookup("a3").count() == 1)
+    assert(p.lookup("missing").isEmpty)
+  }
+
   test("orphan delete is a counted no-op, not an error (G3)") {
     import spark.implicits._
     val base = tmpDir("orphan")
