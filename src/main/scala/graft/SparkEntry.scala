@@ -398,12 +398,13 @@ object SparkEntry {
         .orderBy(col("canonical"))),
     "q_dedup_minhash" -> ((s, dir) => {
       graft.plans.MinHashSig.register(s)
+      graft.plans.ShingleHash.register(s)
       // cache the shingled corpus: it feeds both sides of the band
       // self-join AND the jaccard join-back; recomputing the shingle +
       // signature chain 4x dominated this query's cost
       val corpus = tracked(
         DedupOps.variantDocs(docs(s, dir))
-          .withColumn("sh", DedupOps.shingles(col("text"))))
+          .withColumn("sh", DedupOps.shinglesFast(col("text"))))
       val banded = corpus
         .select(col("doc_id"),
           explode(DedupOps.bandKeys(call_function("graft_minhash", col("sh")))).as("bk"))
@@ -437,8 +438,9 @@ object SparkEntry {
       // graft_simhash = fused codegen signature (the composed HOF chain
       // measured ~108 ms/doc).
       graft.plans.SimHashSig.register(s)
+      graft.plans.ShingleHash.register(s)
       DedupOps.variantDocs(docs(s, dir))
-        .groupBy(call_function("graft_simhash", DedupOps.shingles(col("text"))).as("sim"))
+        .groupBy(call_function("graft_simhash", DedupOps.shinglesFast(col("text"))).as("sim"))
         .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("n_copies"))
         .filter(col("n_copies") > 1)
         .select(col("canonical"), col("n_copies"))
@@ -457,11 +459,12 @@ object SparkEntry {
       //  3. expand sig pairs back to doc pairs = exactly the output, plus
       //     within-cluster pairs at dist 0.
       graft.plans.SimHashSig.register(s)
+      graft.plans.ShingleHash.register(s)
       // cache: the shingle+signature chain feeds three consumers
       val sigged = tracked(
         DedupOps.variantDocs(docs(s, dir))
           .select(col("doc_id"),
-            call_function("graft_simhash", DedupOps.shingles(col("text"))).as("sig")))
+            call_function("graft_simhash", DedupOps.shinglesFast(col("text"))).as("sig")))
       val within = sigged.as("a")
         .join(sigged.as("b"),
           col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
@@ -489,13 +492,15 @@ object SparkEntry {
       within.unionByName(cross).orderBy(col("doc_a"), col("doc_b"))
     }),
     "q_dedup_jaccard" -> ((s, dir) => {
+      graft.plans.ShingleHash.register(s)
       val withVariant = DedupOps.variantDocs(docs(s, dir))
       val a = withVariant.as("a")
       val b = withVariant.as("b")
       a.join(b, concat(col("a.doc_id"), lit("_v")) === col("b.doc_id"))
         .select(
           col("a.doc_id").as("doc_id"),
-          DedupOps.jaccard(DedupOps.shingles(col("a.text")), DedupOps.shingles(col("b.text")))
+          DedupOps.jaccard(
+            DedupOps.shinglesFast(col("a.text")), DedupOps.shinglesFast(col("b.text")))
             .as("jaccard"))
         .orderBy(col("doc_id"))
     }),

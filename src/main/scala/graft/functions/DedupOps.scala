@@ -36,6 +36,14 @@ object DedupOps {
             element_at(toks, i + 2).cast("long")) % P))
   }
 
+  /** Hot-path twin of [[shingles]]: the fused codegen expression
+    * [[graft.plans.ShingleHash]] over the materialized token array —
+    * the composed HOF version re-evaluates the whole tokens subtree per
+    * element_at inside its lambda (measured 19× at sf0.1; see
+    * ShingleHash scaladoc). Call `ShingleHash.register(spark)` first. */
+  def shinglesFast(text: Column): Column =
+    call_function("graft_shingles", Tokenize.tokens(text))
+
   def shinglesSql(t: String): String = {
     val toks = Tokenize.tokensSql(t)
     s"""(CASE WHEN len($toks) < 3 THEN []

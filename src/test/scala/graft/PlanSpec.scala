@@ -83,6 +83,20 @@ class PlanSpec extends SparkSpec {
     assert(diff == 0, s"$diff rows diverge between fused and composed minhash")
   }
 
+  test("ShingleHash (fused codegen) ≡ built-in-composed shingles") {
+    import graft.functions.DedupOps
+    import graft.plans.ShingleHash
+    ShingleHash.register(spark)
+    val corpus = DedupOps.variantDocs(
+        spark.read.parquet(s"$sf001/documents.parquet").limit(200))
+    val diff = corpus
+      .withColumn("slow", DedupOps.shingles(col("text")))
+      .withColumn("fast", DedupOps.shinglesFast(col("text")))
+      .filter(col("slow") =!= col("fast"))
+      .count()
+    assert(diff == 0, s"$diff rows diverge between fused and composed shingles")
+  }
+
   test("SimHashSig (fused codegen) ≡ built-in-composed simhash") {
     import graft.functions.DedupOps
     import graft.plans.SimHashSig
