@@ -46,6 +46,17 @@ case class MergeStats(
   *    pass — no second job over the join.
   *  - Row-level condition `batch.lsn > target._lsn` makes replayed or
   *    out-of-order events no-ops even if the ledger is bypassed.
+  *
+  * Why a JOIN here and a bucket-local FOLD in [[MergeOnRead]] (measured,
+  * round 2, 48M events / 32 cores): an eager delta-commit+fold variant of
+  * COW was built and benched at 307 s for 2 batches vs 116 s for 4 with
+  * this join — for BULK batches the fold writes the batch twice (delta +
+  * folded base) and pays a row-codec fold over the whole touched slice
+  * per batch, where the join shuffles once and writes once. The fold
+  * architecture wins exactly when batches are small relative to the
+  * table (measured 1.43× end-to-end), which is what mode="mor" +
+  * [[MergeOnRead.foldTouched]] compaction is for. Workload shape picks
+  * the mode; neither subsumes the other.
   */
 object Merge {
 
@@ -84,12 +95,13 @@ object Merge {
 
     // A COW merge joins only BASE files; pending MOR deltas (pipeline
     // restarted in cow mode after running mor) would silently vanish.
-    // Fold them first — idempotent: a crash-replay re-enters with the
-    // deltas already empty and the compact skips.
+    // Fold them first — targeted: only delta-CARRYING buckets rewrite
+    // (foldTouched), not the whole table. Idempotent: a crash-replay
+    // re-enters with the deltas already empty and the fold skips.
     val cur =
       if (cur0.deltaFiles.isEmpty) cur0
       else {
-        MergeOnRead.compact(table, s"$commitId.pre-compact")
+        MergeOnRead.foldTouched(table, s"$commitId.pre-compact", batchId)
         table.current.get
       }
 

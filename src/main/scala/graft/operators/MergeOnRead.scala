@@ -181,11 +181,37 @@ object MergeOnRead {
     // (zero IO amplification, zero shuffle — the common trickle case
     // leaves most of the table here), and only delta-carrying buckets
     // fold, each inside a single task over its own files.
-    val dirtyBuckets = deltaFiles.map(_.bucket).distinct.sorted
-    val dirtySet     = dirtyBuckets.toSet
+    val dirtySet = deltaFiles.map(_.bucket).toSet
     val clean = table.readFiles(
       baseFiles.filterNot(f => dirtySet.contains(f.bucket)), m.schema)
+    val folded = foldDirtyBuckets(
+      table, m,
+      baseFiles.filter(f => dirtySet.contains(f.bucket)), deltaFiles,
+      classified = false)
+    clean.unionByName(folded)
+  }
 
+  /** Action column emitted by the classified fold: the NET transition per
+    * key, matching the per-row action taxonomy of the round-1 join-based
+    * merge (keep / stale / insert / update / delete / delete_noop). */
+  private val ActionCol = "_action"
+
+  /** Folded rows for delta-carrying buckets ONLY (callers union clean
+    * buckets or carry their files by reference). Up to
+    * [[PerBucketPlanLimit]] buckets fold as one narrow branch each
+    * (scan → coalesce(1) → in-task sort+fold — no exchange anywhere);
+    * beyond that, one exchange over the dirty slice keyed on the bucket
+    * id via the identity-probe remap — never on doc_id. Either way the
+    * output has AT MOST ONE BUCKET PER PARTITION (writeDataFiles'
+    * prePartitioned contract).
+    * @param classified append [[ActionCol]] for stats observation. */
+  private def foldDirtyBuckets(
+      table: SnapshotTable,
+      m: Manifest,
+      baseFiles: Seq[graft.table.DataFile],
+      deltaFiles: Seq[graft.table.DataFile],
+      classified: Boolean): DataFrame = {
+    val dirtyBuckets = deltaFiles.map(_.bucket).distinct.sorted
     val payloadCols =
       m.schema.fieldNames.filterNot(Merge.InternalCols.contains).toSeq
     val payloadFields =
@@ -197,74 +223,159 @@ object MergeOnRead {
     val baseOp = when(coalesce(col(Merge.TombCol), lit(false)), lit("D"))
       .otherwise(lit("I")).as("op")
     def eventsOf(base: DataFrame, deltas: DataFrame): DataFrame =
-      base.select(payloadCols.map(col) :+ col(LsnCol).as("lsn") :+ baseOp: _*)
-        .unionByName(deltas.select(payloadCols.map(col) :+ col("lsn") :+ col("op"): _*))
+      base.select(payloadCols.map(col) :+ col(LsnCol).as("lsn") :+ baseOp :+
+          lit(true).as("_from_base"): _*)
+        .unionByName(deltas.select(
+          payloadCols.map(col) :+ col("lsn") :+ col("op") :+
+            lit(false).as("_from_base"): _*))
 
-    val folded =
-      if (dirtyBuckets.size <= PerBucketPlanLimit) {
-        // one narrow branch per dirty bucket; the union schedules as ONE
-        // stage with one task per bucket — no exchange anywhere
-        dirtyBuckets.map { b =>
-          localLww(
-            eventsOf(
-              table.readFiles(baseFiles.filter(_.bucket == b), m.schema),
-              table.readFiles(deltaFiles.filter(_.bucket == b), deltaSchema))
-              .coalesce(1),
-            payloadFields)
-        }.reduce(_ unionByName _)
-      } else {
-        // many dirty buckets: one exchange over the dirty slice only,
-        // keyed on the bucket id through the identity-probe remap (equal
-        // bucket → one partition; doc_id is never a shuffle key)
-        val probes = graft.table.SnapshotTable.identityProbes(m.numBuckets)
-        val withB = eventsOf(
-          table.readFiles(baseFiles.filter(f => dirtySet.contains(f.bucket)), m.schema),
-          table.readFiles(deltaFiles, deltaSchema))
-          .withColumn("_b", bucketOf(col("doc_id"), m.numBuckets))
+    if (dirtyBuckets.size <= PerBucketPlanLimit)
+      // one narrow branch per dirty bucket; the union schedules as ONE
+      // stage with one task per bucket — no exchange anywhere
+      dirtyBuckets.map { b =>
         localLww(
-          withB
-            .repartition(m.numBuckets, element_at(lit(probes), col("_b") + 1))
-            .drop("_b"),
-          payloadFields)
-      }
-    clean.unionByName(folded)
+          eventsOf(
+            table.readFiles(baseFiles.filter(_.bucket == b), m.schema),
+            table.readFiles(deltaFiles.filter(_.bucket == b), deltaSchema))
+            .coalesce(1),
+          payloadFields, classified)
+      }.reduce(_ unionByName _)
+    else {
+      // many dirty buckets: one exchange over the dirty slice only,
+      // keyed on the bucket id through the identity-probe remap (equal
+      // bucket → one partition; doc_id is never a shuffle key)
+      val probes = graft.table.SnapshotTable.identityProbes(m.numBuckets)
+      val withB = eventsOf(
+        table.readFiles(baseFiles, m.schema),
+        table.readFiles(deltaFiles, deltaSchema))
+        .withColumn("_b", bucketOf(col("doc_id"), m.numBuckets))
+      localLww(
+        withB
+          .repartition(m.numBuckets, element_at(lit(probes), col("_b") + 1))
+          .drop("_b"),
+        payloadFields, classified)
+    }
   }
 
   /** Last-writer-wins fold WITHIN each partition (callers guarantee all
     * rows of a doc_id share a partition — the bucket invariant): external
     * sort by (doc_id, lsn), then keep the last row of every doc_id run.
     * Same result as groupBy(doc_id).agg(max_by(…, lsn)) without the hash
-    * aggregate or its exchange; O(1) state per task beyond the sort. */
+    * aggregate or its exchange; O(1) state per task beyond the sort.
+    * Input layout: payload…, lsn, op, _from_base. */
   private def localLww(
-      events: DataFrame, payloadFields: Seq[StructField]): DataFrame = {
+      events: DataFrame, payloadFields: Seq[StructField],
+      classified: Boolean): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     val outSchema = StructType(payloadFields ++ Seq(
       StructField(LsnCol, LongType, nullable = false),
-      StructField(Merge.TombCol, BooleanType, nullable = true)))
+      StructField(Merge.TombCol, BooleanType, nullable = true)) ++
+      (if (classified) Seq(StructField(ActionCol, StringType, nullable = false))
+       else Seq.empty))
     val nPayload = payloadFields.size
     val docIdIdx = payloadFields.indexWhere(_.name == "doc_id")
     val lsnIdx   = nPayload
     val opIdx    = nPayload + 1
+    val fromIdx  = nPayload + 2
     events
-      .sortWithinPartitions(col("doc_id"), col("lsn"))
+      // _from_base last in the sort = base wins LSN ties (keep-last fold),
+      // matching the strict `batch.lsn > target._lsn` contract: a replayed
+      // event at its already-applied LSN is a stale no-op, not an update
+      .sortWithinPartitions(col("doc_id"), col("lsn"), col("_from_base"))
       .mapPartitions { it =>
         val in = it.buffered
         new Iterator[Row] {
           override def hasNext: Boolean = in.hasNext
           override def next(): Row = {
-            var cur = in.next()
+            var cur       = in.next()
+            var baseLive  = false // run contains a live (non-tombstone) base row
+            var batchSeen = false
+            def note(r: Row): Unit = {
+              if (r.getBoolean(fromIdx)) baseLive = r.getString(opIdx) != "D"
+              else batchSeen = true
+            }
+            note(cur)
             while (in.hasNext &&
-                java.util.Objects.equals(in.head.get(docIdIdx), cur.get(docIdIdx)))
-              cur = in.next()
-            val vals = new Array[Any](nPayload + 2)
+                java.util.Objects.equals(in.head.get(docIdIdx), cur.get(docIdIdx))) {
+              cur = in.next(); note(cur)
+            }
+            val winnerIsDelete = cur.getString(opIdx) == "D"
+            val vals = new Array[Any](outSchema.size)
             var i = 0
             while (i < nPayload) { vals(i) = cur.get(i); i += 1 }
             vals(lsnIdx) = cur.getLong(lsnIdx)
-            vals(opIdx)  = cur.getString(opIdx) == "D"
+            vals(opIdx)  = winnerIsDelete
+            if (classified)
+              vals(fromIdx) =
+                if (cur.getBoolean(fromIdx)) { if (batchSeen) "stale" else "keep" }
+                else if (!winnerIsDelete) { if (baseLive) "update" else "insert" }
+                else { if (baseLive) "delete" else "delete_noop" }
             Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
           }
         }
       }(Encoders.row(outSchema))
+  }
+
+  /** Eagerly fold ALL pending deltas back into base files — the write
+    * half of the copy-on-write path ([[Merge]] = delta commit + this).
+    * Unlike [[compact]], only delta-CARRYING buckets are read and
+    * rewritten (untouched base files carry by manifest reference), the
+    * fold is bucket-local (≤[[PerBucketPlanLimit]] dirty buckets → zero
+    * exchanges; beyond → one bucket-keyed exchange over the dirty slice
+    * — doc_id is never a shuffle key), and the write skips the routing
+    * exchange entirely (the fold output is already one-bucket-per-
+    * partition). Net-effect action counts (insert/update/delete/
+    * delete_noop/stale) come from an exactly-once Observation on the
+    * single write pass. */
+  def foldTouched(
+      table: SnapshotTable, commitId: String, batchId: Long): MergeStats = {
+    val t0  = System.nanoTime()
+    val cur = table.current.getOrElse(
+      throw new IllegalStateException("table has no snapshot"))
+    if (cur.deltaFiles.isEmpty)
+      return MergeStats(commitId, cur.version, skipped = true, 0, cur.rowCount,
+        cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1,
+        (System.nanoTime() - t0) / 1000000, Seq.empty)
+
+    val touched = cur.deltaFiles.map(_.bucket).toSet
+    val folded = foldDirtyBuckets(
+      table, cur,
+      cur.files.filter(f => touched.contains(f.bucket)), cur.deltaFiles,
+      classified = true)
+    val obs = Observation(s"fold-$commitId")
+    def cnt(a: String) = sum(when(col(ActionCol) === a, 1L).otherwise(0L)).as(a)
+    val observed = folded.observe(
+      obs, cnt("insert"), cnt("update"), cnt("delete"), cnt("delete_noop"), cnt("stale"))
+    val out = observed
+      .drop(ActionCol)
+      .withColumn("_bucket", bucketOf(col("doc_id"), cur.numBuckets))
+    val newFiles =
+      table.writeDataFiles(out, commitId, cur.numBuckets, prePartitioned = true)
+    val m = obs.get
+    def g(k: String): Long = m.get(k) match {
+      case Some(null)      => 0L
+      case Some(v: Number) => v.longValue()
+      case _               => 0L
+    }
+    val carried = cur.files.filterNot(f => touched.contains(f.bucket))
+    val newRows = newFiles.map(_.rows).sum + carried.map(_.rows).sum
+    table.commit(Manifest(
+      version = cur.version + 1,
+      parent = cur.version,
+      commitId = commitId,
+      batchId = batchId,
+      schemaJson = cur.schemaJson,
+      numBuckets = cur.numBuckets,
+      watermarkLsn = cur.watermarkLsn,
+      rowCount = newRows,
+      files = carried ++ newFiles))
+    MergeStats(
+      commitId, cur.version + 1, skipped = false, touched.size,
+      cur.rowCount, newRows,
+      inserted = g("insert"), updated = g("update"), deleted = g("delete"),
+      deleteNoops = g("delete_noop"), staleEvents = g("stale"),
+      batchEvents = 0, minLsn = -1, maxLsn = cur.watermarkLsn,
+      wallMs = (System.nanoTime() - t0) / 1000000, Seq.empty)
   }
 
   /** Fold all deltas into fresh base files (one rewrite), emptying the

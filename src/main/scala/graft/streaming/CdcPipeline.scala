@@ -155,10 +155,15 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
   private def writeLineage(s: MergeStats, batchId: Long): Unit = {
     import spark.implicits._
     val cur = table.current
-    // exact dir match — a bare prefix would conflate commit b1 with b10
-    val commitFiles = cur.toSeq.flatMap(m => m.files ++ m.deltaFiles)
-      .filter(f => f.path.contains(s"/c-${s.commitId}/") ||
-        f.path.contains(s"/c-${s.commitId}.d/"))
+    // exact dir match — a bare prefix would conflate commit b1 with b10.
+    // A COW apply writes under both c-<id>.d (delta) and c-<id>.fold
+    // (folded base); count each bucket once, preferring the folded file.
+    val all = cur.toSeq.flatMap(m => m.files ++ m.deltaFiles)
+    val foldFiles  = all.filter(_.path.contains(s"/c-${s.commitId}.fold/"))
+    val foldedB    = foldFiles.map(_.bucket).toSet
+    val commitFiles = foldFiles ++ all.filter(f =>
+      (f.path.contains(s"/c-${s.commitId}/") ||
+        f.path.contains(s"/c-${s.commitId}.d/")) && !foldedB.contains(f.bucket))
     val skew =
       if (commitFiles.isEmpty) 1.0
       else {
@@ -215,7 +220,10 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
   private def maybeCompact(): Unit = {
     val m = table.current.get
     if (m.deltaRows > (m.rowCount + m.deltaRows) * cfg.compactThreshold) {
-      MergeOnRead.compact(table, s"compact-v${m.version}")
+      // targeted: rewrite only delta-carrying buckets (clean buckets'
+      // files carry by reference); full compact() stays the scheduled-
+      // maintenance path (tombstone expiry rides it)
+      MergeOnRead.foldTouched(table, s"compact-v${m.version}", batchId = -1L)
       ()
     }
   }

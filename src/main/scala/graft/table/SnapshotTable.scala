@@ -210,7 +210,13 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
   /** Write `df` as this commit's data files, one parquet file per bucket.
     * `df` must carry an int `_bucket` column; it is dropped from the data.
     * Returns the DataFile list. */
-  def writeDataFiles(df: DataFrame, commitId: String, numBuckets: Int): Seq[DataFile] = {
+  /** @param prePartitioned the caller guarantees every partition of `df`
+    *   holds rows of at most one bucket (e.g. the bucket-local fold) —
+    *   skip the exchange entirely; partitionBy still routes each task's
+    *   rows to its single bucket directory. */
+  def writeDataFiles(
+      df: DataFrame, commitId: String, numBuckets: Int,
+      prePartitioned: Boolean = false): Seq[DataFile] = {
     import org.apache.spark.sql.functions.{col, element_at, lit}
     val dir = Paths.get(root, "data", s"c-$commitId")
     // EXACTLY one reduce task per bucket: plain repartition(N, _bucket)
@@ -219,8 +225,11 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     // counts). Remap each bucket id through a probe value chosen so that
     // pmod(murmur3(probe), N) == bucket — an identity partitioner built
     // from the stock HashPartitioning, no sampling pass, no custom RDD.
-    df.repartition(numBuckets,
+    val routed =
+      if (prePartitioned) df
+      else df.repartition(numBuckets,
         element_at(lit(SnapshotTable.identityProbes(numBuckets)), col("_bucket") + 1))
+    routed
       .write.mode("overwrite")
       .partitionBy("_bucket")
       .parquet(dir.toString)

@@ -305,9 +305,13 @@ class PipelineSpec extends SparkSpec {
     val raw = spark.read.parquet(s"$base/changelog/batch-00000")
     assert(p.applyBatch(raw, 0L).skipped)
     // vacuumed old version's data is gone (time travel 404s by design);
-    // version 1 = first real commit, fully superseded by later rewrites
+    // probe the earliest version that referenced base data files (under
+    // the fold architecture, odd versions are file-less delta commits)
+    val oldV = p.table.versions
+      .find(v => p.table.manifest(v).files.nonEmpty && v < p.table.currentVersion.get)
+      .get
     intercept[Exception] {
-      p.table.read(Some(1L)).collect()
+      p.table.read(Some(oldV)).collect()
     }
     ()
   }

@@ -231,6 +231,37 @@ class PlanSpec extends SparkSpec {
       .select(col("doc_id"), col("n_tok"), col("lsn"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(lhs == rhs, s"bucket-local fold diverges from aggregate LWW")
+
+    // foldTouched (targeted compaction / COW pre-fold): the fold+write
+    // job must also run with NO exchange — writeDataFiles' prePartitioned
+    // contract — and preserve the resolved state exactly
+    val foldPlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          f: String, qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = {
+        val s = qe.executedPlan.toString
+        if (s.contains("MapPartitions") && s.contains("WriteFiles")) { foldPlans.add(s); () }
+      }
+      override def onFailure(
+          f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val st = MergeOnRead.foldTouched(p.table, "fold-gate", -1L)
+      assert(!st.skipped && p.table.current.get.deltaFiles.isEmpty)
+      import scala.collection.JavaConverters._
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (foldPlans.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      val fp = foldPlans.iterator().asScala.toSeq
+      assert(fp.nonEmpty, "no fold write captured")
+      assert(fp.forall(!_.contains("Exchange")),
+        s"targeted fold shuffled:\n${fp.filter(_.contains("Exchange")).mkString}")
+      val after = MergeOnRead.resolve(p.table)
+        .filter(!coalesce(col("_tombstone"), lit(false)))
+        .select(col("doc_id"), col("n_tok"), col("_lsn"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(after == lhs, "foldTouched changed the resolved state")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("AQE wraps the MERGE join inside foreachBatch (skew-join CAN fire)") {
