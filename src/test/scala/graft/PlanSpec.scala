@@ -306,6 +306,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("identity probes invert murmur3 exactly (one reduce task per bucket)") {
+    // the exchange-free write/fold paths rely on probe(b) landing in
+    // partition b of an n-way HashPartitioning — verify the inversion for
+    // several bucket counts including the 10k design point
+    import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+    import org.apache.spark.sql.types.IntegerType
+    for (n <- Seq(2, 16, 64, 1024, 10000)) {
+      val probes = SnapshotTable.identityProbes(n)
+      assert(probes.length == n)
+      (0 until n).foreach { b =>
+        val h = Murmur3HashFunction.hash(probes(b), IntegerType, 42L).toInt
+        assert(((h % n) + n) % n == b, s"probe for bucket $b of $n does not invert")
+      }
+    }
+  }
+
   test("snapshot commit is compare-and-swap: a version can be claimed once") {
     import org.apache.spark.sql.types._
     val root = tmpDir("cas")
