@@ -306,6 +306,41 @@ class PlanSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("GraftExtensions injects every codegen function at session build (library entry)") {
+    // the spark.sql.extensions deployment path: a session BUILT WITH the
+    // extensions answers plain SQL with no imperative register calls.
+    // Extensions only apply at session creation, so build a second
+    // session over the shared SparkContext (clear the default so
+    // getOrCreate constructs instead of returning the shared one; never
+    // stop it — that would kill the context under every other suite).
+    import org.apache.spark.sql.SparkSession
+    val shared = spark // force the shared lazy session BEFORE clearing
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .create()
+      assert(s2 ne shared, "extensions test must get a fresh session")
+      val r = s2.sql(
+        """SELECT graft_simhash(graft_shingles(array(1,2,3,4,5))) AS sim,
+                  graft_cosine(array(cast(1.0 AS float)), array(cast(1.0 AS float))) AS cos,
+                  size(graft_minhash(graft_shingles(array(1,2,3,4,5)))) AS mh,
+                  graft_rolling_hash(array(1,2,3)) AS fp,
+                  size(graft_hyperplane_sigs(array(cast(0.5 AS float)), 4, 2)) AS hp
+        """).collect()(0)
+      assert(r.getDouble(1) == 1.0)
+      assert(r.getInt(2) == graft.functions.DedupOps.NumHashes)
+      assert(r.getInt(4) == 2)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+      prev.foreach(_ => ()) // shared is the canonical session either way
+    }
+  }
+
   test("identity probes invert murmur3 exactly (one reduce task per bucket)") {
     // the exchange-free write/fold paths rely on probe(b) landing in
     // partition b of an n-way HashPartitioning — verify the inversion for
