@@ -378,6 +378,70 @@ object MergeOnRead {
       wallMs = (System.nanoTime() - t0) / 1000000, Seq.empty)
   }
 
+  /** CDC-out: the change events applied BETWEEN two snapshot versions,
+    * as (payload…, lsn, op) rows — the engine's own changelog view
+    * (Iceberg incremental-scan analog), letting downstream consumers tail
+    * this table the way this engine tails its source.
+    *
+    * Cost model: commits that went through the delta path (MOR applies —
+    * their manifests reference `c-*.d` files) replay exactly from those
+    * files at O(changes); delta files stay on disk after folding until
+    * `vacuum` expires their versions, so the recent-history window this
+    * serves is the vacuum retention window. COW join commits write no
+    * delta files, so a range containing one falls back to a snapshot
+    * DIFF: new-version rows whose `_lsn` is above the old version's
+    * watermark — O(newer table scan) with the `_lsn > w` predicate pushed
+    * to parquet (row-group pruning), exact because every applied change
+    * bumps the row's `_lsn` and LSNs are monotonic across commits.
+    * Deletes surface as op='D' tombstone rows in both paths. */
+  def changesSince(
+      table: SnapshotTable, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val to = toVersion.orElse(table.currentVersion).getOrElse(
+      throw new IllegalStateException(s"no snapshot at ${table.root}"))
+    require(fromVersion <= to, s"fromVersion $fromVersion > toVersion $to")
+    val mFrom = table.manifest(fromVersion)
+    val mTo   = table.manifest(to)
+    val payloadCols =
+      mTo.schema.fieldNames.filterNot(Merge.InternalCols.contains).toSeq
+    val range = table.versions.filter(v => v > fromVersion && v <= to)
+
+    // delta files INTRODUCED by each commit in the range (newer manifests
+    // carry older delta files forward until compaction — diff per step)
+    val stepFiles = range.flatMap { v =>
+      val m      = table.manifest(v)
+      val before = table.manifest(m.parent).deltaFiles.map(_.path).toSet
+      m.deltaFiles.filterNot(f => before.contains(f.path))
+    }
+    // every event-carrying commit advances the watermark; a commit that
+    // advanced it WITHOUT adding delta files went through the COW join
+    // and left no replayable change records → snapshot-diff fallback
+    val deltaOnly = range.forall { v =>
+      val m      = table.manifest(v)
+      val prev   = table.manifest(m.parent)
+      val added  = m.deltaFiles.map(_.path).toSet
+        .diff(prev.deltaFiles.map(_.path).toSet).nonEmpty
+      added || m.watermarkLsn == prev.watermarkLsn
+    }
+    val deltaSchema = StructType(
+      mTo.schema.fields.filter(f => payloadCols.contains(f.name)) ++
+        Seq(StructField("lsn", LongType, nullable = false),
+          StructField("op", StringType, nullable = false)))
+    if (deltaOnly)
+      table.readFiles(stepFiles, deltaSchema)
+        .select(payloadCols.map(col) :+ col("lsn") :+ col("op"): _*)
+    else {
+      // COW commits in range: exact snapshot diff via the LSN watermark —
+      // a row changed in (from, to] iff its _lsn exceeds from's watermark
+      val w = mFrom.watermarkLsn
+      resolveBuckets(table, None, Some(to))
+        .filter(col(Merge.LsnCol) > w)
+        .select(payloadCols.map(col) :+ col(Merge.LsnCol).as("lsn") :+
+          when(coalesce(col(Merge.TombCol), lit(false)), lit("D"))
+            .otherwise(lit("U")).as("op"): _*)
+    }
+  }
+
   /** Fold all deltas into fresh base files (one rewrite), emptying the
     * delta list; tombstones persist through compaction. A no-op commit
     * when there are no deltas.

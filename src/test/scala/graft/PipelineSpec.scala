@@ -224,6 +224,44 @@ class PipelineSpec extends SparkSpec {
     assert(p.lookup("missing").isEmpty)
   }
 
+  test("changesSince replays exact events from deltas (MOR) and diffs snapshots (COW)") {
+    import graft.operators.{Dedup, MergeOnRead, Validate}
+    import graft.operators.Conform
+    // --- MOR: O(changes) replay from the commit-introduced delta files ---
+    val base = tmpDir("cdcout")
+    val p    = mkPipeline(base, mode = "mor")
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 3)
+    val stats = p.runAvailableNow(maxFilesPerTrigger = Some(4))
+    assert(stats.size == 3)
+    val vAfterB0 = stats.head.version
+
+    val changes = MergeOnRead.changesSince(p.table, vAfterB0)
+    val gotLsns = changes.select("lsn").collect().map(_.getLong(0)).toSet
+    val wantLsns = (1 until 3).flatMap { b =>
+      val raw = spark.read.parquet(f"$base/changelog/batch-$b%05d")
+      Dedup.lww(Validate(Conform(raw), s"x$b").valid)
+        .select("lsn").collect().map(_.getLong(0))
+    }.toSet
+    assert(gotLsns == wantLsns, s"MOR changes: got ${gotLsns.size} want ${wantLsns.size}")
+    assert(changes.filter(col("op") === "D").count() > 0, "deletes must surface")
+
+    // fold-only commits carry no new events
+    MergeOnRead.compact(p.table, "cdcout-compact")
+    val vFolded = p.table.currentVersion.get
+    assert(MergeOnRead.changesSince(p.table, stats.last.version).isEmpty)
+
+    // --- COW commit in range → snapshot-diff fallback, same contract ---
+    import spark.implicits._
+    val cowBatch = Seq(
+      (900000000L, "U", "doc1", Some(Seq(7, 7, 7)), Some(3L), "srcX"),
+      (900000001L, "D", "doc3", None: Option[Seq[Int]], None: Option[Long], "srcX"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    graft.operators.Merge(p.table, cowBatch, "cow-1", 99L)
+    val diff = MergeOnRead.changesSince(p.table, vFolded)
+    val byDoc = diff.collect().map(r => r.getAs[String]("doc_id") -> r.getAs[String]("op")).toMap
+    assert(byDoc == Map("doc1" -> "U", "doc3" -> "D"), s"COW diff wrong: $byDoc")
+  }
+
   test("orphan delete is a counted no-op, not an error (G3)") {
     import spark.implicits._
     val base = tmpDir("orphan")
