@@ -78,6 +78,36 @@ object SparkEntry {
     p
   }
 
+  /** Two-commit fixture for the time-travel + CDC-out queries: a MOR
+    * table built from the SAME deterministic event stream, split into two
+    * batches at the LSN stride boundary (batch 0 = every rep-0 event,
+    * batch 1 = everything later). Unlike the streaming fixture's
+    * quantile-balanced batches, this boundary is pure arithmetic
+    * (lsn < LsnStride), so the state at the intermediate version and the
+    * change set between the two versions are both exactly expressible in
+    * the DuckDB oracle. Built once per (process, sf dir). */
+  private case class VersionedFixture(pipeline: CdcPipeline, v1: Long)
+  private val versionedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, VersionedFixture]()
+
+  private def versionedFixture(spark: SparkSession, dir: String): VersionedFixture =
+    versionedCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-tt").toString
+      val p = new CdcPipeline(spark, PipelineConfig(
+        tableRoot = s"$base/table",
+        changeLogDir = s"$base/changelog-unused",
+        checkpointDir = s"$base/checkpoint",
+        errorDir = s"$base/errors",
+        lineageDir = s"$base/lineage",
+        numBuckets = 16,
+        mode = "mor"))
+      val ev = CdcGenerator.events(spark, dir)
+      p.applyBatch(ev.filter(col("lsn") < CdcGenerator.LsnStride), batchId = 0L)
+      val v1 = p.table.currentVersion.get
+      p.applyBatch(ev.filter(col("lsn") >= CdcGenerator.LsnStride), batchId = 1L)
+      VersionedFixture(p, v1)
+    })
+
   /** Final-state projection. Token content goes out as a scalar csv: the
     * driver's pandas comparator sorts+hashes every column, and a raw
     * array<int> column crashes it (unhashable ndarray) — concat_ws keeps
@@ -161,6 +191,28 @@ object SparkEntry {
         live.join(broadcast(dim), Seq("source"), "left")
       }
       finalState(p)
+    }),
+    "q_cdc_time_travel" -> ((s, dir) => {
+      // Time travel (S8/S14 family): read the table AT the version
+      // committed after batch 0 — i.e. after the second commit has
+      // already landed, prove the earlier snapshot is still exactly
+      // reconstructable from its immutable manifest.
+      val f = versionedFixture(s, dir)
+      f.pipeline.readTableAt(f.v1)
+        .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
+          col("n_tok"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_cdc_changes" -> ((s, dir) => {
+      // CDC-out (S14): the engine's own changelog view between two
+      // committed versions — O(changes) replay from the delta files the
+      // second commit introduced; deletes surface as op='D' rows.
+      val f = versionedFixture(s, dir)
+      graft.operators.MergeOnRead.changesSince(f.pipeline.table, f.v1)
+        .select(col("lsn"), col("op"), col("doc_id"),
+          concat_ws(",", col("tokens")).as("tokens_csv"),
+          col("n_tok"), col("source"))
+        .orderBy(col("lsn"))
     }),
     "q_cdc_errors" -> ((s, dir) => {
       val conformed = Conform(CdcGenerator.events(s, dir))
@@ -691,6 +743,54 @@ object SparkEntry {
             SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
                    cast(n_tok AS bigint) AS n_tok, source
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
+      "q_cdc_time_travel" ->
+        // state at the version committed after batch 0 = the LWW fold of
+        // every valid event below the stride boundary (all rep-0 events)
+        s"""WITH evs AS ($ev),
+            valid AS (
+              SELECT * FROM evs
+              WHERE lsn < ${CdcGenerator.LsnStride}
+                AND doc_id IS NOT NULL
+                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+            last AS (
+              SELECT doc_id,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens,
+                     max_by(n_tok, lsn) AS n_tok,
+                     max_by(source, lsn) AS source
+              FROM valid GROUP BY doc_id)
+            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
+                   cast(n_tok AS bigint) AS n_tok, source
+            FROM last WHERE op <> 'D' ORDER BY doc_id""",
+      "q_cdc_changes" ->
+        // the second commit's replayable change set: per-doc LWW winner
+        // among every valid event at or above the stride boundary (that
+        // is exactly what the commit's delta files persist); D winners
+        // surface as tombstone rows with an empty payload
+        s"""WITH evs AS ($ev),
+            valid AS (
+              SELECT * FROM evs
+              WHERE lsn >= ${CdcGenerator.LsnStride}
+                AND doc_id IS NOT NULL
+                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+            last AS (
+              SELECT doc_id,
+                     max(lsn) AS lsn,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens,
+                     max_by(n_tok, lsn) AS n_tok,
+                     max_by(source, lsn) AS source
+              FROM valid GROUP BY doc_id)
+            -- max_by SKIPS null payloads, so when the winner is a D it
+            -- surfaces the previous event's tokens — null them back out
+            -- (a tombstone carries no payload)
+            SELECT lsn, op, doc_id,
+                   CASE WHEN op = 'D' THEN ''
+                        ELSE coalesce(array_to_string(tokens, ','), '') END AS tokens_csv,
+                   CASE WHEN op = 'D' THEN NULL
+                        ELSE cast(n_tok AS bigint) END AS n_tok,
+                   source
+            FROM last ORDER BY lsn""",
       "q_delete_where" ->
         s"""WITH evs AS ($ev),
             valid AS (

@@ -53,9 +53,6 @@ object MergeOnRead {
     val batchPayload = StructType(dedupedBatch.schema.fields.filterNot(f =>
       (DeltaCols :+ "ingest_ts").contains(f.name)))
     val (evolvedPayload, changes) = SchemaEvolution.evolve(targetPayload, batchPayload)
-    val physicalSchema = StructType(evolvedPayload.fields ++ Seq(
-      StructField(LsnCol, LongType, nullable = false),
-      StructField(Merge.TombCol, BooleanType, nullable = true)))
 
     val numBuckets = cur.numBuckets
     val present    = dedupedBatch.columns.toSet
@@ -87,18 +84,52 @@ object MergeOnRead {
     }
 
     val maxLsn = g("max_lsn")
-    table.commit(Manifest(
-      version = cur.version + 1,
-      parent = cur.version,
-      commitId = commitId,
-      batchId = batchId,
-      schemaJson = physicalSchema.json,
-      numBuckets = numBuckets,
-      watermarkLsn = math.max(cur.watermarkLsn, maxLsn),
-      rowCount = cur.rowCount,
-      files = cur.files,
-      deltaFiles = cur.deltaFiles ++ newDeltas,
-      deltaRows = cur.deltaRows + newDeltas.map(_.rows).sum))
+    // Optimistic concurrency: a delta APPEND commutes with any commit
+    // that landed since we read `cur` — the data files are already on
+    // disk under this commit's unique c-<id>.d prefix, so losing the
+    // version CAS race costs only a manifest rebase, never a data
+    // rewrite (Iceberg fast-append retry analog). Schema is re-evolved
+    // against the new head each attempt; a now-incompatible evolution
+    // aborts loudly. Bounded attempts: unbounded contention means the
+    // deployment violates the documented writer topology — fail, don't
+    // spin.
+    var attempt  = 0
+    var committed = false
+    while (!committed) {
+      val head = table.current.get
+      if (attempt > 0 && table.appliedCommitIds.contains(commitId)) {
+        // the same logical commit landed from a twin process — data
+        // files we wrote are orphans; vacuum sweeps them
+        committed = true
+      } else {
+        require(head.numBuckets == numBuckets,
+          s"concurrent rebucket: table now has ${head.numBuckets} buckets, batch bucketed for $numBuckets")
+        val headPayload = StructType(head.schema.fields.filterNot(f =>
+          Merge.InternalCols.contains(f.name)))
+        val (rebasedPayload, _) = SchemaEvolution.evolve(headPayload, batchPayload)
+        val rebasedSchema = StructType(rebasedPayload.fields ++ Seq(
+          StructField(LsnCol, LongType, nullable = false),
+          StructField(Merge.TombCol, BooleanType, nullable = true)))
+        try {
+          table.commit(Manifest(
+            version = head.version + 1,
+            parent = head.version,
+            commitId = commitId,
+            batchId = batchId,
+            schemaJson = rebasedSchema.json,
+            numBuckets = numBuckets,
+            watermarkLsn = math.max(head.watermarkLsn, maxLsn),
+            rowCount = head.rowCount,
+            files = head.files,
+            deltaFiles = head.deltaFiles ++ newDeltas,
+            deltaRows = head.deltaRows + newDeltas.map(_.rows).sum))
+          committed = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException if attempt < 20 =>
+            attempt += 1 // lost the CAS — rebase onto the new head
+        }
+      }
+    }
 
     // I/U/D counts here are the batch's op mix, not net effect on the
     // table (unknowable without the fold MOR defers by design).
@@ -448,35 +479,47 @@ object MergeOnRead {
     * @param expireTombstonesBelow drop tombstones with `_lsn` strictly
     *   below this LSN (safe once the source can no longer replay events
     *   older than it — the applied-LSN frontier). */
+  /** @param rebucketTo rewrite into this many hash buckets instead of the
+    *   table's current count — the bucket-count migration a growing table
+    *   eventually needs (file count and size per bucket track table
+    *   volume; at 100× the data the original count leaves each bucket
+    *   file 100× too large). One full rewrite, same cost shape as any
+    *   compaction; every later commit/lookup uses the new count from the
+    *   manifest. */
   def compact(
       table: SnapshotTable, commitId: String,
-      expireTombstonesBelow: Long = Long.MinValue): MergeStats = {
+      expireTombstonesBelow: Long = Long.MinValue,
+      rebucketTo: Option[Int] = None): MergeStats = {
     val t0  = System.nanoTime()
     val cur = table.current.getOrElse(
       throw new IllegalStateException("table has no snapshot"))
-    if (cur.deltaFiles.isEmpty && expireTombstonesBelow == Long.MinValue)
+    if (cur.deltaFiles.isEmpty && expireTombstonesBelow == Long.MinValue &&
+        rebucketTo.forall(_ == cur.numBuckets))
       return MergeStats(commitId, cur.version, skipped = true, 0, cur.rowCount,
         cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1,
         (System.nanoTime() - t0) / 1000000, Seq.empty)
 
+    val buckets = rebucketTo.getOrElse(cur.numBuckets)
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
     val resolved = resolve(table)
       .filter(
         !coalesce(col(Merge.TombCol), lit(false)) ||
           col(LsnCol) >= expireTombstonesBelow)
       .withColumn("_bucket",
-        pmod(xxhash64(col("doc_id")), lit(cur.numBuckets.toLong)).cast("int"))
-    val newFiles = table.writeDataFiles(resolved, commitId, cur.numBuckets)
+        pmod(xxhash64(col("doc_id")), lit(buckets.toLong)).cast("int"))
+    val newFiles = table.writeDataFiles(resolved, commitId, buckets)
     val newRows  = newFiles.map(_.rows).sum
     table.commit(cur.copy(
       version = cur.version + 1,
       parent = cur.version,
       commitId = commitId,
       batchId = -1L,
+      numBuckets = buckets,
       rowCount = newRows,
       files = newFiles,
       deltaFiles = Seq.empty,
       deltaRows = 0L))
-    MergeStats(commitId, cur.version + 1, skipped = false, cur.numBuckets,
+    MergeStats(commitId, cur.version + 1, skipped = false, buckets,
       cur.rowCount, newRows, 0, 0, 0, 0, 0, 0, -1, cur.watermarkLsn,
       (System.nanoTime() - t0) / 1000000, Seq.empty)
   }

@@ -69,4 +69,38 @@ object TableMaintenance {
       commitId: String, mode: String): MergeStats =
     if (mode == "mor") MergeOnRead(table, batch, commitId, batchId = -2L)
     else Merge(table, batch, commitId, batchId = -2L)
+
+  /** Migrate the table to a new hash-bucket count (one full rewrite via
+    * [[MergeOnRead.compact]]); the growth knob for a table whose per-
+    * bucket file size has outgrown the original count. All readers and
+    * writers pick the new count up from the manifest — the COW merge,
+    * MOR appends, point-lookup pruning, and the changelog view are all
+    * keyed off `manifest.numBuckets`, never a cached constant. */
+  def rebucket(table: SnapshotTable, newBuckets: Int, commitId: String): MergeStats =
+    MergeOnRead.compact(table, commitId, rebucketTo = Some(newBuckets))
+
+  /** Roll the table back to an earlier version: commits a NEW manifest
+    * whose state (files, deltas, schema, watermark) is the target
+    * version's — history is never rewritten, so the bad commits stay in
+    * the chain (and in the idempotence ledger: a stream REDELIVERY of a
+    * rolled-back batch is still skipped — rollback retracts state, it
+    * does not un-apply a delivery; replay the events at fresh LSNs to
+    * re-land them). O(1): no data files move. Pairs with
+    * [[MergeOnRead.changesSince]] for find-the-bad-batch forensics.
+    * The target's data files must not have been vacuumed. */
+  def rollbackTo(table: SnapshotTable, version: Long): MergeStats = {
+    val t0  = System.nanoTime()
+    val cur = table.current.getOrElse(
+      throw new IllegalStateException("table has no snapshot"))
+    require(version <= cur.version, s"cannot roll forward to $version")
+    val target = table.manifest(version)
+    table.commit(target.copy(
+      version = cur.version + 1,
+      parent = cur.version,
+      commitId = s"rollback-to-v$version",
+      batchId = -3L))
+    MergeStats(s"rollback-to-v$version", cur.version + 1, skipped = false,
+      0, cur.rowCount, target.rowCount, 0, 0, 0, 0, 0, 0, -1,
+      target.watermarkLsn, (System.nanoTime() - t0) / 1000000, Seq.empty)
+  }
 }

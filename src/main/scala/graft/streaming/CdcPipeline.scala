@@ -235,6 +235,16 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
       .filter(!coalesce(col(Merge.TombCol), lit(false)))
       .drop(Merge.InternalCols: _*)
 
+  /** Time travel: the same logical view AT an earlier committed version
+    * (manifests are immutable, so this is just a resolve against that
+    * version's file lists — no data copies). Versions whose data files
+    * were vacuumed fail on read, by design (Iceberg expire_snapshots
+    * tradeoff; see SnapshotTable.vacuum). */
+  def readTableAt(version: Long): DataFrame =
+    MergeOnRead.resolve(table, Some(version))
+      .filter(!coalesce(col(Merge.TombCol), lit(false)))
+      .drop(Merge.InternalCols: _*)
+
   /** Typed view of the authoritative table (the engine contract's
     * `Dataset[TokenDoc]`; `n_tok` downcast from the widened internal
     * long). A value above Int range — the exact case widening exists

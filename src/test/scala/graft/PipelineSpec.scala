@@ -262,6 +262,108 @@ class PipelineSpec extends SparkSpec {
     assert(byDoc == Map("doc1" -> "U", "doc3" -> "D"), s"COW diff wrong: $byDoc")
   }
 
+  test("time travel: readTableAt reconstructs an earlier version exactly") {
+    import graft.operators.{Conform, Dedup, Validate}
+    val base = tmpDir("tt")
+    val p    = mkPipeline(base, mode = "mor")
+    val ev   = CdcGenerator.events(spark, sf0001)
+    p.applyBatch(ev.filter(col("lsn") < CdcGenerator.LsnStride), 0L)
+    val v1       = p.table.currentVersion.get
+    val expected = p.readTable().collect().map(_.toSeq).toSet
+
+    p.applyBatch(ev.filter(col("lsn") >= CdcGenerator.LsnStride), 1L)
+    assert(p.table.currentVersion.get > v1)
+    // the later commit changed the current view...
+    assert(p.readTable().collect().map(_.toSeq).toSet != expected)
+    // ...but the old version reads back byte-identical
+    assert(p.readTableAt(v1).collect().map(_.toSeq).toSet == expected)
+    // and the old version's fold equals an oracle fold of only batch-0 events
+    val oracle = Dedup.lww(
+      Validate(Conform(ev.filter(col("lsn") < CdcGenerator.LsnStride)), "tt-oracle").valid)
+      .filter(col("op") =!= "D")
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+      .collect().map(_.toSeq).toSet
+    assert(p.readTableAt(v1)
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+      .collect().map(_.toSeq).toSet == oracle)
+  }
+
+  test("rollbackTo retracts state without rewriting history or the ledger") {
+    import graft.operators.TableMaintenance
+    val base = tmpDir("rollback")
+    val p    = mkPipeline(base, mode = "mor")
+    val ev   = CdcGenerator.events(spark, sf0001)
+    p.applyBatch(ev.filter(col("lsn") < CdcGenerator.LsnStride), 0L)
+    val v1   = p.table.currentVersion.get
+    val want = p.readTable().collect().map(_.toSeq).toSet
+
+    p.applyBatch(ev.filter(col("lsn") >= CdcGenerator.LsnStride), 1L) // "bad" commit
+    val s = TableMaintenance.rollbackTo(p.table, v1)
+    assert(!s.skipped)
+    // state is back, history is not rewritten: chain grew, ledger intact
+    assert(p.readTable().collect().map(_.toSeq).toSet == want)
+    assert(p.table.currentVersion.get > v1 + 1)
+    assert(p.table.appliedCommitIds.contains(p.commitIdFor(1L)),
+      "rolled-back batch must STAY in the idempotence ledger")
+    // watermark reset with the state: post-rollback maintenance commits
+    // (fresh LSN = watermark+1) land above the retained events
+    val del = TableMaintenance.deleteWhere(
+      p.table, col("doc_id").isNotNull, "post-rollback-purge", mode = "mor")
+    assert(!del.skipped)
+    assert(p.readTable().count() == 0L)
+  }
+
+  test("concurrent MOR appends: losing the version CAS rebases, no batch lost") {
+    import graft.operators.MergeOnRead
+    import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val base = tmpDir("race")
+    val p    = mkPipeline(base, mode = "mor")
+    val k    = 8
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(java.util.concurrent.Executors.newFixedThreadPool(k))
+    val done = Future.traverse((0 until k).toList) { i =>
+      Future {
+        val batch = Seq(
+          (1000L + i, "I", s"race-doc-$i", Some(Seq(i, i + 1)), Some(2L), s"src$i"))
+          .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+        MergeOnRead(p.table, batch, s"race-$i", 100L + i)
+      }
+    }
+    val stats = Await.result(done, 5.minutes)
+    assert(stats.forall(!_.skipped))
+    // every commit landed on its own version; nothing clobbered
+    assert(p.table.versions.size == k + 1, s"versions: ${p.table.versions}")
+    assert((0 until k).forall(i => p.table.appliedCommitIds.contains(s"race-$i")))
+    val docs = p.readTable().select("doc_id").as[String].collect().toSet
+    assert(docs == (0 until k).map(i => s"race-doc-$i").toSet)
+  }
+
+  test("rebucket migrates the hash-bucket count; state, lookups, commits survive") {
+    import graft.operators.TableMaintenance
+    val base = tmpDir("rebucket")
+    val p    = mkPipeline(base, mode = "mor") // created with 8 buckets
+    val ev   = CdcGenerator.events(spark, sf0001)
+    p.applyBatch(ev.filter(col("lsn") < CdcGenerator.LsnStride), 0L)
+    val want = p.readTable().collect().map(_.toSeq).toSet
+    val aDoc = p.readTable().select("doc_id").head().getString(0)
+
+    val s = TableMaintenance.rebucket(p.table, 32, "grow-32")
+    assert(!s.skipped)
+    assert(p.table.current.get.numBuckets == 32)
+    assert(p.table.current.get.files.forall(_.bucket < 32))
+    assert(p.readTable().collect().map(_.toSeq).toSet == want)
+    // point lookup prunes against the NEW count and still finds the doc
+    assert(p.lookup(aDoc).count() == 1L)
+    // later commits bucket for 32 and fold cleanly
+    p.applyBatch(ev.filter(col("lsn") >= CdcGenerator.LsnStride), 1L)
+    graft.operators.MergeOnRead.compact(p.table, "fold-after-grow")
+    assert(p.table.current.get.numBuckets == 32)
+    // rebucket to the same count is a ledgered no-op
+    assert(TableMaintenance.rebucket(p.table, 32, "grow-noop").skipped)
+  }
+
   test("orphan delete is a counted no-op, not an error (G3)") {
     import spark.implicits._
     val base = tmpDir("orphan")
