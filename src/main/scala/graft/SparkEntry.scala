@@ -214,6 +214,33 @@ object SparkEntry {
           col("n_tok"), col("source"))
         .orderBy(col("lsn"))
     }),
+    "q_maintenance_roundtrip" -> ((s, dir) => {
+      // Bad-batch recovery drill (S16+S17): apply both batches, roll the
+      // second back, re-land its events under a fresh commit id (the
+      // ledger rightly refuses the original id), then migrate the table
+      // to a larger bucket count. Final state must equal the
+      // straight-through merge — recovery leaves no residue.
+      import graft.operators.{Conform, Dedup, MergeOnRead, TableMaintenance, Validate}
+      val base = java.nio.file.Files.createTempDirectory("graft-mnt").toString
+      val p = new CdcPipeline(s, PipelineConfig(
+        tableRoot = s"$base/table",
+        changeLogDir = s"$base/changelog-unused",
+        checkpointDir = s"$base/checkpoint",
+        errorDir = s"$base/errors",
+        lineageDir = s"$base/lineage",
+        numBuckets = 16,
+        mode = "mor"))
+      val ev = CdcGenerator.events(s, dir)
+      p.applyBatch(ev.filter(col("lsn") < CdcGenerator.LsnStride), 0L)
+      val v1 = p.table.currentVersion.get
+      p.applyBatch(ev.filter(col("lsn") >= CdcGenerator.LsnStride), 1L)
+      TableMaintenance.rollbackTo(p.table, v1)
+      val replay = Dedup.lww(
+        Validate(Conform(ev.filter(col("lsn") >= CdcGenerator.LsnStride)), "b1-replay").valid)
+      MergeOnRead(p.table, replay, "b1-replay", batchId = 2L)
+      TableMaintenance.rebucket(p.table, 64, "grow-64")
+      finalState(p)
+    }),
     "q_cdc_errors" -> ((s, dir) => {
       val conformed = Conform(CdcGenerator.events(s, dir))
       Validate(conformed, "oracle-run").errors
@@ -728,6 +755,24 @@ object SparkEntry {
                    cast(n_tok AS bigint) AS n_tok, source
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
       "q_cdc_merge_state_mor" ->
+        s"""WITH evs AS ($ev),
+            valid AS (
+              SELECT * FROM evs
+              WHERE doc_id IS NOT NULL
+                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+            last AS (
+              SELECT doc_id,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens,
+                     max_by(n_tok, lsn) AS n_tok,
+                     max_by(source, lsn) AS source
+              FROM valid GROUP BY doc_id)
+            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
+                   cast(n_tok AS bigint) AS n_tok, source
+            FROM last WHERE op <> 'D' ORDER BY doc_id""",
+      "q_maintenance_roundtrip" ->
+        // rollback + replay + rebucket must be state-transparent: the
+        // oracle is the straight-through merged state
         s"""WITH evs AS ($ev),
             valid AS (
               SELECT * FROM evs
