@@ -113,8 +113,7 @@ object SparkEntry {
     * array<int> column crashes it (unhashable ndarray) — concat_ws keeps
     * the bytes checkable (DuckDB twin: array_to_string) without the
     * array type. Extra derived columns (enrichment) ride along sorted. */
-  private def finalState(p: CdcPipeline): DataFrame = {
-    val t = p.readTable()
+  private def stateProjection(t: DataFrame): DataFrame = {
     val extras = t.columns.toSeq
       .filterNot(Seq("doc_id", "tokens", "n_tok", "source").contains).sorted
     t.select(
@@ -123,12 +122,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** End-to-end pipeline over a fresh temp table; returns final state.
+  private def finalState(p: CdcPipeline): DataFrame = stateProjection(p.readTable())
+
+  /** The logical live view of a bare [[graft.table.SnapshotTable]]
+    * (same contract as CdcPipeline.readTable, for forked clones). */
+  private def liveView(t: graft.table.SnapshotTable): DataFrame = {
+    import graft.operators.{Merge, MergeOnRead}
+    MergeOnRead.resolve(t)
+      .filter(!coalesce(col(Merge.TombCol), lit(false)))
+      .drop(Merge.InternalCols: _*)
+  }
+
+  /** Streamed pipelines are built ONCE per (sf dir, mode) and treated as
+    * immutable from then on; queries that MUTATE table state work on a
+    * [[graft.table.SnapshotTable.shallowClone]] of the staged table —
+    * O(manifests) to fork, data files shared by reference — instead of
+    * re-streaming a table of their own (measured: each full pipeline
+    * fixture costs 7-14 s at sf0.1 in the bench; a fork costs ms). */
+  private val pipelineCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CdcPipeline]()
+
+  private def stagedPipeline(
+      spark: SparkSession, dir: String, mode: String): CdcPipeline =
+    pipelineCache.computeIfAbsent(s"$dir#$mode", _ => runPipeline(spark, dir, mode))
+
+  private def forkTable(
+      spark: SparkSession, dir: String, mode: String): graft.table.SnapshotTable = {
+    val dst = java.nio.file.Files.createTempDirectory("graft-fork").toString
+    stagedPipeline(spark, dir, mode).table.shallowClone(s"$dst/table")
+  }
+
+  /** End-to-end pipeline over a staged table; returns final state.
     * @param mode "cow" (rewrite touched buckets) or "mor" (delta files +
     *             read-time fold) — same final state either way. */
   private def cdcMergeState(
       spark: SparkSession, dir: String, mode: String = "cow"): DataFrame =
-    finalState(runPipeline(spark, dir, mode))
+    finalState(stagedPipeline(spark, dir, mode))
 
   private def docs(s: SparkSession, dir: String)  = s.read.parquet(s"$dir/documents.parquet")
   private def evts(s: SparkSession, dir: String)  = s.read.parquet(s"$dir/events.parquet")
@@ -163,23 +192,23 @@ object SparkEntry {
           concat_ws(",", col("tokens")).as("tokens_csv"), col("n_tok"), col("source"))
         .orderBy(col("lsn"))),
     "q_delete_where" -> ((s, dir) => {
-      // Table maintenance: stream the full pipeline, then retract two bad
-      // sources by predicate (tombstones at watermark+1 through the same
-      // MERGE path). MOR mode: the retraction itself is an O(matches)
-      // delta commit, not a table rewrite.
-      val p = runPipeline(s, dir, mode = "mor")
+      // Table maintenance: fork the staged table (shallow clone), then
+      // retract two bad sources by predicate (tombstones at watermark+1
+      // through the same MERGE path). MOR mode: the retraction itself is
+      // an O(matches) delta commit, not a table rewrite.
+      val t = forkTable(s, dir, mode = "mor")
       graft.operators.TableMaintenance.deleteWhere(
-        p.table, col("source").isin("src3", "src7"), "purge-src3-src7", mode = "mor")
-      finalState(p)
+        t, col("source").isin("src3", "src7"), "purge-src3-src7", mode = "mor")
+      stateProjection(liveView(t))
     }),
     "q_enrich_rewrite" -> ((s, dir) => {
       // Enrichment-only rewrite: UPDATE-only merge re-deriving a tier
       // column from a broadcast source dimension (reference analog:
       // update_address_point_grids.py:9-21). The added column evolves
       // the target schema additively.
-      val p = runPipeline(s, dir, mode = "cow")
+      val t = forkTable(s, dir, mode = "cow")
       graft.operators.TableMaintenance.enrichRewrite(
-        p.table, "enrich-tier", mode = "cow") { live =>
+        t, "enrich-tier", mode = "cow") { live =>
         val dim = live.select(col("source")).distinct()
           .withColumn("src_num", substring(col("source"), 4, 10).cast("int"))
           .withColumn("source_tier",
@@ -190,7 +219,7 @@ object SparkEntry {
           .drop("src_num")
         live.join(broadcast(dim), Seq("source"), "left")
       }
-      finalState(p)
+      stateProjection(liveView(t))
     }),
     "q_cdc_time_travel" -> ((s, dir) => {
       // Time travel (S8/S14 family): read the table AT the version
@@ -221,25 +250,16 @@ object SparkEntry {
       // to a larger bucket count. Final state must equal the
       // straight-through merge — recovery leaves no residue.
       import graft.operators.{Conform, Dedup, MergeOnRead, TableMaintenance, Validate}
-      val base = java.nio.file.Files.createTempDirectory("graft-mnt").toString
-      val p = new CdcPipeline(s, PipelineConfig(
-        tableRoot = s"$base/table",
-        changeLogDir = s"$base/changelog-unused",
-        checkpointDir = s"$base/checkpoint",
-        errorDir = s"$base/errors",
-        lineageDir = s"$base/lineage",
-        numBuckets = 16,
-        mode = "mor"))
-      val ev = CdcGenerator.events(s, dir)
-      p.applyBatch(ev.filter(col("lsn") < CdcGenerator.LsnStride), 0L)
-      val v1 = p.table.currentVersion.get
-      p.applyBatch(ev.filter(col("lsn") >= CdcGenerator.LsnStride), 1L)
-      TableMaintenance.rollbackTo(p.table, v1)
+      val f   = versionedFixture(s, dir)
+      val dst = java.nio.file.Files.createTempDirectory("graft-mnt").toString
+      val t   = f.pipeline.table.shallowClone(s"$dst/table")
+      val ev  = CdcGenerator.events(s, dir)
+      TableMaintenance.rollbackTo(t, f.v1)
       val replay = Dedup.lww(
         Validate(Conform(ev.filter(col("lsn") >= CdcGenerator.LsnStride)), "b1-replay").valid)
-      MergeOnRead(p.table, replay, "b1-replay", batchId = 2L)
-      TableMaintenance.rebucket(p.table, 64, "grow-64")
-      finalState(p)
+      MergeOnRead(t, replay, "b1-replay", batchId = 2L)
+      TableMaintenance.rebucket(t, 64, "grow-64")
+      stateProjection(liveView(t))
     }),
     "q_cdc_errors" -> ((s, dir) => {
       val conformed = Conform(CdcGenerator.events(s, dir))

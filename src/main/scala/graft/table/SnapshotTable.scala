@@ -259,6 +259,28 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Shallow clone (Delta/Iceberg snapshot-clone analog): copy the
+    * manifest chain — a handful of small JSON files — to `dstRoot` and
+    * share the immutable data files by reference (manifests carry
+    * absolute paths). New commits on the clone write their data under
+    * the clone's own root, so source and clone diverge freely without
+    * ever touching each other's files; the clone's [[vacuum]] walks only
+    * the clone's data dir and therefore cannot reclaim source files.
+    * O(versions), no data IO — the branch-and-experiment primitive
+    * (and the cheap way to fork a staged fixture in tests/benches).
+    * Caveat shared with time travel: vacuuming the SOURCE can reclaim
+    * files a clone still references — clones borrow the source's
+    * retention window. */
+  def shallowClone(dstRoot: String): SnapshotTable = {
+    val dstSnaps = Paths.get(dstRoot, "snapshots")
+    Files.createDirectories(dstSnaps)
+    versions.foreach { v =>
+      Files.copy(versionPath(v), dstSnaps.resolve(versionPath(v).getFileName),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    new SnapshotTable(spark, dstRoot)
+  }
+
   /** Garbage-collect data files referenced only by versions older than
     * the last `retainVersions` (default: current only). Manifests are
     * NEVER deleted — the manifest chain IS the exactly-once ledger, and

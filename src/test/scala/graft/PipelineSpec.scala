@@ -364,6 +364,40 @@ class PipelineSpec extends SparkSpec {
     assert(TableMaintenance.rebucket(p.table, 32, "grow-noop").skipped)
   }
 
+  test("shallowClone forks a table; commits on the clone never touch the source") {
+    import graft.operators.TableMaintenance
+    import graft.table.SnapshotTable
+    val base = tmpDir("clone")
+    val p    = mkPipeline(base, mode = "mor")
+    val ev   = CdcGenerator.events(spark, sf0001)
+    p.applyBatch(ev.filter(col("lsn") < CdcGenerator.LsnStride), 0L)
+    val srcState = p.readTable().collect().map(_.toSeq).toSet
+    val srcFiles = (p.table.current.get.files ++ p.table.current.get.deltaFiles)
+      .map(_.path).toSet
+
+    val clone = p.table.shallowClone(tmpDir("clone-dst"))
+    // clone starts identical, sharing data files by reference
+    assert(SnapshotTable.load(spark, clone.root).currentVersion == p.table.currentVersion)
+
+    // mutate the clone: delete everything, then verify divergence
+    TableMaintenance.deleteWhere(clone, col("doc_id").isNotNull, "clone-purge", mode = "mor")
+    import graft.operators.{Merge, MergeOnRead}
+    val cloneLive = MergeOnRead.resolve(clone)
+      .filter(!coalesce(col(Merge.TombCol), lit(false)))
+    assert(cloneLive.count() == 0L, "clone should be empty after purge")
+    assert(p.readTable().collect().map(_.toSeq).toSet == srcState,
+      "source must be untouched by clone commits")
+    // the clone's new files live under ITS root; source files untouched
+    val cloneNew = (clone.current.get.files ++ clone.current.get.deltaFiles)
+      .map(_.path).filterNot(srcFiles.contains)
+    assert(cloneNew.nonEmpty && cloneNew.forall(_.startsWith(clone.root)),
+      s"clone-written files must be under ${clone.root}")
+    // clone vacuum keeps shared source files (they are outside its data dir)
+    clone.vacuum(retainVersions = 1)
+    assert(p.readTable().collect().map(_.toSeq).toSet == srcState,
+      "source must survive clone vacuum")
+  }
+
   test("orphan delete is a counted no-op, not an error (G3)") {
     import spark.implicits._
     val base = tmpDir("orphan")
