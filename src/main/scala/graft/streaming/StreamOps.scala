@@ -69,6 +69,66 @@ object StreamOps {
         })
   }
 
+  /** [[docProgress]] with bounded state: event-time TTL via
+    * `EventTimeTimeout` — a doc idle past `ttl` (by WATERMARK, not the
+    * wall clock, so AvailableNow drains terminate) emits one final row
+    * with `evicted = true` and its state is removed; a later event for
+    * the same doc restarts its count from zero. This is the explicit
+    * state-GC pass the NoTimeout variant defers (the unbounded keyed
+    * state that would otherwise grow with total distinct keys ever
+    * seen — the thing that OOMs a year-old stream at scale). */
+  case class DocProgressTtl(
+      doc_id: String, n_events: Long, last_lsn: Long,
+      deleted: Boolean, evicted: Boolean)
+
+  def docProgressWithTtl(
+      spark: SparkSession,
+      events: DataFrame,
+      watermarkDelay: String = "30 seconds",
+      ttlMs: Long = 60000L): Dataset[DocProgressTtl] = {
+    import spark.implicits._
+    events
+      .filter(col("doc_id").isNotNull)
+      // the watermark column must SURVIVE into the stateful operator's
+      // input — projecting it away drops the watermark tag and the
+      // analyzer rejects EventTimeTimeout
+      .select(col("doc_id"), col("lsn"), col("op"), col("ingest_ts"))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .as[(String, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(
+        (docId: String, rows: Iterator[(String, Long, String, java.sql.Timestamp)],
+         state: GroupState[DocProgressTtl]) => {
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator(last.copy(evicted = true))
+          } else {
+            val prev = state.getOption.getOrElse(
+              DocProgressTtl(docId, 0L, Long.MinValue, deleted = false, evicted = false))
+            var maxTsMs = Long.MinValue
+            val next = rows.foldLeft(prev) { case (acc, (_, lsn, op, ts)) =>
+              maxTsMs = math.max(maxTsMs, ts.getTime)
+              DocProgressTtl(
+                docId,
+                acc.n_events + 1,
+                math.max(acc.last_lsn, lsn),
+                if (lsn >= acc.last_lsn) op == "D" else acc.deleted,
+                evicted = false)
+            }
+            state.update(next)
+            // expire once the WATERMARK passes last-seen + ttl; a group
+            // fed only late (sub-watermark) events must still get a
+            // FUTURE timeout — Spark rejects timestamps at/below the
+            // current watermark
+            state.setTimeoutTimestamp(
+              math.max(maxTsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator(next)
+          }
+        })
+  }
+
   /** Run [[docProgress]] over a streaming source to completion
     * (AvailableNow) into an in-memory table; returns the final per-doc
     * states. Update-mode sink: the LAST row per doc_id is its state. */

@@ -53,6 +53,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event-time TTL evicts idle keyed state and restarts evicted keys") {
+    val base = tmpDir("ttl")
+    val dir  = stageChangeLog(base)
+
+    // event times jump ~10,000 s between reps (ts = lsn/1000, rep stride
+    // 10M), so a 60 s TTL evicts any doc idle across a rep boundary once
+    // the watermark moves — deterministically, no wall clock involved
+    val q = StreamOps.docProgressWithTtl(spark, readStreamOf(dir), ttlMs = 60000L)
+      .writeStream
+      .format("memory").queryName("doc_prog_ttl")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val rows = spark.table("doc_prog_ttl").collect()
+    val evicted = rows.filter(_.getAs[Boolean]("evicted")).map(_.getAs[String]("doc_id"))
+    assert(evicted.nonEmpty, "no state evicted — TTL never fired")
+
+    // a doc with events AFTER its eviction restarts its count from zero:
+    // its max n_events over post-eviction rows < its total event count
+    val total = spark.read.schema(Conform.EventSchema).parquet(s"$dir/batch-*")
+      .filter(col("doc_id").isNotNull)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val reborn = rows.groupBy(_.getAs[String]("doc_id")).collect {
+      case (doc, rs) if rs.exists(_.getAs[Boolean]("evicted")) &&
+        total.getOrElse(doc, 0L) > 1L =>
+        doc -> rs.filterNot(_.getAs[Boolean]("evicted")).map(_.getAs[Long]("n_events")).max
+    }
+    val split = reborn.filter { case (doc, maxRun) => maxRun < total(doc) }
+    assert(split.nonEmpty,
+      "expected at least one evicted doc whose later events restarted the count")
+    // bounded-state invariant: nothing survives the whole stream uncounted
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") > 0L || r.getAs[Boolean]("evicted"))
+    }
+  }
+
   test("mapGroupsWithState doc progress ≡ batch fold over the same events") {
     val base = tmpDir("mgws")
     val dir  = stageChangeLog(base)
