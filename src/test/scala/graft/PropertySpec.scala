@@ -165,6 +165,83 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("maintenance state machine: random op interleaves match the oracle") {
+    // Random (seeded) interleaves of applyBatch / compact / rebucket /
+    // deleteWhere / rollbackTo against an oracle that models the table
+    // as (event multiset, derived watermark) per version. deleteWhere is
+    // modeled as synthetic D events at watermark+1 — exactly the
+    // engine's own mechanism — so post-delete rollbacks and later
+    // low-LSN arrivals exercise the same LWW algebra on both sides.
+    import graft.operators.{MergeOnRead, TableMaintenance}
+    val all = loadEvents().sortBy(_.getAs[Long]("lsn"))
+    val chunks = all.grouped(math.max(1, all.size / 5)).toSeq
+
+    def stateOf(evs: Seq[OracleFold.Ev]): Map[String, (Seq[Int], Long, String)] =
+      OracleFold.fold(evs).map { case (k, d) =>
+        k -> ((Option(d.tokens).map(_.toSeq).orNull, d.nTok, d.source))
+      }
+    def wmOf(evs: Seq[OracleFold.Ev]): Long =
+      evs.filter(OracleFold.valid).map(_.lsn).foldLeft(-1L)(math.max)
+
+    (0 until 2).foreach { trial =>
+      val rnd = new Random(1234 + trial)
+      val p = mkPipeline(tmpDir(s"sm-$trial"), mode = "mor")
+      var curEvs  = Seq.empty[OracleFold.Ev]
+      var pending = chunks
+      val history = scala.collection.mutable.ArrayBuffer(
+        (p.table.currentVersion.get, curEvs))
+      var batchId = 0L
+
+      (0 until 14).foreach { i =>
+        rnd.nextInt(5) match {
+          case 0 | 1 if pending.nonEmpty => // apply the next chunk
+            val rows = pending.head; pending = pending.tail
+            p.applyBatch(spark.createDataFrame(
+              spark.sparkContext.parallelize(rows, 2), eventSchema), batchId)
+            batchId += 1
+            curEvs = curEvs ++ toOracleEvs(rows)
+          case 2 => // fold deltas (state-neutral)
+            MergeOnRead.compact(p.table, s"sm$trial-c$i")
+          case 3 => // bucket migration (state-neutral)
+            TableMaintenance.rebucket(
+              p.table, Seq(4, 8, 16)(rnd.nextInt(3)), s"sm$trial-rb$i")
+          case 4 if history.size > 1 => // rollback to a recorded version
+            val (v, evs) = history(rnd.nextInt(history.size))
+            TableMaintenance.rollbackTo(p.table, v)
+            curEvs = evs
+          case _ => // deleteWhere on a live source (synthetic D at wm+1)
+            val live = OracleFold.fold(curEvs)
+            if (live.nonEmpty) {
+              val victim = live.values.map(_.source).toSeq.sorted.apply(0)
+              TableMaintenance.deleteWhere(
+                p.table, col("source") === victim, s"sm$trial-dw$i", mode = "mor")
+              val dlsn = wmOf(curEvs) + 1
+              curEvs = curEvs ++ live.collect {
+                case (doc, d) if d.source == victim =>
+                  OracleFold.Ev(dlsn, "D", doc, null, None, null)
+              }
+            }
+        }
+        history += ((p.table.currentVersion.get, curEvs))
+        assert(tableState(p) == stateOf(curEvs),
+          s"trial $trial op $i: engine/oracle state drift")
+      }
+      // time travel must still reproduce every RECORDED state (the
+      // interleave left no unreadable version behind)
+      history.distinctBy(_._1).foreach { case (v, evs) =>
+        val got = MergeOnRead.resolve(p.table, Some(v))
+          .filter(!coalesce(col("_tombstone"), lit(false)))
+          .collect().map { r =>
+            r.getAs[String]("doc_id") -> ((
+              Option(r.getAs[scala.collection.Seq[Int]]("tokens")).map(_.toSeq).orNull,
+              r.getAs[Long]("n_tok"),
+              r.getAs[String]("source")))
+          }.toMap
+        assert(got == stateOf(evs), s"trial $trial version $v time-travel drift")
+      }
+    }
+  }
+
   test("widened n_tok stays byte-equal through evolution (§7.4-6)") {
     import spark.implicits._
     val p = mkPipeline(tmpDir("widen"))
