@@ -743,6 +743,21 @@ object SparkEntry {
     }),
 
     // ════ multimodal plumbing ════
+    "q_multimodal_decode" -> ((s, dir) => {
+      // The full decode path (mapPartitions batch shape): header fields +
+      // frame-sampled feature reduction, flattened to scalars for the
+      // driver comparator. The decode itself is the documented
+      // deterministic stand-in (no codec libs in this image) — but the
+      // schema, partition parallelism, and batch shape are the real
+      // plumbing a codec would ride.
+      val dec = Multimodal.decode(s, Multimodal.synthesize(docs(s, dir))).toDF()
+      val featCols = (0 until 8).map(k =>
+        round(element_at(col("features"), k + 1), 4).as(s"f$k"))
+      dec.select(
+        Seq(col("doc_id"), col("media_type"), col("byte_len"),
+          col("width"), col("height"), col("n_frames")) ++ featCols: _*)
+        .orderBy(col("doc_id"))
+    }),
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.synthesize(docs(s, dir))
         .select(
@@ -1198,6 +1213,36 @@ object SparkEntry {
              FROM scored)
            SELECT q_id, rank, vec_id, round(raw, 4) AS score
            FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""",
+      "q_multimodal_decode" -> {
+        // byte k of the payload = ascii(char k+1): payload is the utf8
+        // encoding of pure-ASCII text (asserted against the corpus)
+        val slices = (0 until 8).map(k =>
+          s"[sampled[j] for j in range(${k + 1}, len(sampled)+1) if (j-1-$k)%8 = 0] AS sl$k")
+          .mkString(",\n                   ")
+        val feats = (0 until 8).map(k =>
+          s"CASE WHEN len(sl$k) = 0 THEN 0.0 ELSE round(list_sum(sl$k)/(255.0*len(sl$k)), 4) END AS f$k")
+          .mkString(",\n                   ")
+        s"""WITH m AS (
+              SELECT $docId AS doc_id,
+                     (['image','audio','video'])[cast(doc_id % 3 AS int) + 1] AS media_type,
+                     text, len(text) AS n
+              FROM documents),
+            b AS (
+              SELECT *,
+                [ascii(substr(text, i, 1)) for i in range(1, n+1) if (i-1)%16 = 0] AS sampled
+              FROM m),
+            c AS (
+              SELECT *,
+                   $slices
+              FROM b)
+            SELECT doc_id, media_type,
+                   cast(n AS int) AS byte_len,
+                   cast(CASE WHEN n >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS int) AS width,
+                   cast(CASE WHEN n >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END AS int) AS height,
+                   cast(len(sampled) AS int) AS n_frames,
+                   $feats
+            FROM c ORDER BY doc_id"""
+      },
       "q_multimodal_meta" ->
         s"""SELECT $docId AS doc_id,
                    (['image','audio','video'])[cast(doc_id % 3 AS int) + 1] AS media_type,

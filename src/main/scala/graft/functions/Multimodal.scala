@@ -23,7 +23,7 @@ object Multimodal {
       width: Int,
       height: Int,
       n_frames: Int,
-      features: Array[Float])
+      features: Array[Double])
 
   /** Synthesize a media table from documents: payload = utf8 bytes of the
     * text (stand-in for real image/audio bytes), media_type round-robin. */
@@ -43,9 +43,12 @@ object Multimodal {
     val p = m.payload
     def at(i: Int): Int = if (p.length > i) p(i) & 0xff else 0
     val sampled = p.indices.collect { case i if i % 16 == 0 => p(i) & 0xff }
+    // double math so the DuckDB oracle twin (double division) is
+    // bit-identical — a float quotient re-rounded to 4dp can cross a
+    // decimal boundary the double quotient doesn't
     val feats = Array.tabulate(8) { k =>
       val slice = sampled.drop(k).sliding(1, 8).flatten.toSeq
-      if (slice.isEmpty) 0f else slice.sum.toFloat / (255f * slice.size)
+      if (slice.isEmpty) 0.0 else slice.sum / (255.0 * slice.size)
     }
     DecodedMedia(
       m.doc_id, m.media_type,
