@@ -90,8 +90,9 @@ object SparkEntry {
   private val versionedCache =
     new java.util.concurrent.ConcurrentHashMap[String, VersionedFixture]()
 
-  private def versionedFixture(spark: SparkSession, dir: String): VersionedFixture =
-    versionedCache.computeIfAbsent(dir, _ => {
+  private def versionedFixture(
+      spark: SparkSession, dir: String, mode: String = "mor"): VersionedFixture =
+    versionedCache.computeIfAbsent(s"$dir#$mode", _ => {
       val base = java.nio.file.Files.createTempDirectory("graft-tt").toString
       val p = new CdcPipeline(spark, PipelineConfig(
         tableRoot = s"$base/table",
@@ -100,7 +101,7 @@ object SparkEntry {
         errorDir = s"$base/errors",
         lineageDir = s"$base/lineage",
         numBuckets = 16,
-        mode = "mor"))
+        mode = mode))
       val ev = CdcGenerator.events(spark, dir)
       p.applyBatch(ev.filter(col("lsn") < CdcGenerator.LsnStride), batchId = 0L)
       val v1 = p.table.currentVersion.get
@@ -240,7 +241,27 @@ object SparkEntry {
       graft.operators.MergeOnRead.changesSince(f.pipeline.table, f.v1)
         .select(col("lsn"), col("op"), col("doc_id"),
           concat_ws(",", col("tokens")).as("tokens_csv"),
-          col("n_tok"), col("source"))
+          col("n_tok"),
+          // contract: a tombstone carries key + lsn only — null the
+          // payload source so both changelog paths emit identical rows
+          when(col("op") === "D", lit(null: String))
+            .otherwise(col("source")).as("source"))
+        .orderBy(col("lsn"))
+    }),
+    "q_cdc_changes_cow" -> ((s, dir) => {
+      // The changesSince FALLBACK path: a COW join commit leaves no
+      // replayable delta files, so the range resolves by snapshot diff —
+      // rows whose _lsn exceeds the from-version's watermark. Must emit
+      // the IDENTICAL change set as the MOR delta replay (same oracle).
+      val f = versionedFixture(s, dir, mode = "cow")
+      graft.operators.MergeOnRead.changesSince(f.pipeline.table, f.v1)
+        .select(col("lsn"), col("op"), col("doc_id"),
+          concat_ws(",", col("tokens")).as("tokens_csv"),
+          col("n_tok"),
+          // contract: a tombstone carries key + lsn only — null the
+          // payload source so both changelog paths emit identical rows
+          when(col("op") === "D", lit(null: String))
+            .otherwise(col("source")).as("source"))
         .orderBy(col("lsn"))
     }),
     "q_maintenance_roundtrip" -> ((s, dir) => {
@@ -770,6 +791,35 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same tables, same column names). */
   def oracleSql: Map[String, String] = {
     val ev    = CdcGenerator.eventsSql
+    // shared by q_cdc_changes (MOR delta replay) and q_cdc_changes_cow
+    // (COW snapshot-diff fallback): both paths must emit the identical
+    // change set — the per-doc LWW winner among every valid event at or
+    // above the stride boundary (exactly what the second commit's delta
+    // files persist). max_by SKIPS null payloads, so when the winner is
+    // a D it surfaces the previous event's tokens — null them back out
+    // (a tombstone carries no payload).
+    val changesOracle =
+      s"""WITH evs AS (${CdcGenerator.eventsSql}),
+          valid AS (
+            SELECT * FROM evs
+            WHERE lsn >= ${CdcGenerator.LsnStride}
+              AND doc_id IS NOT NULL
+              AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+          last AS (
+            SELECT doc_id,
+                   max(lsn) AS lsn,
+                   max_by(op, lsn) AS op,
+                   max_by(tokens, lsn) AS tokens,
+                   max_by(n_tok, lsn) AS n_tok,
+                   max_by(source, lsn) AS source
+            FROM valid GROUP BY doc_id)
+          SELECT lsn, op, doc_id,
+                 CASE WHEN op = 'D' THEN ''
+                      ELSE coalesce(array_to_string(tokens, ','), '') END AS tokens_csv,
+                 CASE WHEN op = 'D' THEN NULL
+                      ELSE cast(n_tok AS bigint) END AS n_tok,
+                 CASE WHEN op = 'D' THEN NULL ELSE source END AS source
+          FROM last ORDER BY lsn"""
     val toks  = Tokenize.tokensSql("text")
     val docId = Tokenize.docIdSql("doc_id")
     Map(
@@ -842,35 +892,8 @@ object SparkEntry {
             SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
                    cast(n_tok AS bigint) AS n_tok, source
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
-      "q_cdc_changes" ->
-        // the second commit's replayable change set: per-doc LWW winner
-        // among every valid event at or above the stride boundary (that
-        // is exactly what the commit's delta files persist); D winners
-        // surface as tombstone rows with an empty payload
-        s"""WITH evs AS ($ev),
-            valid AS (
-              SELECT * FROM evs
-              WHERE lsn >= ${CdcGenerator.LsnStride}
-                AND doc_id IS NOT NULL
-                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
-            last AS (
-              SELECT doc_id,
-                     max(lsn) AS lsn,
-                     max_by(op, lsn) AS op,
-                     max_by(tokens, lsn) AS tokens,
-                     max_by(n_tok, lsn) AS n_tok,
-                     max_by(source, lsn) AS source
-              FROM valid GROUP BY doc_id)
-            -- max_by SKIPS null payloads, so when the winner is a D it
-            -- surfaces the previous event's tokens — null them back out
-            -- (a tombstone carries no payload)
-            SELECT lsn, op, doc_id,
-                   CASE WHEN op = 'D' THEN ''
-                        ELSE coalesce(array_to_string(tokens, ','), '') END AS tokens_csv,
-                   CASE WHEN op = 'D' THEN NULL
-                        ELSE cast(n_tok AS bigint) END AS n_tok,
-                   source
-            FROM last ORDER BY lsn""",
+      "q_cdc_changes" -> changesOracle,
+      "q_cdc_changes_cow" -> changesOracle,
       "q_delete_where" ->
         s"""WITH evs AS ($ev),
             valid AS (
