@@ -27,12 +27,20 @@ object BenchOne {
       .master(s"local[$cores]")
       .appName(s"graft-benchone-$mode-$cores")
       .config("spark.sql.shuffle.partitions", cores)
-    val spark = evDir.fold(b0)(d =>
+    val b1 = evDir.fold(b0)(d =>
       b0.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", d))
+    // GRAFT_CONF="k=v,k=v" — ad-hoc conf probes for diagnostics
+    val b2 = sys.env.get("GRAFT_CONF").map(_.split(",").toSeq).getOrElse(Seq.empty)
+      .filter(_.contains("="))
+      .foldLeft(b1) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
+    val spark = b2
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", classOf[graft.table.NoForkLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -63,6 +71,13 @@ object BenchOne {
 
     val sec = runOnce(spark, changeLog, batches, buckets, mode)
     println(f"BENCHONE mode=$mode cores=$cores events=$nEvents sec=$sec%.2f eps=${nEvents / sec}%.1f")
+    // GRAFT_TWICE: repeat the identical run in the SAME JVM/session on a
+    // fresh table dir — separates session/JVM accumulation (run 2 starts
+    // slow) from table-state effects (run 2 repeats run 1's profile)
+    if (sys.env.contains("GRAFT_TWICE")) {
+      val sec2 = runOnce(spark, changeLog, batches, buckets, mode)
+      println(f"BENCHONE run2 mode=$mode sec=$sec2%.2f eps=${nEvents / sec2}%.1f")
+    }
     spark.stop()
   }
 
@@ -79,9 +94,27 @@ object BenchOne {
       numBuckets = buckets,
       mode = mode,
       compactThreshold = Double.PositiveInfinity))
+    def gcMs(): Long = {
+      import scala.collection.JavaConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
+    val clock = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    if (sys.env.contains("GRAFT_TIMING"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          clock.addAndGet(e.taskInfo.duration); tasks.incrementAndGet(); ()
+        }
+      })
     val t0 = System.nanoTime()
     (0 until batches).foreach { b =>
-      p.applyBatch(spark.read.parquet(f"$changeLog/batch-$b%05d"), b.toLong)
+      val g0 = gcMs(); val c0 = clock.get(); val k0 = tasks.get()
+      val s = p.applyBatch(spark.read.parquet(f"$changeLog/batch-$b%05d"), b.toLong)
+      if (sys.env.contains("GRAFT_GC")) System.gc() // diagnostic: force ContextCleaner
+      if (sys.env.contains("GRAFT_TIMING"))
+        System.err.println(s"[benchone] batch=$b wallMs=${s.wallMs} gcMs=${gcMs() - g0} " +
+          s"taskMs=${clock.get() - c0} tasks=${tasks.get() - k0} ins=${s.inserted} upd=${s.updated}")
     }
     if (mode == "mor") { MergeOnRead.compact(p.table, "final"); () }
     (System.nanoTime() - t0) / 1e9
