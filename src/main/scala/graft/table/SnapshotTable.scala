@@ -71,6 +71,21 @@ case class Manifest(
 final class SnapshotTable(val spark: SparkSession, val root: String) {
   private val mapper = new ObjectMapper()
 
+  /** Files.list/walk return an open directory stream that MUST be
+    * closed — draining the iterator does not release the fd. Unclosed,
+    * every listing leaks one descriptor; at 10k bucket dirs per commit
+    * that exhausts the process fd limit within two commits (measured:
+    * EMFILE at batch 2 of a 10k-bucket run). */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private def walkDir(p: Path): Seq[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def snapDir: Path = Paths.get(root, "snapshots")
 
   // ---- manifest serialization (hand-rolled JSON via Jackson trees) ----
@@ -131,12 +146,12 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
   def versions: Seq[Long] =
     if (!Files.isDirectory(snapDir)) Seq.empty
     else
-      Files.list(snapDir).iterator().asScala
+      listDir(snapDir)
         .map(_.getFileName.toString)
         .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
           s.stripPrefix("v").stripSuffix(".json").toLong
         }
-        .toSeq.sorted
+        .sorted
 
   def currentVersion: Option[Long] = versions.lastOption
 
@@ -252,14 +267,14 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     // driver-side fixed cost (numBuckets sequential file opens).
     if (!Files.isDirectory(dir)) Seq.empty
     else {
-      val paths = Files.list(dir).iterator().asScala
+      val paths = listDir(dir)
         .filter(p => p.getFileName.toString.startsWith("_bucket="))
         .flatMap { bdir =>
           val bucket = bdir.getFileName.toString.stripPrefix("_bucket=").toInt
-          Files.list(bdir).iterator().asScala
+          listDir(bdir)
             .filter(_.getFileName.toString.endsWith(".parquet"))
             .map(f => (f, bucket))
-        }.toSeq
+        }
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -317,11 +332,10 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return (0, live.size)
     var deleted = 0
-    Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach { p =>
+    walkDir(dataDir).reverse.foreach { p =>
       if (Files.isRegularFile(p) && !live.contains(p.toAbsolutePath.normalize)) {
         Files.delete(p); deleted += 1
-      } else if (Files.isDirectory(p) && p != dataDir &&
-          !Files.list(p).iterator().hasNext) {
+      } else if (Files.isDirectory(p) && p != dataDir && listDir(p).isEmpty) {
         Files.delete(p)
       }
     }
@@ -335,14 +349,13 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     * ships in /opt/spark/jars. */
   private def parquetFooterStats(p: Path): (Long, Option[String], Option[String]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
-    // shared Configuration: constructing one per file re-parses the
-    // Hadoop XML resources — measured as the bulk of the 1.4 s/commit
-    // footer pass at 1024 files
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri), SnapshotTable.hadoopConf)
-    val r = ParquetFileReader.open(in)
+    // NIO InputFile + one SHARED ParquetReadOptions: the default
+    // open(InputFile) builds fresh options — which constructs a Hadoop
+    // Configuration (full XML re-parse) PER FILE. Measured: 6.5 s per
+    // 10k-file commit through the default path vs ~0.1 ms/file raw IO.
+    val in = new org.apache.parquet.io.LocalInputFile(p)
+    val r = ParquetFileReader.open(in, SnapshotTable.footerReadOptions)
     try {
       val blocks = r.getFooter.getBlocks
       var minK: String = null
@@ -373,9 +386,12 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
 
 object SnapshotTable {
 
-  /** One Configuration for all footer reads (thread-safe for reads). */
-  private[table] lazy val hadoopConf =
-    new org.apache.hadoop.conf.Configuration()
+  /** Shared, immutable read options for footer-stat reads — Hadoop-free
+    * (PlainParquetConfiguration), built once. */
+  private[table] lazy val footerReadOptions =
+    org.apache.parquet.ParquetReadOptions
+      .builder(new org.apache.parquet.conf.PlainParquetConfiguration())
+      .build()
 
   /** probes(b) murmur3-hashes (seed 42, int) into partition b of an
     * n-way HashPartitioning — the driver-side inverse table that turns
