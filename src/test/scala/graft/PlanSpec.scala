@@ -341,10 +341,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("identity probes invert murmur3 exactly (one reduce task per bucket)") {
-    // the exchange-free write/fold paths rely on probe(b) landing in
-    // partition b of an n-way HashPartitioning — verify the inversion for
-    // several bucket counts including the 10k design point
+  test("identity probes invert murmur3 exactly (one reduce slot per residue class)") {
+    // the exchange-free write/fold paths rely on probe(s) landing in
+    // partition s of a W-way HashPartitioning (W = capped write-task
+    // count; each slot owns the bucket residue class {s, s+W, ...}) —
+    // verify the inversion for several widths including 10k
     import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
     import org.apache.spark.sql.types.IntegerType
     for (n <- Seq(2, 16, 64, 1024, 10000)) {
@@ -355,6 +356,26 @@ class PlanSpec extends SparkSpec {
         assert(((h % n) + n) % n == b, s"probe for bucket $b of $n does not invert")
       }
     }
+  }
+
+  test("changesSince delta replay is a pure file read: no exchange, no join") {
+    import graft.ingest.CdcGenerator
+    import graft.operators.MergeOnRead
+    import graft.streaming.{CdcPipeline, PipelineConfig}
+    val base = tmpDir("cdcoutplan")
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/table", changeLogDir = s"$base/changelog",
+      checkpointDir = s"$base/checkpoint", errorDir = s"$base/errors",
+      lineageDir = s"$base/lineage", numBuckets = 8, mode = "mor",
+      compactThreshold = Double.PositiveInfinity))
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 2)
+    val stats = p.runAvailableNow()
+    val changes = MergeOnRead.changesSince(p.table, stats.head.version)
+    changes.collect()
+    val plan = changes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"O(changes) replay must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"replay must not join:\n$plan")
   }
 
   test("snapshot commit is compare-and-swap: a version can be claimed once") {
