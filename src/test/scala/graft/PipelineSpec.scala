@@ -398,6 +398,38 @@ class PipelineSpec extends SparkSpec {
       "source must survive clone vacuum")
   }
 
+  test("capped write tasks preserve the one-file-per-bucket layout (W < numBuckets)") {
+    // test session is local[4] → write-task cap W = 16, so a 64-bucket
+    // table routes four bucket residue classes through each task —
+    // the layout contract (one file per non-empty bucket, correct
+    // bucket ids, pruned lookups) must be indistinguishable from the
+    // one-task-per-bucket regime
+    import graft.operators.MergeOnRead
+    val base = tmpDir("cap")
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/table", changeLogDir = s"$base/changelog",
+      checkpointDir = s"$base/checkpoint", errorDir = s"$base/errors",
+      lineageDir = s"$base/lineage", numBuckets = 64, mode = "cow"))
+    val ev = CdcGenerator.events(spark, sf0001)
+    p.applyBatch(ev, 0L)
+    val m = p.table.current.get
+    assert(m.numBuckets == 64)
+    // one file per non-empty bucket; every row in a file hashes to it
+    val byBucket = m.files.groupBy(_.bucket)
+    assert(byBucket.forall(_._2.size == 1), "multiple files for one bucket")
+    assert(m.files.map(_.bucket).forall(b => b >= 0 && b < 64))
+    byBucket.keySet.take(3).foreach { b =>
+      val rows = p.table.readFiles(byBucket(b), m.schema)
+        .select(MergeOnRead.bucketOf(col("doc_id"), 64).as("h")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(rows == Set(b), s"file for bucket $b holds rows of $rows")
+    }
+    // pruned point lookup and full state both correct
+    val aDoc = p.readTable().select("doc_id").head().getString(0)
+    assert(p.lookup(aDoc).count() == 1L)
+    assert(p.readTable().count() == p.readTable().select("doc_id").distinct().count())
+  }
+
   test("orphan delete is a counted no-op, not an error (G3)") {
     import spark.implicits._
     val base = tmpDir("orphan")
