@@ -29,18 +29,19 @@ object BenchOne {
       .config("spark.sql.shuffle.partitions", cores)
     val b1 = evDir.fold(b0)(d =>
       b0.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", d))
-    // GRAFT_CONF="k=v,k=v" — ad-hoc conf probes for diagnostics
-    val b2 = sys.env.get("GRAFT_CONF").map(_.split(",").toSeq).getOrElse(Seq.empty)
-      .filter(_.contains("="))
-      .foldLeft(b1) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2); b.config(k, v)
-      }
-    val spark = b2
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.file.impl", classOf[graft.table.NoForkLocalFileSystem].getName)
+    // GRAFT_CONF="k=v,k=v" — ad-hoc conf probes for diagnostics; applied
+    // LAST so a probe can override any of the defaults above (that is
+    // its whole purpose — e.g. measuring the stock fs.file.impl)
+    val spark = sys.env.get("GRAFT_CONF").map(_.split(",").toSeq).getOrElse(Seq.empty)
+      .filter(_.contains("="))
+      .foldLeft(b1) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

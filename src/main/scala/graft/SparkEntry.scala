@@ -127,12 +127,8 @@ object SparkEntry {
 
   /** The logical live view of a bare [[graft.table.SnapshotTable]]
     * (same contract as CdcPipeline.readTable, for forked clones). */
-  private def liveView(t: graft.table.SnapshotTable): DataFrame = {
-    import graft.operators.{Merge, MergeOnRead}
-    MergeOnRead.resolve(t)
-      .filter(!coalesce(col(Merge.TombCol), lit(false)))
-      .drop(Merge.InternalCols: _*)
-  }
+  private def liveView(t: graft.table.SnapshotTable): DataFrame =
+    graft.operators.MergeOnRead.liveView(t)
 
   /** Streamed pipelines are built ONCE per (sf dir, mode) and treated as
     * immutable from then on; queries that MUTATE table state work on a
@@ -813,7 +809,8 @@ object SparkEntry {
                    max_by(n_tok, lsn) AS n_tok,
                    max_by(source, lsn) AS source
             FROM valid GROUP BY doc_id)
-          SELECT lsn, op, doc_id,
+          -- changesSince normalizes op to the upsert contract: U | D
+          SELECT lsn, CASE WHEN op = 'D' THEN 'D' ELSE 'U' END AS op, doc_id,
                  CASE WHEN op = 'D' THEN ''
                       ELSE coalesce(array_to_string(tokens, ','), '') END AS tokens_csv,
                  CASE WHEN op = 'D' THEN NULL

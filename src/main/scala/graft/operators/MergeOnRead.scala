@@ -74,7 +74,16 @@ object MergeOnRead {
       min(col("lsn")).as("min_lsn"),
       max(col("lsn")).as("max_lsn"))
 
-    val newDeltas = table.writeDataFiles(observed, s"$commitId.d", numBuckets)
+    // Writer-unique data dir (c-<id>.<nonce>.d): a twin process
+    // delivering the same logical commit must not share an output
+    // directory — mode=overwrite in a shared dir would let the CAS
+    // loser delete the winner's already-committed files and then
+    // report success. With per-writer dirs the loser's files are true
+    // orphans (vacuum sweeps them); the winner's manifest only ever
+    // references its own.
+    val nonce = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffL)
+    val newDeltas = table.writeDataFiles(observed, s"$commitId.$nonce.d", numBuckets)
     val m         = obs.get
     def g(k: String): Long = m.get(k) match {
       case Some(null)      => -1L
@@ -95,12 +104,17 @@ object MergeOnRead {
     // spin.
     var attempt  = 0
     var committed = false
+    var committedVersion = -1L
+    var twinLanded = false
     while (!committed) {
       val head = table.current.get
       if (attempt > 0 && table.appliedCommitIds.contains(commitId)) {
-        // the same logical commit landed from a twin process — data
-        // files we wrote are orphans; vacuum sweeps them
+        // the same logical commit landed from a twin process — OUR data
+        // files (unique nonce dir) are orphans; vacuum sweeps them.
+        // This writer committed nothing: report it as a ledger skip.
         committed = true
+        twinLanded = true
+        committedVersion = head.version
       } else {
         require(head.numBuckets == numBuckets,
           s"concurrent rebucket: table now has ${head.numBuckets} buckets, batch bucketed for $numBuckets")
@@ -124,6 +138,7 @@ object MergeOnRead {
             deltaFiles = head.deltaFiles ++ newDeltas,
             deltaRows = head.deltaRows + newDeltas.map(_.rows).sum))
           committed = true
+          committedVersion = head.version + 1
         } catch {
           case _: java.nio.file.FileAlreadyExistsException if attempt < 20 =>
             attempt += 1 // lost the CAS — rebase onto the new head
@@ -131,17 +146,24 @@ object MergeOnRead {
       }
     }
 
-    // I/U/D counts here are the batch's op mix, not net effect on the
-    // table (unknowable without the fold MOR defers by design).
-    MergeStats(
-      commitId, cur.version + 1, skipped = false,
-      newDeltas.map(_.bucket).distinct.size,
-      cur.rowCount, cur.rowCount,
-      inserted = g("inserted"), updated = g("updated"), deleted = g("deleted"),
-      deleteNoops = 0, staleEvents = 0,
-      batchEvents = g("batch_events"), minLsn = g("min_lsn"), maxLsn = maxLsn,
-      wallMs = (System.nanoTime() - t0) / 1000000,
-      schemaChanges = changes.map(_.toString))
+    if (twinLanded)
+      MergeStats(commitId, committedVersion, skipped = true, 0,
+        cur.rowCount, cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1,
+        (System.nanoTime() - t0) / 1000000, Seq.empty)
+    else
+      // I/U/D counts here are the batch's op mix, not net effect on the
+      // table (unknowable without the fold MOR defers by design).
+      // version = the ACTUALLY committed version (post-rebase), not the
+      // pre-loop head + 1 — changesSince(stats.version) depends on it.
+      MergeStats(
+        commitId, committedVersion, skipped = false,
+        newDeltas.map(_.bucket).distinct.size,
+        cur.rowCount, cur.rowCount,
+        inserted = g("inserted"), updated = g("updated"), deleted = g("deleted"),
+        deleteNoops = 0, staleEvents = 0,
+        batchEvents = g("batch_events"), minLsn = g("min_lsn"), maxLsn = maxLsn,
+        wallMs = (System.nanoTime() - t0) / 1000000,
+        schemaChanges = changes.map(_.toString))
   }
 
   /** Resolved (fully merged) view of a snapshot: base ∪ deltas → LWW by
@@ -274,15 +296,22 @@ object MergeOnRead {
     else {
       // many dirty buckets: one exchange over the dirty slice only,
       // keyed on the bucket id through the identity-probe remap (equal
-      // bucket → one partition; doc_id is never a shuffle key)
-      val probes = graft.table.SnapshotTable.identityProbes(m.numBuckets)
+      // bucket → one partition slot; doc_id is never a shuffle key).
+      // Width is capped like the write path: at high bucket counts a
+      // 1:1 bucket→task fold schedules thousands of near-empty tasks;
+      // a residue-class slot still co-locates every row of a doc_id
+      // (bucket → slot is a function of the bucket), which is all the
+      // partition-local LWW needs.
       val withB = eventsOf(
         table.readFiles(baseFiles, m.schema),
         table.readFiles(deltaFiles, deltaSchema))
         .withColumn("_b", bucketOf(col("doc_id"), m.numBuckets))
+      val para = withB.sparkSession.sparkContext.defaultParallelism
+      val w    = math.min(m.numBuckets, math.max(1, para * 4))
+      val probes = graft.table.SnapshotTable.identityProbes(w)
       localLww(
         withB
-          .repartition(m.numBuckets, element_at(lit(probes), col("_b") + 1))
+          .repartition(w, element_at(lit(probes), pmod(col("_b"), lit(w)) + 1))
           .drop("_b"),
         payloadFields, classified)
     }
@@ -410,7 +439,11 @@ object MergeOnRead {
   }
 
   /** CDC-out: the change events applied BETWEEN two snapshot versions,
-    * as (payload…, lsn, op) rows — the engine's own changelog view
+    * as (payload…, lsn, op) rows with UPSERT semantics — op is 'U'
+    * (upsert: insert-or-update) or 'D' (delete), never 'I', because the
+    * snapshot-diff fallback below cannot reconstruct insert-vs-update
+    * and both paths must emit identical change sets. The engine's own
+    * changelog view
     * (Iceberg incremental-scan analog), letting downstream consumers tail
     * this table the way this engine tails its source.
     *
@@ -459,8 +492,14 @@ object MergeOnRead {
         Seq(StructField("lsn", LongType, nullable = false),
           StructField("op", StringType, nullable = false)))
     if (deltaOnly)
+      // op is normalized to the UPSERT contract (U | D) on BOTH paths:
+      // the snapshot-diff fallback cannot distinguish an insert from an
+      // update (state carries no was-insert flag), so the delta replay
+      // must not either — the two paths must emit identical change sets
+      // for the same range regardless of which commits happen to be in it
       table.readFiles(stepFiles, deltaSchema)
-        .select(payloadCols.map(col) :+ col("lsn") :+ col("op"): _*)
+        .select(payloadCols.map(col) :+ col("lsn") :+
+          when(col("op") === "D", lit("D")).otherwise(lit("U")).as("op"): _*)
     else {
       // COW commits in range: exact snapshot diff via the LSN watermark —
       // a row changed in (from, to] iff its _lsn exceeds from's watermark
@@ -523,6 +562,15 @@ object MergeOnRead {
       cur.rowCount, newRows, 0, 0, 0, 0, 0, 0, -1, cur.watermarkLsn,
       (System.nanoTime() - t0) / 1000000, Seq.empty)
   }
+
+  /** The authoritative LOGICAL view of a table (at a version): resolved
+    * (base ∪ deltas, LWW), winning tombstones filtered, internal columns
+    * stripped. The single definition of "the live table" — pipeline
+    * reads, time travel, and bare-table forks all route through it. */
+  def liveView(table: SnapshotTable, version: Option[Long] = None): DataFrame =
+    resolve(table, version)
+      .filter(!coalesce(col(Merge.TombCol), lit(false)))
+      .drop(Merge.InternalCols: _*)
 
   /** Column helper shared with tests. */
   def bucketOf(docId: Column, numBuckets: Int): Column =

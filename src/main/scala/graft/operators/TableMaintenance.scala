@@ -93,13 +93,23 @@ object TableMaintenance {
     val cur = table.current.getOrElse(
       throw new IllegalStateException("table has no snapshot"))
     require(version <= cur.version, s"cannot roll forward to $version")
+    if (version == cur.version)
+      // already there — a duplicate of the current manifest would add a
+      // no-op commit and (worse) a duplicate commitId to the ledger
+      return MergeStats(s"rollback-to-v$version", cur.version, skipped = true,
+        0, cur.rowCount, cur.rowCount, 0, 0, 0, 0, 0, 0, -1,
+        cur.watermarkLsn, (System.nanoTime() - t0) / 1000000, Seq.empty)
+    // from-version suffix keeps commitIds unique when the same target is
+    // rolled back to more than once (the chain doubles as the
+    // exactly-once ledger, so ids must never repeat)
+    val commitId = s"rollback-to-v$version-from-v${cur.version}"
     val target = table.manifest(version)
     table.commit(target.copy(
       version = cur.version + 1,
       parent = cur.version,
-      commitId = s"rollback-to-v$version",
+      commitId = commitId,
       batchId = -3L))
-    MergeStats(s"rollback-to-v$version", cur.version + 1, skipped = false,
+    MergeStats(commitId, cur.version + 1, skipped = false,
       0, cur.rowCount, target.rowCount, 0, 0, 0, 0, 0, 0, -1,
       target.watermarkLsn, (System.nanoTime() - t0) / 1000000, Seq.empty)
   }

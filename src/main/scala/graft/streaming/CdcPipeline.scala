@@ -156,14 +156,18 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     import spark.implicits._
     val cur = table.current
     // exact dir match — a bare prefix would conflate commit b1 with b10.
-    // A COW apply writes under both c-<id>.d (delta) and c-<id>.fold
-    // (folded base); count each bucket once, preferring the folded file.
+    // A COW apply writes under both c-<id>.<nonce>.d (delta) and
+    // c-<id>.fold (folded base); count each bucket once, preferring the
+    // folded file. Delta dirs carry a writer-unique nonce (see
+    // MergeOnRead.apply), hence the regex.
     val all = cur.toSeq.flatMap(m => m.files ++ m.deltaFiles)
+    val deltaDir = ("/c-" + java.util.regex.Pattern.quote(s.commitId) +
+      "(\\.[0-9a-f]+)?\\.d/").r
     val foldFiles  = all.filter(_.path.contains(s"/c-${s.commitId}.fold/"))
     val foldedB    = foldFiles.map(_.bucket).toSet
     val commitFiles = foldFiles ++ all.filter(f =>
       (f.path.contains(s"/c-${s.commitId}/") ||
-        f.path.contains(s"/c-${s.commitId}.d/")) && !foldedB.contains(f.bucket))
+        deltaDir.findFirstIn(f.path).isDefined) && !foldedB.contains(f.bucket))
     val skew =
       if (commitFiles.isEmpty) 1.0
       else {
@@ -230,10 +234,7 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
 
   /** The authoritative table, logical view: delta-resolved (MOR),
     * tombstones filtered, internal columns stripped. */
-  def readTable(): DataFrame =
-    MergeOnRead.resolve(table)
-      .filter(!coalesce(col(Merge.TombCol), lit(false)))
-      .drop(Merge.InternalCols: _*)
+  def readTable(): DataFrame = MergeOnRead.liveView(table)
 
   /** Time travel: the same logical view AT an earlier committed version
     * (manifests are immutable, so this is just a resolve against that
@@ -241,9 +242,7 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     * were vacuumed fail on read, by design (Iceberg expire_snapshots
     * tradeoff; see SnapshotTable.vacuum). */
   def readTableAt(version: Long): DataFrame =
-    MergeOnRead.resolve(table, Some(version))
-      .filter(!coalesce(col(Merge.TombCol), lit(false)))
-      .drop(Merge.InternalCols: _*)
+    MergeOnRead.liveView(table, Some(version))
 
   /** Typed view of the authoritative table (the engine contract's
     * `Dataset[TokenDoc]`; `n_tok` downcast from the widened internal
