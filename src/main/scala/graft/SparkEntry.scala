@@ -207,7 +207,10 @@ object SparkEntry {
       graft.operators.TableMaintenance.enrichRewrite(
         t, "enrich-tier", mode = "cow") { live =>
         val dim = live.select(col("source")).distinct()
-          .withColumn("src_num", substring(col("source"), 4, 10).cast("int"))
+          // try_cast, not cast: ANSI mode hard-errors on an unparsable
+          // source (e.g. Conform's 'unknown' default) — map it to the
+          // 'unclassified' tier instead, mirrored in the oracle
+          .withColumn("src_num", expr("try_cast(substring(source, 4, 10) AS int)"))
           .withColumn("source_tier",
             when(col("src_num").isNull, lit("unclassified"))
               .when(col("src_num") % 3 === 0, lit("gold"))
@@ -924,9 +927,10 @@ object SparkEntry {
               FROM valid GROUP BY doc_id)
             SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
                    cast(n_tok AS bigint) AS n_tok, source,
-                   CASE cast(substr(source, 4) AS int) % 3
-                     WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
-                     ELSE 'bronze' END AS source_tier
+                   CASE WHEN TRY_CAST(substr(source, 4) AS int) IS NULL THEN 'unclassified'
+                        WHEN TRY_CAST(substr(source, 4) AS int) % 3 = 0 THEN 'gold'
+                        WHEN TRY_CAST(substr(source, 4) AS int) % 3 = 1 THEN 'silver'
+                        ELSE 'bronze' END AS source_tier
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
       "q_cdc_events" ->
         // coalesce('') twins Spark's concat_ws, which is never null (a D

@@ -106,6 +106,10 @@ object MergeOnRead {
     var committed = false
     var committedVersion = -1L
     var twinLanded = false
+    // schema changes of the attempt that ACTUALLY commits — a rebase onto
+    // a head that already evolved reports the residual changes, not the
+    // pre-loop evolution computed against the stale head
+    var committedChanges = changes
     while (!committed) {
       val head = table.current.get
       if (attempt > 0 && table.appliedCommitIds.contains(commitId)) {
@@ -120,7 +124,7 @@ object MergeOnRead {
           s"concurrent rebucket: table now has ${head.numBuckets} buckets, batch bucketed for $numBuckets")
         val headPayload = StructType(head.schema.fields.filterNot(f =>
           Merge.InternalCols.contains(f.name)))
-        val (rebasedPayload, _) = SchemaEvolution.evolve(headPayload, batchPayload)
+        val (rebasedPayload, rebasedChanges) = SchemaEvolution.evolve(headPayload, batchPayload)
         val rebasedSchema = StructType(rebasedPayload.fields ++ Seq(
           StructField(LsnCol, LongType, nullable = false),
           StructField(Merge.TombCol, BooleanType, nullable = true)))
@@ -139,6 +143,7 @@ object MergeOnRead {
             deltaRows = head.deltaRows + newDeltas.map(_.rows).sum))
           committed = true
           committedVersion = head.version + 1
+          committedChanges = rebasedChanges
         } catch {
           case _: java.nio.file.FileAlreadyExistsException if attempt < 20 =>
             attempt += 1 // lost the CAS — rebase onto the new head
@@ -163,7 +168,7 @@ object MergeOnRead {
         deleteNoops = 0, staleEvents = 0,
         batchEvents = g("batch_events"), minLsn = g("min_lsn"), maxLsn = maxLsn,
         wallMs = (System.nanoTime() - t0) / 1000000,
-        schemaChanges = changes.map(_.toString))
+        schemaChanges = committedChanges.map(_.toString))
   }
 
   /** Resolved (fully merged) view of a snapshot: base ∪ deltas → LWW by
@@ -457,7 +462,27 @@ object MergeOnRead {
     * watermark — O(newer table scan) with the `_lsn > w` predicate pushed
     * to parquet (row-group pruning), exact because every applied change
     * bumps the row's `_lsn` and LSNs are monotonic across commits.
-    * Deletes surface as op='D' tombstone rows in both paths. */
+    * Deletes surface as op='D' tombstone rows in both paths.
+    *
+    * Path-equivalence contract: BOTH paths emit only STATE-CHANGING
+    * events — the delta replay filters out events at or below the
+    * from-version's LSN watermark (out-of-order stale events Merge
+    * tolerates as no-ops; without the filter a non-LWW consumer of the
+    * replay could regress rows to stale values the table never held).
+    * Under the range-monotonic delivery the snapshot-diff path already
+    * assumes, the two paths therefore emit identical change sets.
+    *
+    * Rollback contract ([[TableMaintenance.rollbackTo]]): a range
+    * containing a rollback (a commit that DECREASED the watermark) is a
+    * retraction — neither replay path above can express it (the rolled-
+    * back rows' LSNs sit below the from-watermark). Such ranges resolve
+    * by exact STATE DIFF of the two snapshots: docs live in `to` whose
+    * winning `_lsn` differs from their `from` state emit op='U' at the
+    * to-state's `_lsn` (which may be BELOW from's watermark — that is
+    * what retraction means); docs live in `from` but not in `to` emit
+    * op='D' at the deleting event's LSN when `to` holds a tombstone, else
+    * at the retracted row's own `_lsn`. Pinned by PipelineSpec
+    * "changesSince across a rollback emits the retraction diff". */
   def changesSince(
       table: SnapshotTable, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
@@ -469,6 +494,14 @@ object MergeOnRead {
     val payloadCols =
       mTo.schema.fieldNames.filterNot(Merge.InternalCols.contains).toSeq
     val range = table.versions.filter(v => v > fromVersion && v <= to)
+
+    // a watermark DECREASE in the range marks a rollback — replay cannot
+    // express retraction, so the range resolves as an exact state diff
+    val hasRollback = range.exists { v =>
+      val m = table.manifest(v)
+      m.watermarkLsn < table.manifest(m.parent).watermarkLsn
+    }
+    if (hasRollback) return retractionDiff(table, fromVersion, to, payloadCols)
 
     // delta files INTRODUCED by each commit in the range (newer manifests
     // carry older delta files forward until compaction — diff per step)
@@ -496,8 +529,13 @@ object MergeOnRead {
       // the snapshot-diff fallback cannot distinguish an insert from an
       // update (state carries no was-insert flag), so the delta replay
       // must not either — the two paths must emit identical change sets
-      // for the same range regardless of which commits happen to be in it
+      // for the same range regardless of which commits happen to be in it.
+      // lsn > from-watermark drops stale out-of-order events persisted in
+      // the delta files (no-ops against pre-range state) that the
+      // snapshot-diff path can never emit — see the path-equivalence
+      // contract above.
       table.readFiles(stepFiles, deltaSchema)
+        .filter(col("lsn") > mFrom.watermarkLsn)
         .select(payloadCols.map(col) :+ col("lsn") :+
           when(col("op") === "D", lit("D")).otherwise(lit("U")).as("op"): _*)
     else {
@@ -510,6 +548,40 @@ object MergeOnRead {
           when(coalesce(col(Merge.TombCol), lit(false)), lit("D"))
             .otherwise(lit("U")).as("op"): _*)
     }
+  }
+
+  /** Exact state diff between two snapshot versions, for ranges replay
+    * cannot express (rollback retraction — see [[changesSince]]'s
+    * rollback contract). One full-outer join of the two resolved
+    * snapshots on doc_id; rows whose live state is identical (same
+    * winning `_lsn`, same liveness) drop out. Equal `_lsn` implies an
+    * identical row: the payload is a pure function of the winning event,
+    * and LWW means `_lsn` names that event. */
+  private def retractionDiff(
+      table: SnapshotTable, fromVersion: Long, toVersion: Long,
+      payloadCols: Seq[String]): DataFrame = {
+    val from = resolve(table, Some(fromVersion)).select(
+      col("doc_id").as("_f_doc"),
+      col(LsnCol).as("_f_lsn"),
+      coalesce(col(Merge.TombCol), lit(false)).as("_f_tomb"))
+    val to = resolve(table, Some(toVersion)).select(
+      payloadCols.map(col) :+ col(LsnCol).as("_t_lsn") :+
+        coalesce(col(Merge.TombCol), lit(false)).as("_t_tomb"): _*)
+    val fLive = col("_f_doc").isNotNull && !col("_f_tomb")
+    val tLive = col("doc_id").isNotNull && !col("_t_tomb")
+    to.join(from, to("doc_id") === from("_f_doc"), "full_outer")
+      .filter(
+        (tLive && (!fLive || col("_f_lsn") =!= col("_t_lsn"))) ||
+          (fLive && !tLive))
+      .select(
+        payloadCols.map { c =>
+          if (c == "doc_id") coalesce(col("doc_id"), col("_f_doc")).as("doc_id")
+          // D rows carry key + lsn only, like every other tombstone
+          else when(tLive, col(c)).otherwise(lit(null)).as(c)
+        } :+
+          when(tLive, col("_t_lsn"))
+            .otherwise(coalesce(col("_t_lsn"), col("_f_lsn"))).as("lsn") :+
+          when(tLive, lit("U")).otherwise(lit("D")).as("op"): _*)
   }
 
   /** Fold all deltas into fresh base files (one rewrite), emptying the

@@ -156,18 +156,22 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     import spark.implicits._
     val cur = table.current
     // exact dir match — a bare prefix would conflate commit b1 with b10.
-    // A COW apply writes under both c-<id>.<nonce>.d (delta) and
-    // c-<id>.fold (folded base); count each bucket once, preferring the
-    // folded file. Delta dirs carry a writer-unique nonce (see
-    // MergeOnRead.apply), hence the regex.
+    // A COW apply that found pending MOR deltas first folds them under
+    // c-<id>.pre-compact (Merge.apply's foldTouched) and then writes its
+    // own join output under c-<id>; count each bucket once, preferring
+    // the later (join) file. MOR delta dirs carry a writer-unique nonce
+    // (see MergeOnRead.apply), hence the regex.
     val all = cur.toSeq.flatMap(m => m.files ++ m.deltaFiles)
     val deltaDir = ("/c-" + java.util.regex.Pattern.quote(s.commitId) +
       "(\\.[0-9a-f]+)?\\.d/").r
-    val foldFiles  = all.filter(_.path.contains(s"/c-${s.commitId}.fold/"))
-    val foldedB    = foldFiles.map(_.bucket).toSet
-    val commitFiles = foldFiles ++ all.filter(f =>
-      (f.path.contains(s"/c-${s.commitId}/") ||
-        deltaDir.findFirstIn(f.path).isDefined) && !foldedB.contains(f.bucket))
+    val mainFiles = all.filter(f =>
+      f.path.contains(s"/c-${s.commitId}/") ||
+        deltaDir.findFirstIn(f.path).isDefined)
+    val mainB = mainFiles.map(_.bucket).toSet
+    // pre-compact files survive in the manifest only for buckets the join
+    // did not rewrite; attribute those to this batch too (its fold IO)
+    val commitFiles = mainFiles ++ all.filter(f =>
+      f.path.contains(s"/c-${s.commitId}.pre-compact/") && !mainB.contains(f.bucket))
     val skew =
       if (commitFiles.isEmpty) 1.0
       else {

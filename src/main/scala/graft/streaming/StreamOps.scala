@@ -145,12 +145,12 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id"))
+    // one deterministic hash-agg: the winner per doc is the LEXICOGRAPHIC
+    // max over ALL state columns — no window + dropDuplicates whose
+    // pick among tied n_events rows depends on partition order
     spark.table(queryName)
-      .withColumn("_max_n", max(col("n_events")).over(w))
-      .filter(col("n_events") === col("_max_n"))
-      .drop("_max_n")
-      .dropDuplicates("doc_id")
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("n_events"), col("last_lsn"), col("deleted"))).as("s"))
+      .select(col("doc_id"), col("s.n_events"), col("s.last_lsn"), col("s.deleted"))
   }
 }

@@ -23,9 +23,32 @@ import org.apache.spark.sql.types.{DataType, StructType}
 case class DataFile(
     path: String, bucket: Int, rows: Long,
     minKey: Option[String] = None, maxKey: Option[String] = None) {
-  /** Can this file contain `key`? Unknown stats → must read. */
-  def mayContain(key: String): Boolean =
-    minKey.forall(_ <= key) && maxKey.forall(_ >= key)
+  /** Can this file contain `key`? Unknown stats → must read.
+    * Compared in UNSIGNED UTF-8 BYTE order — the ordering parquet footer
+    * statistics use — not Java String order (UTF-16 code units): the two
+    * disagree for supplementary-plane characters, and a signed/UTF-16
+    * compare could wrongly prune a file holding a live key. */
+  def mayContain(key: String): Boolean = {
+    val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    minKey.forall(m => DataFile.utf8Compare(
+      m.getBytes(java.nio.charset.StandardCharsets.UTF_8), kb) <= 0) &&
+      maxKey.forall(m => DataFile.utf8Compare(
+        m.getBytes(java.nio.charset.StandardCharsets.UTF_8), kb) >= 0)
+  }
+}
+
+object DataFile {
+  /** Lexicographic compare of byte arrays as UNSIGNED bytes. */
+  private[table] def utf8Compare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
 }
 
 /** An immutable table snapshot. Commit ids make replay idempotent
@@ -373,8 +396,11 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
                 case bin: Binary => bin.toStringUsingUTF8
                 case other       => String.valueOf(other)
               }
-              if (minK == null || lo < minK) minK = lo
-              if (maxK == null || hi > maxK) maxK = hi
+              // merge per-block stats in the same unsigned UTF-8 byte
+              // order DataFile.mayContain prunes with
+              def u8(s: String) = s.getBytes(StandardCharsets.UTF_8)
+              if (minK == null || DataFile.utf8Compare(u8(lo), u8(minK)) < 0) minK = lo
+              if (maxK == null || DataFile.utf8Compare(u8(hi), u8(maxK)) > 0) maxK = hi
             }
           }
         }

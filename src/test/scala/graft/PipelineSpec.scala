@@ -262,6 +262,66 @@ class PipelineSpec extends SparkSpec {
     assert(byDoc == Map("doc1" -> "U", "doc3" -> "D"), s"COW diff wrong: $byDoc")
   }
 
+  test("changesSince delta replay excludes stale out-of-order no-op events") {
+    import graft.operators.MergeOnRead
+    import spark.implicits._
+    val base = tmpDir("stale")
+    val p    = mkPipeline(base, mode = "mor")
+    def batch(rows: (Long, String, String, Option[Seq[Int]], Option[Long], String)*) =
+      rows.toSeq.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    p.applyBatch(batch((100L, "I", "X", Some(Seq(1)), Some(1L), "s")), 0L)
+    val v1 = p.table.currentVersion.get
+    // batch 1 carries a stale out-of-order event for X (lsn 50 < the
+    // applied 100 — a no-op Merge tolerates) plus a fresh Y
+    p.applyBatch(batch(
+      (50L, "U", "X", Some(Seq(9)), Some(1L), "s"),
+      (200L, "I", "Y", Some(Seq(2)), Some(1L), "s")), 1L)
+    // the stale event did not change state...
+    val x = p.readTable().filter(col("doc_id") === "X")
+      .select("tokens").as[Seq[Int]].head()
+    assert(x == Seq(1), s"stale event must not regress X: $x")
+    // ...so the changelog must not emit it (path-equivalence contract)
+    val got = MergeOnRead.changesSince(p.table, v1)
+      .select("doc_id").as[String].collect().toSet
+    assert(got == Set("Y"), s"stale X@50 must not replay: $got")
+  }
+
+  test("changesSince across a rollback emits the retraction diff") {
+    import graft.operators.{MergeOnRead, TableMaintenance}
+    import spark.implicits._
+    val base = tmpDir("rbdiff")
+    val p    = mkPipeline(base, mode = "mor")
+    def batch(rows: (Long, String, String, Option[Seq[Int]], Option[Long], String)*) =
+      rows.toSeq.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    p.applyBatch(batch(
+      (1L, "I", "A", Some(Seq(1)), Some(1L), "s"),
+      (2L, "I", "B", Some(Seq(2)), Some(1L), "s")), 0L)
+    val v1 = p.table.currentVersion.get
+    p.applyBatch(batch(
+      (3L, "U", "B", Some(Seq(9)), Some(1L), "s"),
+      (4L, "I", "C", Some(Seq(3)), Some(1L), "s"),
+      (5L, "D", "A", None, None, "s")), 1L)
+    val v2 = p.table.currentVersion.get
+    TableMaintenance.rollbackTo(p.table, v1)
+    val v3 = p.table.currentVersion.get
+
+    // state(v3) == state(v1): the rollback-containing range diffs empty
+    assert(MergeOnRead.changesSince(p.table, v1, Some(v3)).isEmpty,
+      "identical from/to state must emit no changes")
+
+    // from the bad version: A resurrected (U at its retained lsn 1),
+    // B reverted (U @2 — BELOW from's watermark: retraction semantics),
+    // C retracted (absent in `to` → D at the retracted row's own lsn 4)
+    val got = MergeOnRead.changesSince(p.table, v2, Some(v3))
+      .select("doc_id", "op", "lsn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("A", "U", 1L), ("B", "U", 2L), ("C", "D", 4L)), s"got $got")
+    // U rows carry the to-state payload (B back to its v1 tokens)
+    val b = MergeOnRead.changesSince(p.table, v2, Some(v3))
+      .filter(col("doc_id") === "B").select("tokens").as[Seq[Int]].head()
+    assert(b == Seq(2), s"B must revert to v1 payload: $b")
+  }
+
   test("time travel: readTableAt reconstructs an earlier version exactly") {
     import graft.operators.{Conform, Dedup, Validate}
     val base = tmpDir("tt")
