@@ -55,6 +55,7 @@ object Bench {
 
   private def newSession(cores: Int): SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cores]")
       .appName(s"graft-bench-c$cores")
       .config("spark.sql.shuffle.partitions", cores)

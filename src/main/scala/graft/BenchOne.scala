@@ -24,6 +24,7 @@ object BenchOne {
     val evDir = sys.env.get("GRAFT_EVENTLOG")
     evDir.foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
     val b0 = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cores]")
       .appName(s"graft-benchone-$mode-$cores")
       .config("spark.sql.shuffle.partitions", cores)

@@ -37,6 +37,7 @@ object Main {
       a.getOrElse(k, sys.error(s"missing required --$k (have: ${a.keys.mkString(",")})"))
 
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .appName("graft-cdc-ingest")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

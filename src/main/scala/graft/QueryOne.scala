@@ -12,6 +12,7 @@ object QueryOne {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cores = if (args.length > 2) args(2) else "32"
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")

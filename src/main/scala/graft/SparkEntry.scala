@@ -281,6 +281,25 @@ object SparkEntry {
       TableMaintenance.rebucket(t, 64, "grow-64")
       stateProjection(liveView(t))
     }),
+    "q_sql_read" -> ((s, dir) => {
+      // SQL/catalog surface (DataSource V2): the staged MOR table read
+      // through spark.read.format("graft") — the analyzer rule expands
+      // the relation into the snapshot-resolve plan, so the delta fold,
+      // tombstone filter, and pruning all run under the V2 read. Must
+      // equal the library-path state (same oracle as q_cdc_merge_state).
+      val t = stagedPipeline(s, dir, mode = "mor").table
+      stateProjection(s.read.format("graft").load(t.root))
+    }),
+    "q_sql_read_tt" -> ((s, dir) => {
+      // V2 time travel: option("version", v) pins the earlier committed
+      // snapshot (same oracle as q_cdc_time_travel).
+      val f = versionedFixture(s, dir)
+      s.read.format("graft").option("version", f.v1)
+        .load(f.pipeline.table.root)
+        .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
+          col("n_tok"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     "q_cdc_errors" -> ((s, dir) => {
       val conformed = Conform(CdcGenerator.events(s, dir))
       Validate(conformed, "oracle-run").errors
@@ -822,7 +841,45 @@ object SparkEntry {
           FROM last ORDER BY lsn"""
     val toks  = Tokenize.tokensSql("text")
     val docId = Tokenize.docIdSql("doc_id")
+    // the LWW-folded final state over all valid events — shared by the
+    // library-path merge-state queries and the V2 SQL-surface read
+    val mergedStateOracle =
+      s"""WITH evs AS ($ev),
+          valid AS (
+            SELECT * FROM evs
+            WHERE doc_id IS NOT NULL
+              AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+          last AS (
+            SELECT doc_id,
+                   max_by(op, lsn) AS op,
+                   max_by(tokens, lsn) AS tokens,
+                   max_by(n_tok, lsn) AS n_tok,
+                   max_by(source, lsn) AS source
+            FROM valid GROUP BY doc_id)
+          SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
+                 cast(n_tok AS bigint) AS n_tok, source
+          FROM last WHERE op <> 'D' ORDER BY doc_id"""
     Map(
+      "q_sql_read" -> mergedStateOracle,
+      "q_sql_read_tt" ->
+        // state at the version after batch 0 (all events below the LSN
+        // stride boundary) — the q_cdc_time_travel contract via SQL
+        s"""WITH evs AS ($ev),
+            valid AS (
+              SELECT * FROM evs
+              WHERE lsn < ${CdcGenerator.LsnStride}
+                AND doc_id IS NOT NULL
+                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+            last AS (
+              SELECT doc_id,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens,
+                     max_by(n_tok, lsn) AS n_tok,
+                     max_by(source, lsn) AS source
+              FROM valid GROUP BY doc_id)
+            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
+                   cast(n_tok AS bigint) AS n_tok, source
+            FROM last WHERE op <> 'D' ORDER BY doc_id""",
       "q_cdc_merge_state" ->
         s"""WITH evs AS ($ev),
             valid AS (

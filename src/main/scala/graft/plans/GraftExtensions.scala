@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL/catalog surface: expand spark.read.format("graft") relations
+    // into the snapshot-resolve plan (see graft.sources.GraftDataSource)
+    ext.injectResolutionRule(session =>
+      graft.sources.GraftRelationResolution(session))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - fused cosine similarity of two float arrays"),

@@ -400,6 +400,31 @@ class PipelineSpec extends SparkSpec {
     assert(docs == (0 until k).map(i => s"race-doc-$i").toSet)
   }
 
+  test("DataSource V2: format(\"graft\") reads the live view; version option time-travels") {
+    val base = tmpDir("dsv2")
+    val p    = mkPipeline(base, mode = "mor")
+    val ev   = CdcGenerator.events(spark, sf0001)
+    p.applyBatch(ev.filter(col("lsn") < CdcGenerator.LsnStride), 0L)
+    val v1 = p.table.currentVersion.get
+    p.applyBatch(ev.filter(col("lsn") >= CdcGenerator.LsnStride), 1L)
+
+    // live view through SQL surface ≡ library read (MOR: the delta fold
+    // runs under the V2 relation too)
+    val sql = spark.read.format("graft").load(p.table.root)
+    assert(sql.schema.fieldNames.toSeq == Seq("doc_id", "tokens", "n_tok", "source"),
+      s"internal columns must not leak: ${sql.schema.fieldNames.toSeq}")
+    assert(sql.collect().map(_.toSeq).toSet ==
+      p.readTable().collect().map(_.toSeq).toSet)
+
+    // time travel via option pins the earlier version
+    val tt = spark.read.format("graft").option("version", v1).load(p.table.root)
+    assert(tt.collect().map(_.toSeq).toSet ==
+      p.readTableAt(v1).collect().map(_.toSeq).toSet)
+    assert(tt.count() != sql.count() ||
+      tt.collect().map(_.toSeq).toSet != sql.collect().map(_.toSeq).toSet,
+      "fixture must actually change between versions")
+  }
+
   test("rebucket migrates the hash-bucket count; state, lookups, commits survive") {
     import graft.operators.TableMaintenance
     val base = tmpDir("rebucket")

@@ -358,6 +358,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("V2 read: pushdown and pruning reach the parquet scan through format(\"graft\")") {
+    import graft.ingest.CdcGenerator
+    import graft.streaming.{CdcPipeline, PipelineConfig}
+    val base = tmpDir("v2plan")
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/table", changeLogDir = s"$base/cl",
+      checkpointDir = s"$base/ck", errorDir = s"$base/err",
+      lineageDir = s"$base/lin", numBuckets = 4, mode = "cow"))
+    p.applyBatch(CdcGenerator.events(spark, sf0001), 0L)
+    val anyId = p.readTable().select("doc_id").orderBy("doc_id").first().getString(0)
+
+    val df = spark.read.format("graft").load(s"$base/table")
+      .filter(col("doc_id") === anyId)
+      .select(col("doc_id"), col("n_tok"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the key predicate must reach the parquet scan (a COW table's live
+    // view is scan + tombstone filter — nothing blocks pushdown)
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters through V2 read:\n$plan")
+    assert(plan.contains("EqualTo(doc_id") || plan.contains("IsNotNull(doc_id"),
+      s"doc_id predicate not pushed:\n$plan")
+    // column pruning: the wide tokens array must not be read
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("tokens")),
+      s"tokens not pruned from V2 scan:\n${readSchemas.mkString("\n")}")
+    // and the read stays inside whole-stage codegen
+    assert(plan.contains("*("), "V2 read fell out of codegen")
+  }
+
   test("changesSince delta replay is a pure file read: no exchange, no join") {
     import graft.ingest.CdcGenerator
     import graft.operators.MergeOnRead
