@@ -202,29 +202,113 @@ object Merge {
         case _             => -1L
       }
 
-      val carried  = table.filesExcept(cur, touched)
-      val newRows  = newFiles.map(_.rows).sum + carried.map(_.rows).sum
-      val maxLsn   = g("max_lsn")
-      val manifest = Manifest(
-        version = cur.version + 1,
-        parent = cur.version,
-        commitId = commitId,
-        batchId = batchId,
-        schemaJson = physicalSchema.json,
-        numBuckets = numBuckets,
-        watermarkLsn = math.max(cur.watermarkLsn, maxLsn),
-        rowCount = newRows,
-        files = carried ++ newFiles)
-      table.commit(manifest)
+      val maxLsn = g("max_lsn")
 
-      MergeStats(
-        commitId, manifest.version, skipped = false, touched.size,
-        cur.rowCount, newRows,
-        inserted = g("inserted"), updated = g("updated"), deleted = g("deleted"),
-        deleteNoops = g("delete_noops"), staleEvents = g("stale"),
-        batchEvents = g("batch_events"), minLsn = g("min_lsn"), maxLsn = maxLsn,
-        wallMs = (System.nanoTime() - t0) / 1000000,
-        schemaChanges = changes.map(_.toString))
+      // Optimistic concurrency for COW (the MOR appends already rebase —
+      // MergeOnRead.apply): losing the version CAS re-checks the new head
+      // and either REBASES (the interloper's base rewrites are disjoint
+      // from our touched buckets — our files are still exact, only the
+      // manifest needs re-pointing; deltas the interloper appended stay
+      // pending and resolve at read time, which the LWW fold makes
+      // order-independent) or fails with a typed [[CommitConflict]] —
+      // never a half-applied state: the loser's data files are
+      // unreferenced orphans vacuum sweeps, and a clean retry is simply
+      // calling Merge again against the new head (the ledger keeps a
+      // replayed winner idempotent). Reference analog: the guarded
+      // publish that checks before replacing, UpdateAddressPointsSDE
+      // .py:33-39 — guard, don't corrupt.
+      var attempt   = 0
+      var stats: MergeStats = null
+      while (stats == null) {
+        val head = table.current.get
+        if (head.version != cur.version && table.appliedCommitIds.contains(commitId)) {
+          // The SAME logical commit landed from a twin process: nothing
+          // here committed → report a ledger skip. (Unlike MOR's
+          // nonce-unique delta dirs, twin COW writers of one commitId
+          // share the c-<id> data dir — the ledger check at entry plus
+          // this one bound the overlap window, but true twin-COW safety
+          // needs the external dedup the single-writer deployment
+          // contract already requires; racing writers of DIFFERENT
+          // commits — the case this loop exists for — never share dirs.)
+          stats = MergeStats(commitId, head.version, skipped = true, 0,
+            cur.rowCount, cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1,
+            (System.nanoTime() - t0) / 1000000, Seq.empty)
+        } else {
+          if (head.version != cur.version) {
+            if (head.numBuckets != numBuckets)
+              throw CommitConflict(commitId, touched,
+                s"concurrent rebucket: table now has ${head.numBuckets} buckets, " +
+                  s"merge computed against $numBuckets")
+            val overlap = conflictingBuckets(cur, head, touched)
+            if (overlap.nonEmpty)
+              throw CommitConflict(commitId, overlap,
+                s"commit $commitId lost the race on buckets ${overlap.toSeq.sorted.take(8)}" +
+                  s"${if (overlap.size > 8) "…" else ""}: a concurrent commit rewrote them; " +
+                  "retry the merge against the new head")
+          }
+          // additive evolution by the interloper (e.g. a MOR append with a
+          // new column) rebases cleanly: readers null-fill our files
+          val headPayload = StructType(head.schema.fields.filterNot(f =>
+            InternalCols.contains(f.name)))
+          val (rebasedPayload, _) = SchemaEvolution.evolve(headPayload, evolvedPayload)
+          val rebasedSchema = StructType(rebasedPayload.fields ++ Seq(
+            StructField(LsnCol, LongType, nullable = false),
+            StructField(TombCol, BooleanType, nullable = true)))
+          val carried = table.filesExcept(head, touched)
+          val newRows = newFiles.map(_.rows).sum + carried.map(_.rows).sum
+          try {
+            table.commit(Manifest(
+              version = head.version + 1,
+              parent = head.version,
+              commitId = commitId,
+              batchId = batchId,
+              schemaJson = rebasedSchema.json,
+              numBuckets = numBuckets,
+              watermarkLsn = math.max(head.watermarkLsn, maxLsn),
+              rowCount = newRows,
+              files = carried ++ newFiles,
+              deltaFiles = head.deltaFiles,
+              deltaRows = head.deltaRows))
+            stats = MergeStats(
+              commitId, head.version + 1, skipped = false, touched.size,
+              cur.rowCount, newRows,
+              inserted = g("inserted"), updated = g("updated"), deleted = g("deleted"),
+              deleteNoops = g("delete_noops"), staleEvents = g("stale"),
+              batchEvents = g("batch_events"), minLsn = g("min_lsn"), maxLsn = maxLsn,
+              wallMs = (System.nanoTime() - t0) / 1000000,
+              schemaChanges = changes.map(_.toString))
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException if attempt < 20 =>
+              attempt += 1 // lost the CAS — re-examine the new head
+          }
+        }
+      }
+      stats
     } finally { if (!bigBatch) batch.unpersist(); () }
   }
+
+  /** Touched buckets whose BASE file set changed between the snapshot a
+    * merge computed against and the head it is about to commit onto: a
+    * concurrent commit rewrote them, so the merge's rewritten files are
+    * stale there. Disjoint (empty result) ⇒ safe rebase: the merge's
+    * files are still exact, and any deltas the interloper appended stay
+    * pending and fold at read time (LWW is order-independent). */
+  private[graft] def conflictingBuckets(
+      computedAgainst: Manifest, head: Manifest, touched: Set[Int]): Set[Int] = {
+    def byBucket(m: Manifest) =
+      m.files.filter(f => touched.contains(f.bucket)).groupBy(_.bucket)
+        .map { case (b, fs) => b -> fs.map(_.path).toSet }
+    val curB  = byBucket(computedAgainst)
+    val headB = byBucket(head)
+    touched.filter(b => curB.getOrElse(b, Set.empty) != headB.getOrElse(b, Set.empty))
+  }
+
+  /** A copy-on-write commit lost its race to a concurrent commit that
+    * rewrote one of its touched buckets (or changed the bucket count):
+    * the computed files are stale and must not publish. State is clean —
+    * nothing was committed, the loser's data files are unreferenced
+    * orphans ([[graft.table.SnapshotTable.vacuum]] sweeps them) — and
+    * the retry path is simply re-running the merge against the new head. */
+  case class CommitConflict(commitId: String, buckets: Set[Int], message: String)
+      extends RuntimeException(message)
 }

@@ -71,6 +71,11 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
   def applyBatch(raw: DataFrame, batchId: Long): MergeStats = {
     val commitId = commitIdFor(batchId)
     if (table.appliedCommitIds.contains(commitId)) {
+      // exactly-once for the SIDE tables too: a crash between the
+      // manifest commit and side-table publication leaves a staged error
+      // dir unpublished and/or no lineage row — the replay's ledger skip
+      // completes both (idempotently) instead of returning early
+      recoverSideTables(commitId, batchId)
       val cur = table.current.get
       return MergeStats(commitId, cur.version, skipped = true, 0, cur.rowCount,
         cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1, 0, Seq.empty)
@@ -79,17 +84,20 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
       try {
         val conformed = Conform(raw)
         val split     = Validate(conformed, commitId)
-        writeErrors(split.errors)
+        val staged    = stageErrors(split.errors, commitId)
         val events = split.valid
         val deduped =
           if (cfg.salt > 1 && batchEstimate(raw) >= cfg.saltThreshold)
             Dedup.lwwSalted(events, cfg.salt)
           else Dedup.lww(events)
-        if (cfg.mode == "mor") {
-          val s = MergeOnRead(table, deduped, commitId, batchId)
-          maybeCompact()
-          s
-        } else Merge(table, deduped, commitId, batchId)
+        val s =
+          if (cfg.mode == "mor") {
+            val s0 = MergeOnRead(table, deduped, commitId, batchId)
+            maybeCompact()
+            s0
+          } else Merge(table, deduped, commitId, batchId)
+        publishErrors(staged, commitId)
+        s
       } catch {
         // Whole-batch rejects (reference analog: checkRequiredFields
         // abort) — recorded as an error + an empty commit so the ledger
@@ -128,24 +136,122 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         lit(null).cast("string").as("doc_id"),
         lit(s"batch_rejected:$reason").as("reason"),
         to_json(struct(raw.columns.map(col).toIndexedSeq: _*)).as("raw"))
-    writeErrors(err)
+    val staged = stageErrors(err, commitId)
     val cur = table.current.get
     table.commit(cur.copy(
       version = cur.version + 1, parent = cur.version,
       commitId = commitId, batchId = batchId))
+    publishErrors(staged, commitId)
     MergeStats(commitId, cur.version + 1, skipped = false, 0, cur.rowCount,
       cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1, 0,
       Seq(s"batch_rejected:$reason"))
   }
 
-  /** Append to the quarantine table — but not for empty error sets: a
-    * clean stream would otherwise pay a fixed parquet-append job every
-    * batch. The isEmpty probe early-terminates at the first error row, so
-    * dirty batches pay one cheap limit-1 scan; clean batches trade the
-    * append job for a scan of the (already-filtered) error branch. */
-  private def writeErrors(errors: DataFrame): Unit =
-    if (!errors.isEmpty)
-      errors.write.mode(SaveMode.Append).parquet(s"${cfg.errorDir}")
+  // ---- exactly-once side tables ----
+  // Error and lineage rows publish PER COMMIT under <dir>/c-<commitId>/
+  // via stage (hidden .staged-c-<id>-<nonce> dir, invisible to Spark's
+  // file listing) → atomic directory rename. Readers ([[readErrors]] /
+  // [[readLineage]]) see only published dirs, so no crash window yields
+  // duplicate rows (the round-2 defect: a blind append before the
+  // manifest commit re-ran on crash-replay → duplicated error rows;
+  // a crash after the commit lost the lineage row entirely):
+  //  - crash after stage, before manifest commit → the replay re-runs
+  //    the whole batch, stages + publishes fresh, sweeps the orphan;
+  //  - crash after commit, before publish → the replay's ledger skip
+  //    completes publication from the surviving staged dir and writes
+  //    the lineage row (reconstructed from the commit's manifest) if
+  //    missing — see [[recoverSideTables]].
+  // PropertySpec "error/lineage side tables are exactly-once across
+  // crash-replay windows" drives each window explicitly.
+
+  private def newNonce: String = java.lang.Long.toHexString(
+    java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffL)
+
+  private def publishedDir(root: String, commitId: String) =
+    Paths.get(root, s"c-$commitId")
+
+  private def stagedDirsFor(root: String, commitId: String): Seq[java.nio.file.Path] = {
+    val d = Paths.get(root)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try {
+        import scala.collection.JavaConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(s".staged-c-$commitId-"))
+          .toSeq
+      } finally s.close()
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val s = Files.walk(p)
+    try {
+      import scala.collection.JavaConverters._
+      s.iterator().asScala.toSeq.reverse.foreach(f =>
+        try Files.deleteIfExists(f) catch { case scala.util.control.NonFatal(_) => () })
+    } finally s.close()
+  }
+
+  /** Atomically promote a staged dir to the published c-<id> dir; a twin
+    * that published first wins and the staged copy is discarded. */
+  private def promote(staged: java.nio.file.Path, target: java.nio.file.Path): Unit =
+    try Files.move(staged, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case scala.util.control.NonFatal(_) => deleteRecursively(staged) }
+
+  /** Stage this commit's error rows (pre-commit). Empty error sets stage
+    * nothing: a clean stream must not pay a fixed parquet job per batch —
+    * the isEmpty probe early-terminates at the first error row. */
+  private def stageErrors(errors: DataFrame, commitId: String): Option[java.nio.file.Path] =
+    if (errors.isEmpty) None
+    else {
+      val dir = Paths.get(cfg.errorDir, s".staged-c-$commitId-$newNonce")
+      errors.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      Some(dir)
+    }
+
+  /** Publish this commit's staged errors (post-commit) and sweep any
+    * orphan staged dirs left by crashed or superseded attempts. */
+  private def publishErrors(staged: Option[java.nio.file.Path], commitId: String): Unit = {
+    val target = publishedDir(cfg.errorDir, commitId)
+    staged.foreach { dir =>
+      if (Files.exists(target)) deleteRecursively(dir) else promote(dir, target)
+    }
+    stagedDirsFor(cfg.errorDir, commitId).foreach(deleteRecursively)
+  }
+
+  /** Ledger-skip path: finish whatever the crashed run left undone.
+    * Errors: promote a surviving complete staged dir (its _SUCCESS
+    * marker separates a finished stage from a torn write). Lineage: the
+    * per-bucket rows reconstruct exactly from the committed manifest;
+    * batch-local stats the crash lost (offset start, action counts) are
+    * recorded as -1 — recoverable facts stay exact, lost ones stay
+    * visibly lost rather than silently wrong. */
+  private def recoverSideTables(commitId: String, batchId: Long): Unit = {
+    val target = publishedDir(cfg.errorDir, commitId)
+    if (!Files.exists(target))
+      stagedDirsFor(cfg.errorDir, commitId)
+        .find(d => Files.exists(d.resolve("_SUCCESS")))
+        .foreach(promote(_, target))
+    stagedDirsFor(cfg.errorDir, commitId).foreach(deleteRecursively)
+
+    if (!Files.exists(publishedDir(cfg.lineageDir, commitId)))
+      table.versions.find(v => table.manifest(v).commitId == commitId).foreach { v =>
+        val m = table.manifest(v)
+        writeLineage(MergeStats(commitId, v, skipped = false, 0, -1, m.rowCount,
+          inserted = -1, updated = 0, deleted = 0, deleteNoops = 0,
+          staleEvents = -1, batchEvents = -1, minLsn = -1,
+          maxLsn = m.watermarkLsn, wallMs = 0, Seq.empty), batchId)
+      }
+  }
+
+  /** The quarantine table (published commits only). */
+  def readErrors(): DataFrame = CdcPipeline.readSideTable(
+    spark, cfg.errorDir, org.apache.spark.sql.Encoders.product[graft.ErrorRecord].schema)
+
+  /** The lineage/metrics table (published commits only). */
+  def readLineage(): DataFrame = CdcPipeline.readSideTable(
+    spark, cfg.lineageDir, org.apache.spark.sql.Encoders.product[graft.LineageRecord].schema)
 
   /** Per-batch AND per-partition lineage to the metrics table: one row
     * per bucket this commit wrote (partition_id = bucket, rows from the
@@ -154,7 +260,14 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     * skew ratio (max/avg bucket rows this commit). */
   private def writeLineage(s: MergeStats, batchId: Long): Unit = {
     import spark.implicits._
-    val cur = table.current
+    val target = publishedDir(cfg.lineageDir, s.commitId)
+    if (Files.exists(target)) return // replay — the commit's row is published
+    // attribute against the manifest AT the committed version, not the
+    // current head: on recovery (or after a concurrent commit) the head
+    // may have already rewritten this commit's files out of its list
+    val cur =
+      try Some(table.manifest(s.version))
+      catch { case scala.util.control.NonFatal(_) => table.current }
     // exact dir match — a bare prefix would conflate commit b1 with b10.
     // A COW apply that found pending MOR deltas first folds them under
     // c-<id>.pre-compact (Merge.apply's foldTouched) and then writes its
@@ -192,8 +305,10 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         rows_applied = f.rows, conflict_count = -1,
         skew_ratio = skew, wall_ms = s.wallMs)
     }
+    val staged = Paths.get(cfg.lineageDir, s".staged-c-${s.commitId}-$newNonce")
     (summary +: perBucket).toDS().coalesce(1)
-      .write.mode(SaveMode.Append).parquet(cfg.lineageDir)
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    promote(staged, target)
   }
 
   /** Stream the change-log directory to completion (AvailableNow) and
@@ -273,4 +388,29 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
       .filter(col("doc_id") === docId &&
         !coalesce(col(Merge.TombCol), lit(false)))
       .drop(Merge.InternalCols: _*)
+}
+
+object CdcPipeline {
+  /** Read a per-commit-published side table: only `c-<commitId>` dirs
+    * count (staged dot-dirs are invisible to Spark's listing anyway; the
+    * explicit enumeration also keeps stray root files out). Empty table
+    * → an empty frame with the declared schema. */
+  def readSideTable(spark: SparkSession, root: String, schema: StructType): DataFrame = {
+    val d = Paths.get(root)
+    val published: Seq[String] =
+      if (!Files.isDirectory(d)) Seq.empty
+      else {
+        val s = Files.list(d)
+        try {
+          import scala.collection.JavaConverters._
+          s.iterator().asScala
+            .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("c-"))
+            .map(_.toString).toSeq
+        } finally s.close()
+      }
+    if (published.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(published: _*)
+  }
 }

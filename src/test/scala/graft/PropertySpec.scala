@@ -242,6 +242,67 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("error/lineage side tables are exactly-once across crash-replay windows") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      val s = Files.walk(p)
+      try {
+        import scala.collection.JavaConverters._
+        s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      } finally s.close()
+    }
+    val base = tmpDir("eo-side")
+    val p    = mkPipeline(base, mode = "mor")
+    // two invalid events (null doc_id @2; n_tok mismatch @3) among valid
+    def raw = Seq(
+      (1L, "I", "good1", Some(Seq(1, 2)), Some(2L), "s"),
+      (2L, "I", null.asInstanceOf[String], Some(Seq(1)), Some(1L), "s"),
+      (3L, "I", "bad2", Some(Seq(1, 2, 3)), Some(99L), "s"),
+      (4L, "I", "good2", Some(Seq(5)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+
+    // ── window A: crash AFTER an error stage, BEFORE the manifest commit.
+    // The dead attempt left a complete staged dir (with _SUCCESS) under
+    // its own nonce; the replay re-runs the batch from scratch — the
+    // orphan must be swept, never published (it would duplicate rows).
+    val ghost = Paths.get(s"$base/errors/.staged-c-b0-deadbeef")
+    Seq(("b0", 2L, null.asInstanceOf[String], "null_doc_id", "{}"))
+      .toDF("commit_id", "lsn", "doc_id", "reason", "raw")
+      .coalesce(1).write.parquet(ghost.toString)
+    val s0 = p.applyBatch(raw, 0L)
+    assert(!s0.skipped)
+    val errs0 = p.readErrors().select("lsn").as[Long].collect().toSeq.sorted
+    assert(errs0 == Seq(2L, 3L), s"exact error-LSN set exactly once: $errs0")
+    assert(!Files.exists(ghost), "orphan staged dir must be swept")
+    assert(p.readLineage().filter(col("partition_id") === -1).count() == 1)
+
+    // ── window B: crash AFTER the commit, BEFORE publication — simulate
+    // by un-publishing: errors back to a staged dir, lineage row deleted.
+    val errPub = Paths.get(s"$base/errors/c-b0")
+    val linPub = Paths.get(s"$base/lineage/c-b0")
+    Files.move(errPub, Paths.get(s"$base/errors/.staged-c-b0-cafe"),
+      StandardCopyOption.ATOMIC_MOVE)
+    deleteRec(linPub)
+    assert(p.readErrors().count() == 0, "un-published errors must be invisible")
+    // replay hits the ledger skip → recovery completes publication
+    val s1 = p.applyBatch(raw, 0L)
+    assert(s1.skipped)
+    val errs1 = p.readErrors().select("lsn").as[Long].collect().toSeq.sorted
+    assert(errs1 == Seq(2L, 3L), s"recovered error set exactly once: $errs1")
+    val lin = p.readLineage().filter(col("commit_id") === "b0")
+    assert(lin.filter(col("partition_id") === -1).count() == 1,
+      "exactly one summary lineage row per applied commit")
+    assert(lin.filter(col("partition_id") >= 0).count() > 0,
+      "per-bucket lineage rows reconstruct from the manifest")
+
+    // ── steady state: further replays change nothing
+    assert(p.applyBatch(raw, 0L).skipped)
+    assert(p.readErrors().count() == 2)
+    assert(p.readLineage()
+      .filter(col("commit_id") === "b0" && col("partition_id") === -1).count() == 1)
+  }
+
   test("widened n_tok stays byte-equal through evolution (§7.4-6)") {
     import spark.implicits._
     val p = mkPipeline(tmpDir("widen"))
