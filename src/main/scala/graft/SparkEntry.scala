@@ -764,9 +764,15 @@ object SparkEntry {
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
+      // IVF with TRAINED cells: deterministic fixed-point Lloyd k-means
+      // (no RNG — the oracle replays the identical iterations), then
+      // cell-restricted search with broadcast centroids. The one ANN
+      // operator whose recall now rides measured cell quality instead of
+      // an arbitrary first-K layout (BENCH ivf_study).
       graft.plans.CosineSim.register(s)
       val v = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val assigned = Similarity.ivfAssign(v, 16, Similarity.cosineFast)
+      val cents = Similarity.kmeansCentroids(s, v, Similarity.IvfK, Similarity.IvfIters)
+      val assigned = Similarity.ivfAssignWith(v, cents)
       val qs = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cent_id"))
       val w = org.apache.spark.sql.expressions.Window
@@ -1272,8 +1278,8 @@ object SparkEntry {
             WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.9
             ORDER BY vec_a, vec_b""",
       "q_ann_ivf" ->
-        """WITH cents AS (
-             SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 16),
+        s"""WITH ${Similarity.kmeansCentroidsSql(
+               Similarity.IvfK, Similarity.IvfIters, 64)},
            assigned AS (
              SELECT vec_id, embedding, cent_id FROM (
                SELECT e.vec_id, e.embedding, c.cent_id,

@@ -53,47 +53,62 @@ object DedupOps {
   }
 
   // ---- MinHash signatures + LSH banding ----
+  // Banding follows the standard S-curve: with b bands of r rows
+  // (b·r = numHashes), a pair at Jaccard s becomes a candidate with
+  // probability 1 − (1 − s^r)^b, which rises steeply around the
+  // threshold t* ≈ (1/b)^(1/r). The band config is therefore a TUNABLE
+  // derived from the target threshold ([[bandConfigFor]]), not a
+  // constant — at 100 TB, sweeping a different near-dup threshold means
+  // re-deriving (b, r), never rescanning all pairs. Measured curves for
+  // three configs: BENCH minhash_study.
 
   val NumHashes = 16
-  val BandSize  = 4 // → 4 bands of 4
+  val BandSize  = 4 // default: 4 bands of 4 → t* ≈ 0.71, q_dedup_minhash
 
-  private def aCoef(i: Int): Long = 2L * i + 1
-  private def bCoef(i: Int): Long = 1L * i * i + 7
+  /** The band ROW count r whose S-curve threshold (1/b)^(1/r) lands
+    * closest to `threshold`, among divisors of `numHashes`. */
+  def bandConfigFor(threshold: Double, numHashes: Int = NumHashes): Int =
+    (1 to numHashes).filter(numHashes % _ == 0).minBy { r =>
+      val b = numHashes / r
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
 
-  /** MinHash signature: array of NumHashes mins of h_i(s)=(a_i*s+b_i)%P.
+  /** MinHash signature: array of `numHashes` mins of h_i(s)=(a_i*s+b_i)%P.
     * Null-safe: empty shingle set → signature of P (sentinel max). */
-  def minhash(sh: Column): Column =
+  def minhash(sh: Column, numHashes: Int = NumHashes): Column =
     transform(
-      sequence(lit(0), lit(NumHashes - 1)),
+      sequence(lit(0), lit(numHashes - 1)),
       i => {
         val hashed = transform(sh, s => (s * (i * 2L + lit(1L)) + (i * i + lit(7L))) % P)
         coalesce(array_min(hashed), lit(P))
       })
 
-  def minhashSql(shExpr: String): String =
-    s"""list_transform(range(0, $NumHashes),
+  def minhashSql(shExpr: String, numHashes: Int = NumHashes): String =
+    s"""list_transform(range(0, $numHashes),
         i -> coalesce(list_min(list_transform($shExpr, s -> (s * (i*2+1) + (i*i+7)) % $P)), $P))"""
 
   /** LSH band keys: one row key per band, combining the band's signature
     * slice into a single long. Join docs on (band_idx, band_key) to get
     * candidate pairs — the scale path: no all-pairs comparison. */
-  def bandKeys(sig: Column): Column =
+  def bandKeys(
+      sig: Column, numHashes: Int = NumHashes, bandSize: Int = BandSize): Column =
     transform(
-      sequence(lit(0), lit(NumHashes / BandSize - 1)),
+      sequence(lit(0), lit(numHashes / bandSize - 1)),
       b =>
         struct(
           b.as("band"),
           aggregate(
-            transform(sequence(lit(1), lit(BandSize)), j => element_at(sig, b * BandSize + j)),
+            transform(sequence(lit(1), lit(bandSize)), j => element_at(sig, b * bandSize + j)),
             lit(0L),
             (acc, v) => (acc * 131L + v) % P).as("key")))
 
-  def bandKeysSql(sigExpr: String): String =
-    s"""list_transform(range(0, ${NumHashes / BandSize}),
+  def bandKeysSql(
+      sigExpr: String, numHashes: Int = NumHashes, bandSize: Int = BandSize): String =
+    s"""list_transform(range(0, ${numHashes / bandSize}),
         b -> {'band': b,
               'key': list_reduce(
                 list_prepend(cast(0 AS bigint),
-                  list_transform(range(1, ${BandSize + 1}), j -> ($sigExpr)[b*$BandSize + j])),
+                  list_transform(range(1, ${bandSize + 1}), j -> ($sigExpr)[b*$bandSize + j])),
                 (acc, v) -> (acc * 131 + v) % $P)})"""
 
   // ---- SimHash (60-bit, word tokens) ----

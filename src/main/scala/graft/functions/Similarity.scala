@@ -120,28 +120,130 @@ object Similarity {
                           embedding[9:]) AS embedding
        FROM embeddings WHERE vec_id % 5 = 0"""
 
-  /** IVF-style ANN: assign every vector to its nearest of K coarse
-    * centroids (here: the first K vectors as deterministic "trained"
-    * centroids — swap in k-means output at scale), then search only
-    * within the query's cell. The scale path: per-query candidate set is
-    * |cell| ≈ N/K instead of N, and the assignment join broadcasts only
-    * the K centroids. */
-  def ivfAssign(
+  /** Deterministic spherical k-means (Lloyd, fixed iterations) for IVF
+    * coarse centroids — no RNG anywhere, so the DuckDB oracle reproduces
+    * it exactly:
+    *  - init: the first `k` vectors (vec_id < k), widened to double;
+    *  - assign: argmax cosine, ties to the lowest cent_id;
+    *  - update: per-component FIXED-POINT mean — sum of
+    *    `round(x·10⁶)` as exact integers (order-independent, hence
+    *    engine-independent bit-for-bit) divided back in double; an empty
+    *    cell keeps its previous centroid.
+    * Each iteration is one broadcast-join assignment pass (O(n·k) work,
+    * the real cost at scale) plus an explode + aggregation for the
+    * component sums (map-side partial combine, O(n·dim) pre-aggregated
+    * rows); the k×dim centroid matrix collapses to the driver per
+    * iteration (trivial — 16×64 here). At 100 TB: train on a sample
+    * (k-means needs no more), assign full. Twin: [[kmeansCentroidsSql]]. */
+  def kmeansCentroids(
+      spark: org.apache.spark.sql.SparkSession,
       vectors: DataFrame, // (vec_id, embedding)
-      k: Int,
+      k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Double])] = vectors.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => x.cast("double")))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_sim").desc, col("cent_id"))
+    for (_ <- 1 to iters) {
+      val centDf = cents.toDF("cent_id", "cent")
+      val assigned = vectors
+        .join(broadcast(centDf))
+        .withColumn("_sim", cosine(col("embedding"), col("cent")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("cent_id"), col("embedding"))
+      val upd = assigned
+        .select(col("cent_id"), posexplode(col("embedding")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(
+          sum(round(col("col").cast("double") * 1e6).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy(col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("s").cast("double") / (col("n").cast("double") * 1e6)).as("comp")))),
+          e => e("comp")).as("cent"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (id, old) => (id, upd.getOrElse(id, old)) }
+    }
+    cents.toDF("cent_id", "cent")
+  }
+
+  /** DuckDB twin of [[kmeansCentroids]]: `iters` chained
+    * assign/sum/rebuild CTE triples over the same fixed-point
+    * arithmetic. Emits `WITH`-body text whose final CTE `cents` is
+    * (cent_id, cent). */
+  def kmeansCentroidsSql(k: Int, iters: Int, dim: Int): String = {
+    val init =
+      s"""c0 AS (
+            SELECT vec_id AS cent_id,
+                   list_transform(embedding, x -> cast(x AS double)) AS cent
+            FROM embeddings WHERE vec_id < $k)"""
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS (
+            SELECT cent_id, embedding FROM (
+              SELECT e.vec_id, e.embedding, c.cent_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+                                c.cent_id) AS rn
+              FROM embeddings e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+          s$i AS (
+            SELECT cent_id, p.pos,
+                   sum(cast(round(cast(embedding[p.pos] AS double) * 1000000.0) AS bigint)) AS s,
+                   count(*) AS n
+            FROM a$i CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS pos) p
+            GROUP BY 1, 2),
+          u$i AS (
+            SELECT cent_id,
+                   list(cast(s AS double) / (n * 1000000.0) ORDER BY pos) AS cent
+            FROM s$i GROUP BY cent_id),
+          c$i AS (
+            SELECT o.cent_id, coalesce(u.cent, o.cent) AS cent
+            FROM c${i - 1} o LEFT JOIN u$i u USING (cent_id))"""
+    }
+    (Seq(init) ++ steps :+ s"cents AS (SELECT cent_id, cent FROM c$iters)")
+      .mkString(",\n          ")
+  }
+
+  /** q_ann_ivf training config: 3 Lloyd iterations over K=16 cells. */
+  val IvfK     = 16
+  val IvfIters = 3
+
+  /** IVF-style ANN: assign every vector to its nearest coarse centroid,
+    * then search only within the query's cell. The scale path: per-query
+    * candidate set is |cell| ≈ N/K instead of N, and the assignment join
+    * broadcasts only the K centroids. */
+  def ivfAssignWith(
+      vectors: DataFrame,   // (vec_id, embedding)
+      centroids: DataFrame, // (cent_id, cent)
       score: (Column, Column) => Column = cosine): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = vectors.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("_sim").desc, col("cent_id"))
     vectors
-      .join(broadcast(cents))
+      .join(broadcast(centroids))
       .withColumn("_sim", score(col("embedding"), col("cent")))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
   }
+
+  /** [[ivfAssignWith]] against untrained first-K "centroids" (the
+    * correctness-baseline cell layout; q_ann_ivf uses the trained cells
+    * from [[kmeansCentroids]]). */
+  def ivfAssign(
+      vectors: DataFrame, // (vec_id, embedding)
+      k: Int,
+      score: (Column, Column) => Column = cosine): DataFrame =
+    ivfAssignWith(
+      vectors,
+      vectors.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent")),
+      score)
 
   /** Exact all-pairs cosine-threshold self-join as a TILED theta-join
     * (the 1-Bucket-Theta shape): row r gets block id r.vec_id % K; the

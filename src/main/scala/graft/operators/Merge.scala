@@ -119,15 +119,21 @@ object Merge {
       pmod(xxhash64(docId), lit(numBuckets.toLong)).cast("int")
 
     // A batch with >> numBuckets keys hits every bucket with near
-    // certainty; skip the extra touched-bucket job (and the cache the two
-    // passes would need) and take the whole table. Small batches (the
-    // common trickle case) pay one cheap job over a cached batch to prune
-    // the target read down to only-touched buckets.
-    val planStats = dedupedBatch.queryExecution.optimizedPlan.stats
-    val estRows = planStats.rowCount.map(_.longValue)
-      .getOrElse(planStats.sizeInBytes.longValue / 256L)
-    val bigBatch = estRows > numBuckets.toLong * 64
+    // certainty (coupon collector); skip the extra touched-bucket job
+    // (and the cache the two passes would need) and take the whole
+    // table. The decision rides an EXACT count, not optimizer stats:
+    // `optimizedPlan.stats.sizeInBytes/256` on a post-aggregation batch
+    // can overestimate wildly (a filter keeps its child's sizeInBytes),
+    // and at 10k buckets a trickle batch misclassified as big means a
+    // full 10k-bucket rewrite. The count job re-reads the dedup
+    // exchange's map output (shuffle reuse — the scan/map stages are
+    // skipped on the later join pass), so it costs one reduce pass, not
+    // a second source scan; the misclassification it prevents costs a
+    // table rewrite. Gated by PipelineSpec "trickle batch with an
+    // inflated plan estimate still takes the touched-bucket path".
     val batch0 = dedupedBatch.withColumn("_bucket", bucketOf(col("doc_id")))
+    val exactRows = batch0.count()
+    val bigBatch = exactRows > numBuckets.toLong * 64
     val batch = if (bigBatch) batch0 else batch0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val touched: Set[Int] =

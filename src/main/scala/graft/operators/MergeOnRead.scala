@@ -219,6 +219,10 @@ object MergeOnRead {
       key: Option[String] = None): DataFrame = {
     val m = version.map(table.manifest).orElse(table.current).getOrElse(
       throw new IllegalStateException(s"no snapshot at ${table.root}"))
+    // explicit-version reads (time travel) fail typed when the version's
+    // files were vacuumed, not with a mid-task FileNotFound
+    if (version.exists(v => !table.currentVersion.contains(v)))
+      table.verifyReadable(m)
     def prune(fs: Seq[graft.table.DataFile]) = {
       val byBucket = buckets match {
         case Some(bs) => fs.filter(f => bs.contains(f.bucket))
@@ -504,11 +508,16 @@ object MergeOnRead {
     if (hasRollback) return retractionDiff(table, fromVersion, to, payloadCols)
 
     // delta files INTRODUCED by each commit in the range (newer manifests
-    // carry older delta files forward until compaction — diff per step)
+    // carry older delta files forward until compaction — diff per step).
+    // A step whose delta files were vacuumed fails typed, naming the
+    // vacuumed version — not a raw FileNotFound mid-task.
     val stepFiles = range.flatMap { v =>
       val m      = table.manifest(v)
       val before = table.manifest(m.parent).deltaFiles.map(_.path).toSet
-      m.deltaFiles.filterNot(f => before.contains(f.path))
+      val added  = m.deltaFiles.filterNot(f => before.contains(f.path))
+      added.find(f => !java.nio.file.Files.exists(java.nio.file.Paths.get(f.path)))
+        .foreach(f => throw graft.table.VacuumedVersionException(v, f.path))
+      added
     }
     // every event-carrying commit advances the watermark; a commit that
     // advanced it WITHOUT adding delta files went through the COW join

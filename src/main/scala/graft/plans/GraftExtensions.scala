@@ -42,8 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
-      info("graft_minhash", "graft_minhash(shingles) - minhash signature array"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
+      info("graft_minhash", "graft_minhash(shingles[, numHashes]) - minhash signature array"),
+      (exprs: Seq[Expression]) =>
+        if (exprs.size > 1)
+          MinHashSig(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue())
+        else MinHashSig(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_rolling_hash"),
       info("graft_rolling_hash", "graft_rolling_hash(tokens) - rolling-hash fingerprint"),

@@ -7,6 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
+import graft.functions.DedupOps
+
 /** Native Catalyst expression: MinHash signature over a shingle array in
   * ONE pass — all K hash-family minima per element, no intermediate
   * arrays.
@@ -18,8 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * measured 70s for the sf0.1 MinHash+LSH dedup, dominated by signature
   * computation (recomputed on both sides of the band self-join).
   */
-case class MinHashSig(child: Expression) extends UnaryExpression {
-  import graft.functions.DedupOps.{NumHashes, P}
+case class MinHashSig(child: Expression, numHashes: Int = DedupOps.NumHashes)
+    extends UnaryExpression {
+  import graft.functions.DedupOps.P
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -33,13 +36,13 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n   = arr.numElements()
-    val out = Array.fill(NumHashes)(P)
+    val out = Array.fill(numHashes)(P)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getLong(i)
         var k = 0
-        while (k < NumHashes) {
+        while (k < numHashes) {
           val h = (s * (2L * k + 1) + (k.toLong * k + 7)) % P
           if (h < out(k)) out(k) = h
           k += 1
@@ -54,13 +57,13 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val gad = classOf[GenericArrayData].getName
       s"""
-         |long[] graftMins = new long[$NumHashes];
+         |long[] graftMins = new long[$numHashes];
          |java.util.Arrays.fill(graftMins, ${P}L);
          |int graftN = $c.numElements();
          |for (int graftI = 0; graftI < graftN; graftI++) {
          |  if (!$c.isNullAt(graftI)) {
          |    long graftS = $c.getLong(graftI);
-         |    for (int graftK = 0; graftK < $NumHashes; graftK++) {
+         |    for (int graftK = 0; graftK < $numHashes; graftK++) {
          |      long graftH = (graftS * (2L * graftK + 1) + ((long) graftK * graftK + 7)) % ${P}L;
          |      if (graftH < graftMins[graftK]) graftMins[graftK] = graftH;
          |    }
@@ -75,10 +78,14 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 }
 
 object MinHashSig {
-  /** Register as `graft_minhash(shingles)`. */
+  /** Register as `graft_minhash(shingles[, numHashes])`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash",
-      exprs => MinHashSig(exprs.head),
+      exprs =>
+        if (exprs.size > 1)
+          MinHashSig(exprs.head,
+            exprs(1).eval(null).asInstanceOf[Number].intValue())
+        else MinHashSig(exprs.head),
       "built-in")
 }

@@ -323,9 +323,15 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     * the clone's data dir and therefore cannot reclaim source files.
     * O(versions), no data IO — the branch-and-experiment primitive
     * (and the cheap way to fork a staged fixture in tests/benches).
-    * Caveat shared with time travel: vacuuming the SOURCE can reclaim
-    * files a clone still references — clones borrow the source's
-    * retention window. */
+    *
+    * The clone REGISTERS a claim in the source's clone registry
+    * (`<root>/clones/`): the source's [[vacuum]] keeps every file its
+    * fork version references until [[releaseClone]] drops the claim —
+    * so a live clone can never have its shared files reclaimed from
+    * under it (the round-2 gap). A clone that time-travels BELOW its
+    * fork version accepts the same expire-snapshots tradeoff as any
+    * source reader. Reference analog: the archive's "will not be
+    * overwritten" guarantee, CountyAddressPointETL.py:242-250. */
   def shallowClone(dstRoot: String): SnapshotTable = {
     val dstSnaps = Paths.get(dstRoot, "snapshots")
     Files.createDirectories(dstSnaps)
@@ -333,21 +339,60 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
       Files.copy(versionPath(v), dstSnaps.resolve(versionPath(v).getFileName),
         StandardCopyOption.COPY_ATTRIBUTES)
     }
+    currentVersion.foreach(registerClone(dstRoot, _))
     new SnapshotTable(spark, dstRoot)
   }
+
+  // ---- clone registry (vacuum retention claims) ----
+
+  private def clonesDir: Path = Paths.get(root, "clones")
+
+  private def cloneClaimPath(dstRoot: String): Path = {
+    val h = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(dstRoot.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    clonesDir.resolve(s"$h.json")
+  }
+
+  private def registerClone(dstRoot: String, atVersion: Long): Unit = {
+    Files.createDirectories(clonesDir)
+    val n = mapper.createObjectNode()
+    n.put("dstRoot", dstRoot)
+    n.put("version", atVersion)
+    Files.write(cloneClaimPath(dstRoot),
+      mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Registered clones as (dstRoot, forkVersion). */
+  def registeredClones: Seq[(String, Long)] =
+    if (!Files.isDirectory(clonesDir)) Seq.empty
+    else listDir(clonesDir).filter(_.getFileName.toString.endsWith(".json")).map { p =>
+      val n = mapper.readTree(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      (n.get("dstRoot").asText(), n.get("version").asLong())
+    }
+
+  /** Drop a clone's retention claim (the clone was deleted, or accepts
+    * losing its shared files on the source's next vacuum).
+    * @return whether a claim existed */
+  def releaseClone(dstRoot: String): Boolean =
+    Files.deleteIfExists(cloneClaimPath(dstRoot))
 
   /** Garbage-collect data files referenced only by versions older than
     * the last `retainVersions` (default: current only). Manifests are
     * NEVER deleted — the manifest chain IS the exactly-once ledger, and
     * dropping one would forget an applied commit id; only their data
-    * files are reclaimed (time travel to vacuumed versions 404s, by
-    * design — same tradeoff as Iceberg's expire_snapshots).
+    * files are reclaimed. Registered clones' fork versions are retained
+    * in addition to the window ([[shallowClone]] / [[releaseClone]]).
+    * Reads of a vacuumed version fail with a typed
+    * [[VacuumedVersionException]] naming the version and missing file
+    * (same tradeoff as Iceberg's expire_snapshots, made explicit).
     * Also sweeps orphan files from crashed writes (present on disk,
     * referenced by no manifest at all).
     * @return (files deleted, files kept) */
   def vacuum(retainVersions: Int = 1): (Int, Int) = {
     require(retainVersions >= 1)
-    val keep = versions.takeRight(retainVersions)
+    val claimed = registeredClones.map(_._2).filter(versions.contains)
+    val keep    = (versions.takeRight(retainVersions) ++ claimed).distinct
     val live: Set[Path] = keep.flatMap { v =>
       val m = manifest(v)
       (m.files ++ m.deltaFiles).map(f => Paths.get(f.path).toAbsolutePath.normalize)
@@ -364,6 +409,16 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     }
     (deleted, live.size)
   }
+
+  /** Fail fast — with the version and file named — when a manifest
+    * references data files [[vacuum]] reclaimed, instead of a raw
+    * FileNotFound from deep inside a Spark task. Driver-side stat per
+    * file; called only on explicit-version reads (time travel,
+    * changelog windows), never on hot-path current reads. */
+  def verifyReadable(m: Manifest): Unit =
+    (m.files ++ m.deltaFiles)
+      .find(f => !Files.exists(Paths.get(f.path)))
+      .foreach(f => throw VacuumedVersionException(m.version, f.path))
 
   /** (rows, doc_id min, doc_id max) straight from the parquet footer —
     * the writer already computed the column statistics; reading them here
@@ -409,6 +464,14 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     } finally r.close()
   }
 }
+
+/** A read needed a data file that [[SnapshotTable.vacuum]] reclaimed:
+  * the version is outside the retention window. Recover by re-reading a
+  * retained version, or lengthen retention / register a clone claim. */
+case class VacuumedVersionException(version: Long, missingPath: String)
+    extends RuntimeException(
+      s"version $version references vacuumed data file $missingPath " +
+        "(outside the vacuum retention window)")
 
 object SnapshotTable {
 

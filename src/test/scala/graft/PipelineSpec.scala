@@ -425,6 +425,30 @@ class PipelineSpec extends SparkSpec {
       "fixture must actually change between versions")
   }
 
+  test("trickle batch with an inflated plan estimate still takes the touched-bucket path") {
+    // the round-2 heuristic trusted optimizedPlan.stats: a filter keeps
+    // its child's sizeInBytes, so 3 rows filtered out of range(50M)
+    // "estimate" as millions — and at high bucket counts that wrongly
+    // skipped the probe and rewrote the whole table for a trickle
+    val base = tmpDir("trickle")
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/table", changeLogDir = s"$base/cl",
+      checkpointDir = s"$base/ck", errorDir = s"$base/err",
+      lineageDir = s"$base/lin", numBuckets = 256, mode = "cow"))
+    import spark.implicits._
+    p.applyBatch(Seq((1L, "I", "seed", Some(Seq(1)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    val inflated = spark.range(0, 50000000L).filter(col("id") < 3)
+      .select(
+        (col("id") + 10).as("lsn"), lit("I").as("op"),
+        concat(lit("trickle-"), col("id")).as("doc_id"),
+        array(lit(1)).as("tokens"), lit(1L).as("n_tok"), lit("s").as("source"))
+    val s = p.applyBatch(inflated, 1L)
+    assert(s.batchEvents == 3L)
+    assert(s.touchedBuckets <= 3,
+      s"trickle must prune to its own buckets, not rewrite all 256: ${s.touchedBuckets}")
+  }
+
   test("COW conflict detection: disjoint buckets rebase, overlapping buckets conflict") {
     import graft.operators.Merge
     import graft.table.{DataFile, Manifest}
@@ -675,6 +699,47 @@ class PipelineSpec extends SparkSpec {
       p.table.read(Some(oldV)).collect()
     }
     ()
+  }
+
+  test("vacuum honors clone claims; vacuumed windows fail with a typed error") {
+    import graft.operators.MergeOnRead
+    import graft.table.VacuumedVersionException
+    import spark.implicits._
+    val base = tmpDir("vac-claims")
+    val p    = mkPipeline(base, mode = "mor")
+    def batch(lsn: Long, id: String) =
+      Seq((lsn, "I", id, Some(Seq(1)), Some(1L), "s"))
+        .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    p.applyBatch(batch(1, "a"), 0L)
+    val v1 = p.table.currentVersion.get
+    p.applyBatch(batch(2, "b"), 1L)
+    val v2 = p.table.currentVersion.get
+    // fork at v2 (registers a claim), then advance + compact so the
+    // pre-compact files become reclaimable
+    val clone = p.table.shallowClone(s"$base/clone")
+    p.applyBatch(batch(3, "c"), 2L)
+    MergeOnRead.compact(p.table, "vac-compact")
+
+    // the claim keeps the fork version's files: the clone reads on
+    assert(p.table.registeredClones.map(_._2) == Seq(v2))
+    p.table.vacuum(1)
+    assert(MergeOnRead.liveView(clone).count() == 2, "clone must survive source vacuum")
+
+    // release the claim → the next vacuum reclaims
+    assert(p.table.releaseClone(s"$base/clone"))
+    val (deleted, _) = p.table.vacuum(1)
+    assert(deleted > 0, "released files must be reclaimed")
+
+    // time travel to the vacuumed version: typed, names the version
+    val e = intercept[VacuumedVersionException] { p.readTableAt(v2).collect() }
+    assert(e.version == v2)
+    // changelog window whose delta files were vacuumed: typed too
+    val e2 = intercept[VacuumedVersionException] {
+      MergeOnRead.changesSince(p.table, v1, Some(v2)).collect()
+    }
+    assert(e2.version == v2)
+    // the current view is untouched
+    assert(p.readTable().count() == 3)
   }
 
   test("snapshot isolation: a pinned version reads identically across later commits") {

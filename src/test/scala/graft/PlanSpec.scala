@@ -81,6 +81,25 @@ class PlanSpec extends SparkSpec {
       .filter(col("slow") =!= col("fast"))
       .count()
     assert(diff == 0, s"$diff rows diverge between fused and composed minhash")
+    // parameterized width: the fused expression honors numHashes too
+    val diff24 = corpus
+      .withColumn("slow", DedupOps.minhash(col("sh"), 24))
+      .withColumn("fast", call_function("graft_minhash", col("sh"), lit(24)))
+      .filter(col("slow") =!= col("fast"))
+      .count()
+    assert(diff24 == 0, s"$diff24 rows diverge at numHashes=24")
+  }
+
+  test("band config derives from the target Jaccard threshold (S-curve)") {
+    import graft.functions.DedupOps
+    // t* = (1/b)^(1/r) for b = 16/r: r=2 → .354, r=4 → .707, r=8 → .917
+    assert(DedupOps.bandConfigFor(0.35, 16) == 2)
+    assert(DedupOps.bandConfigFor(0.5, 16) == 2)  // .354 beats .707
+    assert(DedupOps.bandConfigFor(0.7, 16) == 4)  // the q_dedup_minhash default
+    assert(DedupOps.bandConfigFor(0.9, 16) == 8)
+    assert(DedupOps.bandConfigFor(0.99, 16) == 16)
+    assert(DedupOps.BandSize == DedupOps.bandConfigFor(0.7, DedupOps.NumHashes),
+      "the default band config must be the 0.7-threshold derivation")
   }
 
   test("ShingleHash (fused codegen) ≡ built-in-composed shingles") {
