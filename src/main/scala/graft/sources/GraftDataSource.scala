@@ -6,15 +6,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.operators.{Merge, MergeOnRead}
+import graft.operators.{Dedup, Merge, MergeOnRead, TableMaintenance}
 import graft.table.SnapshotTable
 
 /** SQL/catalog surface for a [[graft.table.SnapshotTable]]:
@@ -22,6 +23,10 @@ import graft.table.SnapshotTable
   * {{{
   *   spark.read.format("graft").load(tableRoot)                    // live view
   *   spark.read.format("graft").option("version", 3).load(root)    // time travel
+  *   spark.read.format("graft").option("changesFrom", 2)           // CDC-out
+  *     .option("changesTo", 5).load(root)                          //   changelog
+  *   df.write.format("graft").mode("append").save(root)            // LWW upsert
+  *   df.write.format("graft").mode("overwrite").save(root)         // replace
   * }}}
   *
   * A DataSource V2 [[TableProvider]] supplies discovery (short name
@@ -53,15 +58,26 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("version")).map(_.toLong)
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftDataSource.logicalSchema(
-      SnapshotTable.load(SparkSession.active, rootOf(options)), versionOf(options))
+  private def changesFromOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("changesFrom")).map(_.toLong)
+
+  private def changesToOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("changesTo")).map(_.toLong)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val table = SnapshotTable.load(SparkSession.active, rootOf(options))
+    if (changesFromOf(options).isDefined)
+      GraftDataSource.changesSchema(table, changesToOf(options))
+    else
+      GraftDataSource.logicalSchema(table, versionOf(options))
+  }
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    GraftTable(rootOf(opts), versionOf(opts), schema)
+    GraftTable(rootOf(opts), versionOf(opts), schema,
+      changesFromOf(opts), changesToOf(opts))
   }
 }
 
@@ -73,6 +89,56 @@ object GraftDataSource {
       throw new IllegalStateException(s"no graft snapshot at ${table.root}"))
     StructType(m.schema.fields.filterNot(f => Merge.InternalCols.contains(f.name)))
   }
+
+  /** Schema of the changelog view (`option("changesFrom", v)`): payload
+    * columns + (lsn, op) — the [[MergeOnRead.changesSince]] contract. */
+  def changesSchema(table: SnapshotTable, toVersion: Option[Long]): StructType =
+    StructType(logicalSchema(table, toVersion).fields ++ Seq(
+      org.apache.spark.sql.types.StructField("lsn",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+
+  /** `df.write.format("graft")` semantics — rows are UPSERTS through the
+    * standard MERGE machinery (never a bare file append):
+    *  - `mode("append")`: LWW upsert of the frame. A frame WITHOUT
+    *    lsn/op columns gets op='U' at one fresh LSN above the watermark
+    *    (so it wins over all current state; duplicate doc_ids within
+    *    such a frame are ambiguous — carry an explicit `lsn` to order
+    *    them). A frame WITH lsn/op is a verbatim change batch.
+    *  - `mode("overwrite")`: tombstone-everything commit, then the frame
+    *    re-lands at a fresh LSN above the tombstones — full replace with
+    *    history (time travel to the pre-overwrite state still works).
+    * Exactly-once: pass `.option("commitId", id)` to ledger the write;
+    * without it every save() is a new commit. Commits go through
+    * merge-on-read (O(frame) commit cost). */
+  def insertInto(
+      root: String, data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean, commitId: Option[String]): Unit = {
+    val spark = data.sparkSession
+    val table = SnapshotTable.load(spark, root)
+    val cur = table.current.getOrElse(throw new IllegalStateException(
+      s"no graft table at $root — create it (SnapshotTable.create) first"))
+    require(data.columns.contains("doc_id"), "graft writes require a doc_id column")
+    val hasMeta = data.columns.contains("lsn") && data.columns.contains("op")
+    val id = commitId.getOrElse("w-" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffffffL))
+    import org.apache.spark.sql.functions.{col, lit}
+    if (overwrite) {
+      TableMaintenance.deleteWhere(table, lit(true), s"$id.truncate", mode = "mor")
+      val w2 = table.current.get.watermarkLsn
+      val fresh = (if (hasMeta) Dedup.lww(data).drop("lsn", "op") else data)
+        .withColumn("lsn", lit(w2 + 1)).withColumn("op", lit("U"))
+      MergeOnRead(table, fresh, id, batchId = -4L)
+    } else {
+      val events =
+        if (hasMeta) Dedup.lww(data)
+        else data.withColumn("lsn", lit(cur.watermarkLsn + 1))
+          .withColumn("op", lit("U"))
+      MergeOnRead(table, events, id, batchId = -4L)
+    }
+    ()
+  }
 }
 
 /** V2 table handle: carries the root + pinned version for the analyzer
@@ -80,19 +146,50 @@ object GraftDataSource {
   * replaces the relation before scan planning; the [[ScanBuilder]] below
   * only fires when the extensions are not installed, and then fails with
   * the actionable message instead of a silent wrong answer. */
-case class GraftTable(root: String, pinnedVersion: Option[Long], tableSchema: StructType)
-    extends Table with SupportsRead {
+case class GraftTable(
+    root: String, pinnedVersion: Option[Long], tableSchema: StructType,
+    changesFrom: Option[Long] = None, changesTo: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = s"graft.`$root`" + pinnedVersion.fold("")(v => s"@v$v")
+  override def name(): String = s"graft.`$root`" + pinnedVersion.fold("")(v => s"@v$v") +
+    changesFrom.fold("")(v => s"@changes($v,${changesTo.getOrElse(-1L)})")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      // BATCH_WRITE gates DataFrameWriter's mode routing; the write
+      // itself is the V1 bridge (build() returns a V1Write, so the
+      // planner picks the V1 fallback exec, not DataWritingSparkTask)
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     throw new IllegalStateException(
       "graft tables read through the GraftExtensions analyzer rule; install it with " +
         "spark.sql.extensions=graft.plans.GraftExtensions " +
         "(or SparkSession.builder().withExtensions(new graft.plans.GraftExtensions))")
+
+  /** Write path: the V2→V1 write bridge (`V1_BATCH_WRITE`, the same
+    * bridge Delta shipped on) hands the driver-side frame to
+    * [[GraftDataSource.insertInto]], which routes it through the
+    * standard MERGE machinery — commit ledger, LWW, schema evolution,
+    * lineage all apply; never a bare file append. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty && changesFrom.isEmpty,
+      s"cannot write to a pinned/changelog graft read ($name); load without options")
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(
+                data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit =
+              GraftDataSource.insertInto(root, data, replace || overwrite,
+                Option(info.options.get("commitId")))
+          }
+      }
+    }
+  }
 }
 
 /** Analyzer rule: expand every [[GraftTable]] V2 relation into the
@@ -101,9 +198,14 @@ case class GraftTable(root: String, pinnedVersion: Option[Long], tableSchema: St
 case class GraftRelationResolution(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
-      val t        = r.table.asInstanceOf[GraftTable]
-      val st       = SnapshotTable.load(session, t.root)
-      val expanded = MergeOnRead.liveView(st, t.pinnedVersion).queryExecution.analyzed
+      val t  = r.table.asInstanceOf[GraftTable]
+      val st = SnapshotTable.load(session, t.root)
+      val expanded = (t.changesFrom match {
+        // changelog view through SQL: the engine's CDC-out, same
+        // contract and paths as the library call
+        case Some(from) => MergeOnRead.changesSince(st, from, t.changesTo)
+        case None       => MergeOnRead.liveView(st, t.pinnedVersion)
+      }).queryExecution.analyzed
       val byName   = expanded.output.map(a => a.name -> a).toMap
       Project(
         r.output.map { o =>

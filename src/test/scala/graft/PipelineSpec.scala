@@ -423,6 +423,12 @@ class PipelineSpec extends SparkSpec {
     assert(tt.count() != sql.count() ||
       tt.collect().map(_.toSeq).toSet != sql.collect().map(_.toSeq).toSet,
       "fixture must actually change between versions")
+
+    // CDC-out through SQL: identical frame to the library changesSince
+    val ch  = spark.read.format("graft").option("changesFrom", v1).load(p.table.root)
+    val lib = graft.operators.MergeOnRead.changesSince(p.table, v1)
+    assert(ch.schema.fieldNames.toSeq == lib.schema.fieldNames.toSeq)
+    assert(ch.collect().map(_.toSeq).toSet == lib.collect().map(_.toSeq).toSet)
   }
 
   test("trickle batch with an inflated plan estimate still takes the touched-bucket path") {
@@ -517,6 +523,45 @@ class PipelineSpec extends SparkSpec {
     // rowCount stayed consistent through every rebase
     assert(p.table.current.get.rowCount == k + 1L)
     info(s"conflict-retries observed: ${conflicts.get()}")
+  }
+
+  test("DataSource V2 write: append upserts through MERGE; overwrite replaces with history") {
+    import spark.implicits._
+    val base = tmpDir("dsv2w")
+    val p    = mkPipeline(base, mode = "mor")
+    p.applyBatch(Seq(
+      (1L, "I", "w-a", Some(Seq(1)), Some(1L), "s"),
+      (2L, "I", "w-b", Some(Seq(2)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    val root = p.table.root
+
+    // append = LWW upsert at a fresh LSN: updates w-a, inserts w-c.
+    // (Spark's V2 output resolution enforces the payload schema by name;
+    // change batches carrying lsn/op use the library API instead.)
+    Seq(("w-a", Seq(9), 1L, "s2"), ("w-c", Seq(3), 1L, "s2"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .write.format("graft").mode("append").save(root)
+    val st = p.readTable().collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        r.getAs[scala.collection.Seq[Int]]("tokens").toSeq).toMap
+    assert(st.keySet == Set("w-a", "w-b", "w-c"), s"got ${st.keySet}")
+    assert(st("w-a") == Seq(9), "append must upsert, not duplicate")
+    val vBefore = p.table.currentVersion.get
+
+    // overwrite = replace contents, history retained (time travel works)
+    Seq(("w-z", Seq(7), 1L, "z")).toDF("doc_id", "tokens", "n_tok", "source")
+      .write.format("graft").mode("overwrite").save(root)
+    assert(p.readTable().select("doc_id").as[String].collect().toSet == Set("w-z"))
+    assert(p.readTableAt(vBefore).select("doc_id").as[String].collect().toSet ==
+      Set("w-a", "w-b", "w-c"), "pre-overwrite state must time-travel")
+
+    // explicit commitId → ledgered: the second save is a no-op
+    Seq(("w-d", Seq(4), 1L, "z")).toDF("doc_id", "tokens", "n_tok", "source")
+      .write.format("graft").mode("append").option("commitId", "write-once").save(root)
+    val v1 = p.table.currentVersion.get
+    Seq(("w-d", Seq(5), 1L, "z")).toDF("doc_id", "tokens", "n_tok", "source")
+      .write.format("graft").mode("append").option("commitId", "write-once").save(root)
+    assert(p.table.currentVersion.get == v1, "replayed commitId must ledger-skip")
   }
 
   test("rebucket migrates the hash-bucket count; state, lookups, commits survive") {
