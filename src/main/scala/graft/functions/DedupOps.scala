@@ -21,6 +21,17 @@ import graft.ingest.Tokenize
   */
 object DedupOps {
   val P = 2147483647L // 2^31-1, Mersenne prime for the hash family
+  /** Mixing multiplier for the hash family: A_i = ((2i+1)·M) mod P.
+    * The bare (2i+1) multipliers of rounds 1-2 NEVER WRAP P on this
+    * corpus (tokens ≤ ~2300 → shingles < 4·10⁷; products ≤ 31·4·10⁷
+    * < P), so every h_i was monotone in s — the minhash minimizer was
+    * always the smallest shingle (positions perfectly correlated;
+    * banding degenerated to full-signature equality — measured:
+    * identical candidate sets for every band config) and the low
+    * simhash planes voted on raw parity. Same failure family as round
+    * 1's hyperplane collapse; same fix (large multiplier, wraps
+    * thousands of times). */
+  val M = graft.plans.HyperplaneSigs.M
 
   // ---- shingles: word-3-gram ints ----
 
@@ -73,19 +84,22 @@ object DedupOps {
       math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
     }
 
-  /** MinHash signature: array of `numHashes` mins of h_i(s)=(a_i*s+b_i)%P.
+  /** MinHash signature: array of `numHashes` mins of
+    * h_i(s) = (s·A_i + i²+7) mod P with A_i = ((2i+1)·[[M]]) mod P.
     * Null-safe: empty shingle set → signature of P (sentinel max). */
   def minhash(sh: Column, numHashes: Int = NumHashes): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       i => {
-        val hashed = transform(sh, s => (s * (i * 2L + lit(1L)) + (i * i + lit(7L))) % P)
+        val a = (i.cast("long") * 2L + lit(1L)) * lit(M) % lit(P)
+        val hashed = transform(sh, s => (s * a + (i * i + lit(7L))) % P)
         coalesce(array_min(hashed), lit(P))
       })
 
   def minhashSql(shExpr: String, numHashes: Int = NumHashes): String =
     s"""list_transform(range(0, $numHashes),
-        i -> coalesce(list_min(list_transform($shExpr, s -> (s * (i*2+1) + (i*i+7)) % $P)), $P))"""
+        i -> coalesce(list_min(list_transform($shExpr,
+          s -> (s * ((i*2+1) * $M % $P) + (i*i+7)) % $P)), $P))"""
 
   /** LSH band keys: one row key per band, combining the band's signature
     * slice into a single long. Join docs on (band_idx, band_key) to get
@@ -118,7 +132,8 @@ object DedupOps {
 
   val SimBits = 60
 
-  /** Bit-plane k votes on parity of h_k(s) = (s*(2k+1) + k²+7) mod P over
+  /** Bit-plane k votes on parity of h_k(s) = (s·A_k + k²+7) mod P
+    * (A_k = ((2k+1)·[[M]]) mod P) over
     * the doc's word-trigram SHINGLES, not unigrams: unigram simhash
     * fingerprints the word DISTRIBUTION, and corpora drawn from a shared
     * small vocabulary (like the synthetic docs here) collide at distance
@@ -130,21 +145,23 @@ object DedupOps {
     aggregate(
       sequence(lit(0), lit(SimBits - 1)),
       lit(0L),
-      (acc, k) =>
+      (acc, k) => {
+        val ak = (k.cast("long") * 2L + lit(1L)) * lit(M) % lit(P)
         acc + when(
           aggregate(sh, lit(0L),
             (a, s) =>
-              a + (((s * (k.cast("long") * 2L + lit(1L)) +
+              a + (((s * ak +
                 (k.cast("long") * k.cast("long") + lit(7L))) % P)
                 .bitwiseAND(1L) * 2L - 1L)) > 0,
-          call_function("shiftleft", lit(1L), k.cast("int"))).otherwise(lit(0L)))
+          call_function("shiftleft", lit(1L), k.cast("int"))).otherwise(lit(0L))
+      })
   }
 
   def simhashSql(t: String): String = {
     val sh = shinglesSql(t)
     s"""list_sum(list_transform(range(0, $SimBits),
         k -> CASE WHEN list_sum(list_transform($sh,
-                    s -> (((s * (k*2+1) + (k*k+7)) % $P) & 1) * 2 - 1)) > 0
+                    s -> (((s * ((k*2+1) * $M % $P) + (k*k+7)) % $P) & 1) * 2 - 1)) > 0
                   THEN (cast(1 AS bigint) << k) ELSE 0 END))"""
   }
 

@@ -14,7 +14,7 @@ import graft.functions.DedupOps
   * arrays.
   *
   * Semantics match [[graft.functions.DedupOps.minhash]] exactly
-  * (h_i(s) = (s*(2i+1) + (i*i+7)) mod P, empty input → P sentinel), but
+  * (h_i(s) = (s·A_i + i²+7) mod P, A_i = ((2i+1)·M) mod P, empty input → P sentinel), but
   * the built-in-composed version materializes K transformed copies of the
   * shingle array per row through HigherOrderFunction lambda dispatch —
   * measured 70s for the sf0.1 MinHash+LSH dedup, dominated by signature
@@ -22,7 +22,7 @@ import graft.functions.DedupOps
   */
 case class MinHashSig(child: Expression, numHashes: Int = DedupOps.NumHashes)
     extends UnaryExpression {
-  import graft.functions.DedupOps.P
+  import graft.functions.DedupOps.{M, P}
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -43,7 +43,7 @@ case class MinHashSig(child: Expression, numHashes: Int = DedupOps.NumHashes)
         val s = arr.getLong(i)
         var k = 0
         while (k < numHashes) {
-          val h = (s * (2L * k + 1) + (k.toLong * k + 7)) % P
+          val h = (s * ((2L * k + 1) * M % P) + (k.toLong * k + 7)) % P
           if (h < out(k)) out(k) = h
           k += 1
         }
@@ -64,7 +64,7 @@ case class MinHashSig(child: Expression, numHashes: Int = DedupOps.NumHashes)
          |  if (!$c.isNullAt(graftI)) {
          |    long graftS = $c.getLong(graftI);
          |    for (int graftK = 0; graftK < $numHashes; graftK++) {
-         |      long graftH = (graftS * (2L * graftK + 1) + ((long) graftK * graftK + 7)) % ${P}L;
+         |      long graftH = (graftS * ((2L * graftK + 1) * ${M}L % ${P}L) + ((long) graftK * graftK + 7)) % ${P}L;
          |      if (graftH < graftMins[graftK]) graftMins[graftK] = graftH;
          |    }
          |  }

@@ -11,14 +11,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Semantics match [[graft.functions.DedupOps.simhash]]'s bit-plane
   * definition exactly (plane k votes on parity of
-  * h_k(s) = (s*(2k+1) + k²+7) mod P; bit set iff the vote sum is > 0),
+  * h_k(s) = (s·A_k + k²+7) mod P, A_k = ((2k+1)·M) mod P; bit set iff the vote sum is > 0),
   * but the built-in-composed version walks the shingle array once per
   * plane through HigherOrderFunction lambda dispatch — measured ~108 ms
   * PER DOCUMENT at sf0.1 (60 planes × ~500 shingles ≈ 3.6 µs/lambda);
   * this loop does the same work in tight JIT'd Java.
   */
 case class SimHashSig(child: Expression) extends UnaryExpression {
-  import graft.functions.DedupOps.{P, SimBits}
+  import graft.functions.DedupOps.{M, P, SimBits}
 
   override def dataType: DataType = LongType
 
@@ -39,7 +39,7 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
         val s = arr.getLong(i)
         var k = 0
         while (k < SimBits) {
-          val parity = ((s * (2L * k + 1) + (k.toLong * k + 7)) % P) & 1L
+          val parity = ((s * ((2L * k + 1) * M % P) + (k.toLong * k + 7)) % P) & 1L
           votes(k) += (if (parity == 1L) 1 else -1)
           k += 1
         }
@@ -61,7 +61,7 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
          |  if (!$c.isNullAt(graftI)) {
          |    long graftS = $c.getLong(graftI);
          |    for (int graftK = 0; graftK < $SimBits; graftK++) {
-         |      long graftPar = ((graftS * (2L * graftK + 1) + ((long) graftK * graftK + 7)) % ${P}L) & 1L;
+         |      long graftPar = ((graftS * ((2L * graftK + 1) * ${M}L % ${P}L) + ((long) graftK * graftK + 7)) % ${P}L) & 1L;
          |      graftVotes[graftK] += (graftPar == 1L) ? 1 : -1;
          |    }
          |  }

@@ -118,4 +118,38 @@ class StreamingSpec extends SparkSpec {
       assert(want(k) == v, s"doc $k: stream=$v batch=${want(k)}")
     }
   }
+
+  test("authenticated connector (S3b): typed pre-flight auth, redaction, stream parity") {
+    import graft.ingest.{CdcGenerator, Connector, ConnectorAuthException, ConnectorConfig}
+    val base = tmpDir("conn")
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 2)
+
+    // no secrets file → typed, actionable, secret-free failure
+    val cfg0 = ConnectorConfig(s"$base/changelog", "org1", "svc", s"$base/nope.json")
+    val e0 = intercept[ConnectorAuthException] { Connector.openBatch(spark, cfg0) }
+    assert(e0.getMessage.contains("not found"))
+
+    // wrong user in secrets → typed mismatch, password never in message
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/secrets.json"),
+      """{"user": "other", "password": "hunter2"}""")
+    val cfg1 = ConnectorConfig(s"$base/changelog", "org1", "svc", s"$base/secrets.json")
+    val e1 = intercept[ConnectorAuthException] { Connector.openBatch(spark, cfg1) }
+    assert(!e1.getMessage.contains("hunter2"))
+
+    // valid secrets → the source opens and matches a direct read
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/secrets.json"),
+      """{"user": "svc", "password": "hunter2"}""")
+    val got = Connector.openBatch(spark, cfg1).count()
+    val want = spark.read.schema(graft.operators.Conform.EventSchema)
+      .parquet(s"$base/changelog/batch-*").count()
+    assert(got == want && got > 0)
+    assert(Connector.openStream(spark, cfg1).isStreaming)
+
+    // redaction: config renders without path or secret material
+    val s = cfg1.toString
+    assert(!s.contains("secrets.json") && !s.contains("hunter2") &&
+      s.contains("<redacted>"))
+  }
 }
