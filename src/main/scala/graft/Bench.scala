@@ -56,6 +56,8 @@ object Bench {
   private def newSession(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
+
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .master(s"local[$cores]")
       .appName(s"graft-bench-c$cores")
       .config("spark.sql.shuffle.partitions", cores)

@@ -25,6 +25,8 @@ object BenchOne {
     evDir.foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
     val b0 = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
+
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .master(s"local[$cores]")
       .appName(s"graft-benchone-$mode-$cores")
       .config("spark.sql.shuffle.partitions", cores)

@@ -38,6 +38,8 @@ object Main {
 
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
+
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .appName("graft-cdc-ingest")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

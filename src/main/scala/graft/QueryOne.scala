@@ -13,6 +13,8 @@ object QueryOne {
     val cores = if (args.length > 2) args(2) else "32"
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
+
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")

@@ -314,6 +314,28 @@ object SparkEntry {
           col("n_tok"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    "q_sql_merge_into" -> ((s, dir) => {
+      // MERGE INTO through the SQL catalog (graft.`root`): the ANSI
+      // upsert trio — matched+cond DELETE, matched UPDATE SET *,
+      // not-matched INSERT * — compiled onto the standard MOR merge.
+      // Note the ANSI action-order semantics the oracle mirrors: an
+      // UNMATCHED source row with action='del' falls through to the
+      // INSERT branch.
+      val t = forkTable(s, dir, mode = "mor")
+      docs(s, dir).filter(col("doc_id") % 4 === 0).select(
+        Tokenize.docId(col("doc_id")).as("doc_id"),
+        array((col("doc_id") % 7).cast("int"), (col("doc_id") % 11).cast("int")).as("tokens"),
+        lit(2L).as("n_tok"), lit("sqlmerge").as("source"),
+        when(col("doc_id") % 8 === 0, lit("del")).otherwise(lit("upd")).as("action"))
+        .createOrReplaceTempView("graft_merge_src")
+      s.sql(
+        s"""MERGE INTO graft.`${t.root}` t USING graft_merge_src s
+            ON t.doc_id = s.doc_id
+            WHEN MATCHED AND s.action = 'del' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""").collect()
+      stateProjection(liveView(t))
+    }),
     "q_cdc_errors" -> ((s, dir) => {
       val conformed = Conform(CdcGenerator.events(s, dir))
       Validate(conformed, "oracle-run").errors
@@ -881,6 +903,39 @@ object SparkEntry {
           FROM last WHERE op <> 'D' ORDER BY doc_id"""
     Map(
       "q_sql_read" -> mergedStateOracle,
+      "q_sql_merge_into" ->
+        // merged state ⊕ the MERGE mutations, with ANSI action-order
+        // semantics: matched+del → gone, matched → src payload,
+        // unmatched src (even del-action) → inserted, untouched → kept
+        s"""WITH evs AS ($ev),
+            valid AS (
+              SELECT * FROM evs
+              WHERE doc_id IS NOT NULL
+                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+            last AS (
+              SELECT doc_id,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens,
+                     max_by(n_tok, lsn) AS n_tok,
+                     max_by(source, lsn) AS source
+              FROM valid GROUP BY doc_id),
+            live AS (SELECT * FROM last WHERE op <> 'D'),
+            src AS (
+              SELECT 'doc' || cast(doc_id AS varchar) AS doc_id,
+                     [cast(doc_id % 7 AS int), cast(doc_id % 11 AS int)] AS tokens,
+                     cast(2 AS bigint) AS n_tok, 'sqlmerge' AS source,
+                     CASE WHEN doc_id % 8 = 0 THEN 'del' ELSE 'upd' END AS action
+              FROM documents WHERE doc_id % 4 = 0)
+            SELECT coalesce(s.doc_id, l.doc_id) AS doc_id,
+                   array_to_string(
+                     CASE WHEN s.doc_id IS NOT NULL THEN s.tokens ELSE l.tokens END,
+                     ',') AS tokens_csv,
+                   CASE WHEN s.doc_id IS NOT NULL THEN s.n_tok
+                        ELSE cast(l.n_tok AS bigint) END AS n_tok,
+                   CASE WHEN s.doc_id IS NOT NULL THEN s.source ELSE l.source END AS source
+            FROM live l FULL JOIN src s ON l.doc_id = s.doc_id
+            WHERE NOT (l.doc_id IS NOT NULL AND s.doc_id IS NOT NULL AND s.action = 'del')
+            ORDER BY doc_id""",
       "q_sql_read_tt" ->
         // state at the version after batch 0 (all events below the LSN
         // stride boundary) — the q_cdc_time_travel contract via SQL

@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.SnapshotTable
+
+/** Path-addressed [[TableCatalog]] so plain SQL can NAME a graft table:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  *   spark.sql("SELECT * FROM graft.`/data/token_docs`")
+  *   spark.sql("MERGE INTO graft.`/data/token_docs` t USING src s ON ...")
+  * }}}
+  *
+  * The identifier's (backticked) name IS the table root — the same
+  * path-as-identity model Delta's `delta.`/path`` uses. `loadTable`
+  * returns the same [[GraftTable]] handle as `spark.read.format("graft")`,
+  * so the [[GraftRelationResolution]] rule gives catalog reads the
+  * identical expanded resolve plan, and MERGE INTO targets resolve to a
+  * rewriteable relation. Creating tables via SQL DDL is intentionally
+  * out of scope (tables are created by the ingest pipeline /
+  * `SnapshotTable.create`); `createTable` says so instead of
+  * half-implementing DDL. */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    val t    = SnapshotTable.load(SparkSession.active, root)
+    if (t.currentVersion.isEmpty) throw new NoSuchTableException(ident)
+    GraftTable(root, None, GraftDataSource.logicalSchema(t, None))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    SnapshotTable.load(SparkSession.active, rootOf(ident)).currentVersion.isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    throw new NoSuchNamespaceException(
+      namespace :+ "(graft tables are path-addressed; listing is not supported)")
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created by the ingest pipeline (SnapshotTable.create), not SQL DDL")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolves through the merge path")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "DROP TABLE is not supported; delete the table root directory")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+}

@@ -192,27 +192,50 @@ case class GraftTable(
   }
 }
 
-/** Analyzer rule: expand every [[GraftTable]] V2 relation into the
-  * library's resolve plan for that (root, version), re-aliased to the
-  * relation's output attribute ids so references above it stay bound. */
+/** Analyzer rule, two passes per invocation:
+  *  1. claim `MERGE INTO` statements whose target is a [[GraftTable]]
+  *     relation ([[GraftMergeInto.translate]] → a runnable command) —
+  *     top-down, so the target is translated before pass 2 could expand
+  *     it out from under the MergeIntoTable node;
+  *  2. expand every remaining [[GraftTable]] V2 relation into the
+  *     library's resolve plan for that (root, version / changes range),
+  *     re-aliased to the relation's output attribute ids so references
+  *     above it stay bound. Relations that sit under a NOT-yet-resolved
+  *     MergeIntoTable target are left alone (reference-identity guard)
+  *     until the statement resolves and pass 1 claims it. */
 case class GraftRelationResolution(session: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
-      val t  = r.table.asInstanceOf[GraftTable]
-      val st = SnapshotTable.load(session, t.root)
-      val expanded = (t.changesFrom match {
-        // changelog view through SQL: the engine's CDC-out, same
-        // contract and paths as the library call
-        case Some(from) => MergeOnRead.changesSince(st, from, t.changesTo)
-        case None       => MergeOnRead.liveView(st, t.pinnedVersion)
-      }).queryExecution.analyzed
-      val byName   = expanded.output.map(a => a.name -> a).toMap
-      Project(
-        r.output.map { o =>
-          val src = byName.getOrElse(o.name, throw new IllegalStateException(
-            s"graft table ${t.root} no longer has column ${o.name}; re-read the table"))
-          Alias(src, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-        },
-        expanded)
+  import org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val merged = plan.resolveOperatorsDown {
+      case m: MergeIntoTable
+          if GraftMergeInto.graftTargetOf(m.targetTable).isDefined && m.childrenResolved =>
+        GraftMergeInto.translate(m)
+    }
+    val pendingTargets: Seq[LogicalPlan] = merged.collect {
+      case m: MergeIntoTable => m.targetTable.collect {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r: LogicalPlan
+      }
+    }.flatten
+    merged.resolveOperatorsUp {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTable] && !pendingTargets.exists(_ eq r) =>
+        val t  = r.table.asInstanceOf[GraftTable]
+        val st = SnapshotTable.load(session, t.root)
+        val expanded = (t.changesFrom match {
+          // changelog view through SQL: the engine's CDC-out, same
+          // contract and paths as the library call
+          case Some(from) => MergeOnRead.changesSince(st, from, t.changesTo)
+          case None       => MergeOnRead.liveView(st, t.pinnedVersion)
+        }).queryExecution.analyzed
+        val byName = expanded.output.map(a => a.name -> a).toMap
+        Project(
+          r.output.map { o =>
+            val src = byName.getOrElse(o.name, throw new IllegalStateException(
+              s"graft table ${t.root} no longer has column ${o.name}; re-read the table"))
+            Alias(src, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+          },
+          expanded)
+    }
   }
 }

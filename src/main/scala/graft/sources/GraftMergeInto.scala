@@ -1,0 +1,200 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.{Merge, MergeOnRead}
+import graft.table.SnapshotTable
+
+/** `MERGE INTO graft.`<root>` t USING src s ON t.doc_id = s.<key> …` —
+  * the SQL spelling of the engine's upsert, compiled by
+  * [[GraftRelationResolution]] into a [[GraftMergeIntoCommand]] that
+  * routes through the standard MOR merge (ledger, LWW, schema
+  * evolution, lineage).
+  *
+  * Supported dialect (the engine's upsert trio, ANSI-ordered):
+  *  - `ON target.doc_id = source.<column>` (single key equality);
+  *  - `WHEN MATCHED [AND cond] THEN UPDATE SET *` / `THEN DELETE`;
+  *  - `WHEN NOT MATCHED [AND cond] THEN INSERT *`;
+  *  - action conditions over SOURCE columns only; first matching
+  *    action wins, in declaration order;
+  *  - duplicate source keys raise the ANSI cardinality violation.
+  * Anything else fails with a typed [[GraftMergeInto.MergeUnsupported]]
+  * naming the construct — never a silently-wrong merge. Non-star
+  * assignments and target-referencing conditions belong to the library
+  * change-batch API, which expresses them with explicit LSNs.
+  */
+object GraftMergeInto {
+
+  final case class MergeUnsupported(detail: String)
+      extends RuntimeException(s"graft MERGE INTO: $detail")
+
+  /** One MERGE action: op kind ('U' | 'D' | 'I'), which side of the
+    * match it applies to, and the index of its condition column
+    * (`_graft_c<i>` in the projected source), if any. */
+  final case class ActionSpec(kind: String, matchedSide: Boolean, condIdx: Option[Int])
+
+  private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, child) => stripAlias(child)
+    case other                   => other
+  }
+
+  def graftTargetOf(p: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =
+    stripAlias(p) match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        Some((r, r.table.asInstanceOf[GraftTable]))
+      case _ => None
+    }
+
+  def translate(m: MergeIntoTable): LogicalPlan = {
+    val (rel, t) = graftTargetOf(m.targetTable).get
+    if (t.pinnedVersion.nonEmpty || t.changesFrom.nonEmpty)
+      throw MergeUnsupported("cannot merge into a version-pinned or changelog read")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      throw MergeUnsupported("WHEN NOT MATCHED BY SOURCE is not supported")
+
+    val srcOut = m.sourceTable.outputSet
+    val tgtOut = rel.outputSet
+
+    val key: Attribute = m.mergeCondition match {
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if tgtOut.contains(l) && l.name == "doc_id" && srcOut.contains(r) => r
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if tgtOut.contains(r) && r.name == "doc_id" && srcOut.contains(l) => l
+      case other =>
+        throw MergeUnsupported(
+          s"ON must be a single equality target.doc_id = source.<column>; got ${other.sql}")
+    }
+
+    def checkCond(c: Expression): Expression =
+      if (c.references.subsetOf(srcOut)) c
+      else throw MergeUnsupported(
+        s"action conditions may reference only source columns; got ${c.sql}")
+
+    // a resolved star action arrives as by-name assignments (possibly
+    // cast/aliased); anything that is NOT a plain by-name copy from the
+    // source is outside the upsert dialect
+    def requireStarShaped(assignments: Seq[Assignment]): Unit =
+      assignments.foreach { a =>
+        def strip(e: Expression): Expression = e match {
+          case al: Alias => strip(al.child)
+          case c: Cast   => strip(c.child)
+          case other     => other
+        }
+        (strip(a.key), strip(a.value)) match {
+          case (k: AttributeReference, v: AttributeReference)
+              if srcOut.contains(v) && v.name.equalsIgnoreCase(k.name) => ()
+          case _ =>
+            throw MergeUnsupported(
+              s"only UPDATE SET * / INSERT * (by-name star assignments) are supported; got ${a.sql}")
+        }
+      }
+
+    val conds = scala.collection.mutable.ArrayBuffer[Expression]()
+    def condIdx(c: Option[Expression]): Option[Int] =
+      c.map { e => conds += checkCond(e); conds.size - 1 }
+
+    val specs = scala.collection.mutable.ArrayBuffer[ActionSpec]()
+    m.matchedActions.foreach {
+      case DeleteAction(c)     => specs += ActionSpec("D", matchedSide = true, condIdx(c))
+      case UpdateStarAction(c) => specs += ActionSpec("U", matchedSide = true, condIdx(c))
+      case UpdateAction(c, as, fromStar) =>
+        if (!fromStar) requireStarShaped(as)
+        specs += ActionSpec("U", matchedSide = true, condIdx(c))
+      case other => throw MergeUnsupported(s"unsupported WHEN MATCHED action: $other")
+    }
+    m.notMatchedActions.foreach {
+      case InsertStarAction(c) => specs += ActionSpec("I", matchedSide = false, condIdx(c))
+      case InsertAction(c, as) =>
+        requireStarShaped(as)
+        specs += ActionSpec("I", matchedSide = false, condIdx(c))
+      case other => throw MergeUnsupported(s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    if (specs.isEmpty) throw MergeUnsupported("no merge actions given")
+
+    // evaluate every action condition as a named boolean column over the
+    // source NOW (resolved expressions in a Project) so the command
+    // needs no Expression→Column bridge at run time
+    val projected = Project(
+      m.sourceTable.output ++ conds.zipWithIndex.map { case (c, i) =>
+        Alias(c, s"_graft_c$i")()
+      },
+      m.sourceTable)
+
+    GraftMergeIntoCommand(t.root, projected, key.name, specs.toSeq)
+  }
+}
+
+/** The compiled MERGE: classify each source row against the live key
+  * set (one left join), emit I/U/D change events at one fresh LSN, and
+  * apply them through the standard MOR commit — ledgered, idempotent at
+  * the row level, O(source) commit cost. */
+case class GraftMergeIntoCommand(
+    root: String,
+    source: LogicalPlan, // Project carrying _graft_c<i> condition columns; resolved
+    sourceKey: String,
+    specs: Seq[GraftMergeInto.ActionSpec]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("inserted", LongType, nullable = false)(),
+    AttributeReference("updated", LongType, nullable = false)(),
+    AttributeReference("deleted", LongType, nullable = false)())
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions._
+    val table = SnapshotTable.load(session, root)
+    val cur = table.current.getOrElse(
+      throw new IllegalStateException(s"no graft table at $root"))
+    val src = org.apache.spark.sql.classic.GraftSqlBridge.ofRows(session, source)
+      .withColumn("_graft_key", col(sourceKey).cast("string"))
+
+    // ANSI cardinality rule: a source key may match at most one action
+    if (src.groupBy(col("_graft_key")).count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        "MERGE INTO source has duplicate join keys (cardinality violation); " +
+          "deduplicate the source or use the change-batch API with explicit LSNs")
+
+    val live = MergeOnRead.liveView(table)
+      .select(col("doc_id").as("_graft_tgt"), lit(true).as("_graft_matched"))
+    val joined  = src.join(live, col("_graft_key") === col("_graft_tgt"), "left")
+    val matched = coalesce(col("_graft_matched"), lit(false))
+    def armed(s: GraftMergeInto.ActionSpec) = {
+      val side = if (s.matchedSide) matched else !matched
+      s.condIdx.map(i => side && col(s"_graft_c$i")).getOrElse(side)
+    }
+    val opExpr = specs.tail
+      .foldLeft(when(armed(specs.head), lit(specs.head.kind))) {
+        (acc, s) => acc.when(armed(s), lit(s.kind))
+      } // unmatched-by-any-action rows fall to null and are dropped
+
+    val payload = cur.schema.fields
+      .filterNot(f => Merge.InternalCols.contains(f.name))
+      .filterNot(_.name == "doc_id")
+    val srcCols = src.columns.toSet
+    val events = joined
+      .withColumn("_graft_op", opExpr)
+      .filter(col("_graft_op").isNotNull)
+      .select(
+        col("_graft_key").as("doc_id") +:
+          payload.toSeq.map { f =>
+            if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          } :+
+          lit(cur.watermarkLsn + 1).as("lsn") :+
+          col("_graft_op").as("op"): _*)
+
+    val nonce = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffffffL)
+    val stats = MergeOnRead(table, events, s"sqlmerge-$nonce", batchId = -5L)
+    Seq(Row(stats.version, stats.inserted, stats.updated, stats.deleted))
+  }
+}

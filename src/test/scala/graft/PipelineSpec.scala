@@ -564,6 +564,68 @@ class PipelineSpec extends SparkSpec {
     assert(p.table.currentVersion.get == v1, "replayed commitId must ledger-skip")
   }
 
+  test("SQL catalog + MERGE INTO: graft.`root` is nameable and mergeable from SQL") {
+    import spark.implicits._
+    val base = tmpDir("sqlmerge")
+    val p    = mkPipeline(base, mode = "mor")
+    p.applyBatch(Seq(
+      (1L, "I", "m-a", Some(Seq(1)), Some(1L), "s"),
+      (2L, "I", "m-b", Some(Seq(2)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    val root = p.table.root
+
+    // the catalog names the table for ANY SQL client (Delta-style
+    // path-as-identifier); reads expand to the same resolve plan
+    val viaSql = spark.sql(s"SELECT * FROM graft.`$root`")
+    assert(viaSql.collect().map(_.toSeq).toSet ==
+      p.readTable().collect().map(_.toSeq).toSet)
+
+    // MERGE INTO: delete m-a, update m-b, insert m-c — through the
+    // standard MOR merge (ledger, LWW, lineage)
+    Seq(
+      ("m-a", Seq(0), 1L, "x", "del"),
+      ("m-b", Seq(9, 9), 2L, "x", "upd"),
+      ("m-c", Seq(3), 1L, "x", "upd"))
+      .toDF("doc_id", "tokens", "n_tok", "source", "action")
+      .createOrReplaceTempView("merge_src")
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$root` t USING merge_src s ON t.doc_id = s.doc_id
+          WHEN MATCHED AND s.action = 'del' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""").collect()
+    assert(res.length == 1 && res(0).getLong(0) == p.table.currentVersion.get)
+
+    val st = p.readTable().collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[scala.collection.Seq[Int]]("tokens").toSeq,
+          r.getAs[String]("source"))).toMap
+    assert(st.keySet == Set("m-b", "m-c"), s"got ${st.keySet}")
+    assert(st("m-b") == (Seq(9, 9), "x"), "matched row must update")
+    assert(st("m-c") == (Seq(3), "x"), "unmatched row must insert")
+    // the delete persisted as a tombstone above the watermark
+    assert(p.lookup("m-a").isEmpty)
+
+    // ANSI cardinality: duplicate source keys are a typed error
+    Seq(("m-z", Seq(1), 1L, "x", "upd"), ("m-z", Seq(2), 1L, "x", "upd"))
+      .toDF("doc_id", "tokens", "n_tok", "source", "action")
+      .createOrReplaceTempView("merge_dup")
+    val eDup = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING merge_dup s ON t.doc_id = s.doc_id
+            WHEN MATCHED THEN UPDATE SET *""").collect()
+    }
+    assert(eDup.getMessage.contains("cardinality"), eDup.getMessage)
+
+    // out-of-dialect constructs fail typed, never silently wrong:
+    // a condition referencing the TARGET needs target values
+    val eTgt = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING merge_src s ON t.doc_id = s.doc_id
+            WHEN MATCHED AND t.n_tok > 1 THEN DELETE""").collect()
+    }
+    assert(eTgt.getMessage.contains("graft MERGE INTO"), eTgt.getMessage)
+  }
+
   test("rebucket migrates the hash-bucket count; state, lookups, commits survive") {
     import graft.operators.TableMaintenance
     val base = tmpDir("rebucket")
