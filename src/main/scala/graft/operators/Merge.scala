@@ -140,7 +140,11 @@ object Merge {
     val batch0    = dedupedBatch.withColumn("_bucket", bucketOf(col("doc_id")))
     val threshold = numBuckets.toLong * 64
     val probeLim  = math.min(threshold + 1, Int.MaxValue.toLong).toInt
-    val bigBatch  = batch0.limit(probeLim).count() > threshold
+    // narrow projection: at 10k buckets the limit is 640k rows and the
+    // GlobalLimit funnels them through ONE task — ints only, never the
+    // token arrays (the dedup reduce computes full rows regardless, but
+    // only _bucket flows past it)
+    val bigBatch  = batch0.select("_bucket").limit(probeLim).count() > threshold
     val batch = if (bigBatch) batch0 else batch0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val touched: Set[Int] =

@@ -559,6 +559,41 @@ object MergeOnRead {
     }
   }
 
+  /** Tail the table's changelog: poll the manifest chain and hand each
+    * new version range to `onBatch` as a [[changesSince]] frame — the
+    * downstream-consumer loop that lets another pipeline tail THIS
+    * table exactly the way this engine tails its source (the engine's
+    * own events are its consumers' change log). Ranges containing a
+    * rollback arrive as retraction state diffs; a vacuumed window fails
+    * typed (both per the [[changesSince]] contracts). Single reader
+    * loop — parallelism lives inside each frame, not across polls.
+    * @param onBatch (frame, fromVersion, toVersion) → keep following?
+    * @param maxIdlePolls stop after this many consecutive empty polls
+    *   (drain-then-exit, the AvailableNow shape); -1 = follow forever
+    *   (until `onBatch` returns false)
+    * @return the last version handed to `onBatch` */
+  def followChanges(
+      table: SnapshotTable, fromVersion: Long,
+      pollMs: Long = 1000L, maxIdlePolls: Int = -1)(
+      onBatch: (DataFrame, Long, Long) => Boolean): Long = {
+    var from = fromVersion
+    var idle = 0
+    var go   = true
+    while (go) {
+      val head = table.currentVersion.getOrElse(from)
+      if (head > from) {
+        idle = 0
+        go = onBatch(changesSince(table, from, Some(head)), from, head)
+        from = head
+      } else {
+        idle += 1
+        if (maxIdlePolls >= 0 && idle > maxIdlePolls) go = false
+        else Thread.sleep(pollMs)
+      }
+    }
+    from
+  }
+
   /** Exact state diff between two snapshot versions, for ranges replay
     * cannot express (rollback retraction — see [[changesSince]]'s
     * rollback contract). One full-outer join of the two resolved

@@ -69,7 +69,11 @@ case class Manifest(
     rowCount: Long,
     files: Seq[DataFile],
     deltaFiles: Seq[DataFile] = Seq.empty,
-    deltaRows: Long = 0L) {
+    deltaRows: Long = 0L,
+    /** Wall-clock commit time (ms), stamped by [[SnapshotTable.commit]];
+      * -1 on pre-round-3 manifests. Drives time-based vacuum retention
+      * only — never ordering (versions do that). */
+    commitTs: Long = -1L) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
 
@@ -123,6 +127,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     n.put("numBuckets", m.numBuckets)
     n.put("watermarkLsn", m.watermarkLsn)
     n.put("rowCount", m.rowCount)
+    n.put("commitTs", m.commitTs)
     def putFile(arr: com.fasterxml.jackson.databind.node.ArrayNode, f: DataFile): Unit = {
       val fn = arr.addObject()
       fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
@@ -158,7 +163,8 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
       files = n.get("files").elements().asScala.map(fileFrom).toSeq,
       deltaFiles = Option(n.get("deltaFiles"))
         .map(_.elements().asScala.map(fileFrom).toSeq).getOrElse(Seq.empty),
-      deltaRows = Option(n.get("deltaRows")).map(_.asLong()).getOrElse(0L)
+      deltaRows = Option(n.get("deltaRows")).map(_.asLong()).getOrElse(0L),
+      commitTs = Option(n.get("commitTs")).map(_.asLong()).getOrElse(-1L)
     )
   }
 
@@ -232,7 +238,10 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     * clobber a committed manifest. Hard-link creation is the POSIX
     * atomic fail-if-exists publish (compare-and-swap on the version
     * number); on an object store this becomes a conditional PUT. */
-  def commit(m: Manifest): Unit = {
+  def commit(m0: Manifest): Unit = {
+    // stamp commit time here so every caller gets it for free (rollback
+    // copies get a FRESH ts — the rollback commit is when they landed)
+    val m = m0.copy(commitTs = System.currentTimeMillis())
     Files.createDirectories(snapDir)
     val tmp = Files.createTempFile(snapDir, s".v${m.version}-", ".tmp")
     try Files.write(tmp, toJson(m).getBytes(StandardCharsets.UTF_8))
@@ -388,11 +397,22 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     * (same tradeoff as Iceberg's expire_snapshots, made explicit).
     * Also sweeps orphan files from crashed writes (present on disk,
     * referenced by no manifest at all).
+    * @param retainMillis additionally keep every version committed
+    *   within this window (time-based floor — the "last N days of time
+    *   travel" policy Iceberg ships as older_than; 0 = version-count
+    *   only). Pre-round-3 manifests without a timestamp are treated as
+    *   OUTSIDE the window.
     * @return (files deleted, files kept) */
-  def vacuum(retainVersions: Int = 1): (Int, Int) = {
+  def vacuum(retainVersions: Int = 1, retainMillis: Long = 0L): (Int, Int) = {
     require(retainVersions >= 1)
     val claimed = registeredClones.map(_._2).filter(versions.contains)
-    val keep    = (versions.takeRight(retainVersions) ++ claimed).distinct
+    val recent =
+      if (retainMillis <= 0) Seq.empty
+      else {
+        val floor = System.currentTimeMillis() - retainMillis
+        versions.filter(v => manifest(v).commitTs >= floor)
+      }
+    val keep = (versions.takeRight(retainVersions) ++ claimed ++ recent).distinct
     val live: Set[Path] = keep.flatMap { v =>
       val m = manifest(v)
       (m.files ++ m.deltaFiles).map(f => Paths.get(f.path).toAbsolutePath.normalize)

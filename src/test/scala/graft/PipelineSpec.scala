@@ -849,6 +849,68 @@ class PipelineSpec extends SparkSpec {
     assert(p.readTable().count() == 3)
   }
 
+  test("followChanges tails the table changelog incrementally") {
+    import graft.operators.MergeOnRead
+    import spark.implicits._
+    val base = tmpDir("follow")
+    val p    = mkPipeline(base, mode = "mor")
+    def batch(rows: (Long, String, String, Option[Seq[Int]], Option[Long], String)*) =
+      rows.toSeq.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    p.applyBatch(batch((1L, "I", "f-a", Some(Seq(1)), Some(1L), "s")), 0L)
+    val v1 = p.table.currentVersion.get
+    p.applyBatch(batch((2L, "I", "f-b", Some(Seq(2)), Some(1L), "s")), 1L)
+
+    var polls = List.empty[(Long, Long, Set[String])]
+    var injected = false
+    val last = MergeOnRead.followChanges(p.table, v1, pollMs = 10L) { (df, from, to) =>
+      polls ::= ((from, to, df.select("doc_id").as[String].collect().toSet))
+      if (!injected) {
+        injected = true
+        // a commit landing WHILE following must surface on the next poll
+        p.applyBatch(batch((3L, "I", "f-c", Some(Seq(3)), Some(1L), "s")), 2L)
+        true
+      } else false
+    }
+    val seen = polls.reverse
+    assert(seen.size == 2, s"expected two incremental polls: $seen")
+    assert(seen.head._3 == Set("f-b"), s"first range must carry only f-b: $seen")
+    assert(seen(1)._3 == Set("f-c"), s"second range must carry only f-c: $seen")
+    assert(seen(1)._1 == seen.head._2, "ranges must chain without gap")
+    assert(last == p.table.currentVersion.get)
+
+    // drain-then-exit shape: no new commits → returns after idle polls
+    val drained = MergeOnRead.followChanges(
+      p.table, last, pollMs = 5L, maxIdlePolls = 2)((_, _, _) => true)
+    assert(drained == last)
+  }
+
+  test("vacuum time floor retains every version inside the window") {
+    import spark.implicits._
+    val base = tmpDir("vacts")
+    val p    = mkPipeline(base, mode = "mor")
+    def batch(lsn: Long, id: String) =
+      Seq((lsn, "I", id, Some(Seq(1)), Some(1L), "s"))
+        .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    p.applyBatch(batch(1, "t-a"), 0L)
+    val v1 = p.table.currentVersion.get
+    p.applyBatch(batch(2, "t-b"), 1L)
+    graft.operators.MergeOnRead.compact(p.table, "vacts-compact")
+    assert(p.table.manifest(v1).commitTs > 0, "commits must carry a timestamp")
+
+    // a one-hour floor keeps every just-committed version readable
+    // (deleted counts only _SUCCESS markers and other non-referenced
+    // artifacts — the orphan sweep is unchanged)
+    p.table.vacuum(1, retainMillis = 3600L * 1000)
+    p.table.versions.foreach(v => p.table.verifyReadable(p.table.manifest(v)))
+    assert(p.readTableAt(v1).count() == 1)
+
+    // dropping the floor reclaims as before
+    val (d1, _) = p.table.vacuum(1)
+    assert(d1 > 0)
+    intercept[graft.table.VacuumedVersionException] { p.readTableAt(v1).collect() }
+    ()
+  }
+
   test("snapshot isolation: a pinned version reads identically across later commits") {
     import spark.implicits._
     val p = mkPipeline(tmpDir("iso"))
