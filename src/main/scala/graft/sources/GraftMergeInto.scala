@@ -163,7 +163,16 @@ case class GraftMergeIntoCommand(
         "MERGE INTO source has duplicate join keys (cardinality violation); " +
           "deduplicate the source or use the change-batch API with explicit LSNs")
 
-    val live = MergeOnRead.liveView(table)
+    // matched-ness needs only the LIVE KEY SET — and only from the hash
+    // buckets the source keys can land in: one bounded driver probe
+    // (≤ numBuckets values) prunes the table read to the touched slice,
+    // so a small MERGE source never scans the whole table (the same
+    // pruning shape as the COW merge's touched-bucket read)
+    val touched = src
+      .select(MergeOnRead.bucketOf(col("_graft_key"), cur.numBuckets).as("_b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val live = MergeOnRead.resolveBuckets(table, touched)
+      .filter(!coalesce(col(Merge.TombCol), lit(false)))
       .select(col("doc_id").as("_graft_tgt"), lit(true).as("_graft_matched"))
     val joined  = src.join(live, col("_graft_key") === col("_graft_tgt"), "left")
     val matched = coalesce(col("_graft_matched"), lit(false))
