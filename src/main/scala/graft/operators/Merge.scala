@@ -220,6 +220,10 @@ object Merge {
       }
 
       val maxLsn = g("max_lsn")
+      val minLsn = g("min_lsn")
+      // an empty batch applied no events; -1 from the observation means
+      // "no rows seen", which for changesSince must read as nothing-below
+      val minEventLsn = if (minLsn < 0) Long.MaxValue else minLsn
 
       // Optimistic concurrency for COW (the MOR appends already rebase —
       // MergeOnRead.apply): losing the version CAS re-checks the new head
@@ -285,7 +289,8 @@ object Merge {
               rowCount = newRows,
               files = carried ++ newFiles,
               deltaFiles = head.deltaFiles,
-              deltaRows = head.deltaRows))
+              deltaRows = head.deltaRows,
+              minEventLsn = minEventLsn))
             stats = MergeStats(
               commitId, head.version + 1, skipped = false, touched.size,
               cur.rowCount, newRows,

@@ -81,9 +81,8 @@ object MergeOnRead {
     // report success. With per-writer dirs the loser's files are true
     // orphans (vacuum sweeps them); the winner's manifest only ever
     // references its own.
-    val nonce = java.lang.Long.toHexString(
-      java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffL)
-    val newDeltas = table.writeDataFiles(observed, s"$commitId.$nonce.d", numBuckets)
+    val newDeltas = table.writeDataFiles(
+      observed, s"$commitId.${graft.table.Fs.nonce}.d", numBuckets)
     val m         = obs.get
     def g(k: String): Long = m.get(k) match {
       case Some(null)      => -1L
@@ -93,6 +92,7 @@ object MergeOnRead {
     }
 
     val maxLsn = g("max_lsn")
+    val minEventLsn = { val lo = g("min_lsn"); if (lo < 0) Long.MaxValue else lo }
     // Optimistic concurrency: a delta APPEND commutes with any commit
     // that landed since we read `cur` — the data files are already on
     // disk under this commit's unique c-<id>.d prefix, so losing the
@@ -140,7 +140,8 @@ object MergeOnRead {
             rowCount = head.rowCount,
             files = head.files,
             deltaFiles = head.deltaFiles ++ newDeltas,
-            deltaRows = head.deltaRows + newDeltas.map(_.rows).sum))
+            deltaRows = head.deltaRows + newDeltas.map(_.rows).sum,
+            minEventLsn = minEventLsn))
           committed = true
           committedVersion = head.version + 1
           committedChanges = rebasedChanges
@@ -437,7 +438,8 @@ object MergeOnRead {
       numBuckets = cur.numBuckets,
       watermarkLsn = cur.watermarkLsn,
       rowCount = newRows,
-      files = carried ++ newFiles))
+      files = carried ++ newFiles,
+      minEventLsn = Long.MaxValue)) // fold: no new events
     MergeStats(
       commitId, cur.version + 1, skipped = false, touched.size,
       cur.rowCount, newRows,
@@ -505,20 +507,17 @@ object MergeOnRead {
       val m = table.manifest(v)
       m.watermarkLsn < table.manifest(m.parent).watermarkLsn
     }
-    if (hasRollback) return retractionDiff(table, fromVersion, to, payloadCols)
+    if (hasRollback) return snapshotDiff(table, fromVersion, to, payloadCols)
 
     // delta files INTRODUCED by each commit in the range (newer manifests
-    // carry older delta files forward until compaction — diff per step).
-    // A step whose delta files were vacuumed fails typed, naming the
-    // vacuumed version — not a raw FileNotFound mid-task.
-    val stepFiles = range.flatMap { v =>
+    // carry older delta files forward until compaction — diff per step),
+    // tagged with their version so a vacuumed-window failure can name it
+    val steps: Seq[(Long, Seq[graft.table.DataFile])] = range.map { v =>
       val m      = table.manifest(v)
       val before = table.manifest(m.parent).deltaFiles.map(_.path).toSet
-      val added  = m.deltaFiles.filterNot(f => before.contains(f.path))
-      added.find(f => !java.nio.file.Files.exists(java.nio.file.Paths.get(f.path)))
-        .foreach(f => throw graft.table.VacuumedVersionException(v, f.path))
-      added
+      v -> m.deltaFiles.filterNot(f => before.contains(f.path))
     }
+    val stepFiles = steps.flatMap(_._2)
     // every event-carrying commit advances the watermark; a commit that
     // advanced it WITHOUT adding delta files went through the COW join
     // and left no replayable change records → snapshot-diff fallback
@@ -529,33 +528,74 @@ object MergeOnRead {
         .diff(prev.deltaFiles.map(_.path).toSet).nonEmpty
       added || m.watermarkLsn == prev.watermarkLsn
     }
+    // Did any commit in the range apply an event at or below from's
+    // watermark? If provably not (every commit's recorded minEventLsn is
+    // above it; event-free commits record MaxValue), the cheap
+    // watermark-keyed replay/diff is EXACT: an event with lsn > w beats
+    // any from-state row (whose _lsn ≤ w by definition of watermark).
+    // Otherwise out-of-order events may have changed docs whose _lsn
+    // stayed ≤ w — the global watermark can neither keep nor drop them
+    // correctly, and only a PER-DOC comparison against the from state
+    // is exact. Manifests predating minEventLsn read as "maybe"
+    // (conservative → slow path).
+    val w = mFrom.watermarkLsn
+    val maybeBelow = range.exists { v =>
+      val lo = table.manifest(v).minEventLsn
+      lo < 0 || lo <= w
+    }
     val deltaSchema = StructType(
       mTo.schema.fields.filter(f => payloadCols.contains(f.name)) ++
         Seq(StructField("lsn", LongType, nullable = false),
           StructField("op", StringType, nullable = false)))
-    if (deltaOnly)
+    if (deltaOnly) {
+      // typed vacuum check ONLY here — the snapshot-diff branch never
+      // reads the delta files, so missing ones must not fail it
+      steps.foreach { case (v, fs) =>
+        fs.find(f => !java.nio.file.Files.exists(java.nio.file.Paths.get(f.path)))
+          .foreach(f => throw graft.table.VacuumedVersionException(v, f.path))
+      }
       // op is normalized to the UPSERT contract (U | D) on BOTH paths:
       // the snapshot-diff fallback cannot distinguish an insert from an
       // update (state carries no was-insert flag), so the delta replay
       // must not either — the two paths must emit identical change sets
-      // for the same range regardless of which commits happen to be in it.
-      // lsn > from-watermark drops stale out-of-order events persisted in
-      // the delta files (no-ops against pre-range state) that the
-      // snapshot-diff path can never emit — see the path-equivalence
-      // contract above.
-      table.readFiles(stepFiles, deltaSchema)
-        .filter(col("lsn") > mFrom.watermarkLsn)
+      // for the same range regardless of which commits happen to be in it
+      val replay = table.readFiles(stepFiles, deltaSchema)
         .select(payloadCols.map(col) :+ col("lsn") :+
           when(col("op") === "D", lit("D")).otherwise(lit("U")).as("op"): _*)
-    else {
-      // COW commits in range: exact snapshot diff via the LSN watermark —
-      // a row changed in (from, to] iff its _lsn exceeds from's watermark
-      val w = mFrom.watermarkLsn
-      resolveBuckets(table, None, Some(to))
-        .filter(col(Merge.LsnCol) > w)
-        .select(payloadCols.map(col) :+ col(Merge.LsnCol).as("lsn") :+
-          when(coalesce(col(Merge.TombCol), lit(false)), lit("D"))
-            .otherwise(lit("U")).as("op"): _*)
+      if (!maybeBelow) replay // every event provably beat the from state
+      else {
+        // out-of-order events possible: keep an at-or-below-watermark
+        // event only if it beat ITS OWN doc's from-state lsn (it was a
+        // state change) — never the global watermark, which would drop
+        // genuinely applied updates (round-3 review finding). The from
+        // state is read bucket-pruned to the below-slice's keys, so the
+        // common mostly-monotonic stream pays O(below), not O(table).
+        val above = replay.filter(col("lsn") > w)
+        val below = replay.filter(col("lsn") <= w)
+        val bs = below
+          .select(bucketOf(col("doc_id"), mFrom.numBuckets).as("_b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val fromState = resolveBuckets(table, Some(bs), Some(fromVersion))
+          .select(col("doc_id").as("_f_doc"), col(LsnCol).as("_f_lsn"))
+        val belowKept = below
+          .join(fromState, col("doc_id") === col("_f_doc"), "left")
+          .filter(col("_f_lsn").isNull || col("lsn") > col("_f_lsn"))
+          .drop("_f_doc", "_f_lsn")
+        above.unionByName(belowKept)
+      }
+    } else {
+      // COW commits in range left no replayable change records.
+      // Fast path (provably exact when nothing landed at/below w): the
+      // to-state rows whose _lsn exceeds from's watermark. Otherwise an
+      // applied out-of-order event can hide at _lsn ≤ w, and only the
+      // full snapshot state diff is exact.
+      if (maybeBelow) snapshotDiff(table, fromVersion, to, payloadCols)
+      else
+        resolveBuckets(table, None, Some(to))
+          .filter(col(Merge.LsnCol) > w)
+          .select(payloadCols.map(col) :+ col(Merge.LsnCol).as("lsn") :+
+            when(coalesce(col(Merge.TombCol), lit(false)), lit("D"))
+              .otherwise(lit("U")).as("op"): _*)
     }
   }
 
@@ -595,13 +635,15 @@ object MergeOnRead {
   }
 
   /** Exact state diff between two snapshot versions, for ranges replay
-    * cannot express (rollback retraction — see [[changesSince]]'s
-    * rollback contract). One full-outer join of the two resolved
-    * snapshots on doc_id; rows whose live state is identical (same
-    * winning `_lsn`, same liveness) drop out. Equal `_lsn` implies an
-    * identical row: the payload is a pure function of the winning event,
-    * and LWW means `_lsn` names that event. */
-  private def retractionDiff(
+    * cannot express: rollback retraction (see [[changesSince]]'s
+    * rollback contract) and COW ranges that may have applied
+    * out-of-order events at or below the from-watermark. One full-outer
+    * join of the two resolved snapshots on doc_id; rows whose live
+    * state is identical (same winning `_lsn`, same liveness) drop out.
+    * Equal `_lsn` implies an identical row: the payload is a pure
+    * function of the winning event, and LWW means `_lsn` names that
+    * event. */
+  private def snapshotDiff(
       table: SnapshotTable, fromVersion: Long, toVersion: Long,
       payloadCols: Seq[String]): DataFrame = {
     val from = resolve(table, Some(fromVersion)).select(
@@ -673,7 +715,8 @@ object MergeOnRead {
       rowCount = newRows,
       files = newFiles,
       deltaFiles = Seq.empty,
-      deltaRows = 0L))
+      deltaRows = 0L,
+      minEventLsn = Long.MaxValue)) // compaction: no new events
     MergeStats(commitId, cur.version + 1, skipped = false, buckets,
       cur.rowCount, newRows, 0, 0, 0, 0, 0, 0, -1, cur.watermarkLsn,
       (System.nanoTime() - t0) / 1000000, Seq.empty)

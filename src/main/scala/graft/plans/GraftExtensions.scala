@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  private def literalInt(e: Expression, what: String): Int =
+    GraftExtensions.literalInt(e, what)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // SQL/catalog surface: expand spark.read.format("graft") relations
     // into the snapshot-resolve plan (see graft.sources.GraftDataSource)
@@ -45,7 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash", "graft_minhash(shingles[, numHashes]) - minhash signature array"),
       (exprs: Seq[Expression]) =>
         if (exprs.size > 1)
-          MinHashSig(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue())
+          MinHashSig(exprs.head, literalInt(exprs(1), "graft_minhash numHashes"))
         else MinHashSig(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_rolling_hash"),
@@ -55,9 +58,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hyperplane_sigs"),
       info("graft_hyperplane_sigs",
         "graft_hyperplane_sigs(emb, bits, tables) - multi-table hyperplane LSH signatures"),
-      (exprs: Seq[Expression]) => {
-        def intOf(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue()
-        HyperplaneSigs(exprs.head, intOf(exprs(1)), intOf(exprs(2)))
-      }))
+      (exprs: Seq[Expression]) =>
+        HyperplaneSigs(exprs.head,
+          literalInt(exprs(1), "graft_hyperplane_sigs bits"),
+          literalInt(exprs(2), "graft_hyperplane_sigs tables"))))
+  }
+}
+
+object GraftExtensions {
+  /** Validate a config argument as a non-null integer LITERAL before
+    * evaluating it — `eval(null)` on a column reference throws an
+    * internal unbound-attribute error, and a NULL literal would NPE;
+    * both deserve an actionable message instead (round-3 review). */
+  private[plans] def literalInt(e: Expression, what: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be an integer literal, got ${e.sql}")
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case other =>
+        throw new IllegalArgumentException(
+          s"$what must be a non-null integer literal, got $other")
+    }
   }
 }

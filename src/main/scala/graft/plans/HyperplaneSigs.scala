@@ -117,10 +117,9 @@ object HyperplaneSigs {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplane_sigs",
-      exprs => {
-        def intOf(e: Expression): Int =
-          e.eval(null).asInstanceOf[Number].intValue()
-        HyperplaneSigs(exprs.head, intOf(exprs(1)), intOf(exprs(2)))
-      },
+      exprs =>
+        HyperplaneSigs(exprs.head,
+          GraftExtensions.literalInt(exprs(1), "graft_hyperplane_sigs bits"),
+          GraftExtensions.literalInt(exprs(2), "graft_hyperplane_sigs tables")),
       "built-in")
 }

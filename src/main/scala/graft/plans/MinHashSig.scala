@@ -85,7 +85,7 @@ object MinHashSig {
       exprs =>
         if (exprs.size > 1)
           MinHashSig(exprs.head,
-            exprs(1).eval(null).asInstanceOf[Number].intValue())
+            GraftExtensions.literalInt(exprs(1), "graft_minhash numHashes"))
         else MinHashSig(exprs.head),
       "built-in")
 }

@@ -121,13 +121,16 @@ object GraftDataSource {
       s"no graft table at $root — create it (SnapshotTable.create) first"))
     require(data.columns.contains("doc_id"), "graft writes require a doc_id column")
     val hasMeta = data.columns.contains("lsn") && data.columns.contains("op")
-    val id = commitId.getOrElse("w-" + java.lang.Long.toHexString(
-      java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffffffL))
+    val id = commitId.getOrElse("w-" + graft.table.Fs.nonce)
     import org.apache.spark.sql.functions.{col, lit}
     if (overwrite) {
       TableMaintenance.deleteWhere(table, lit(true), s"$id.truncate", mode = "mor")
       val w2 = table.current.get.watermarkLsn
-      val fresh = (if (hasMeta) Dedup.lww(data).drop("lsn", "op") else data)
+      // a change-batch frame's LWW-winning deletes must stay deletes —
+      // re-landing them as op='U' would resurrect the docs as live
+      // null-payload rows (round-3 review finding)
+      val fresh = (if (hasMeta) Dedup.lww(data).filter(col("op") =!= "D").drop("lsn", "op")
+                   else data)
         .withColumn("lsn", lit(w2 + 1)).withColumn("op", lit("U"))
       MergeOnRead(table, fresh, id, batchId = -4L)
     } else {

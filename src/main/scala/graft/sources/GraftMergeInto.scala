@@ -156,12 +156,24 @@ case class GraftMergeIntoCommand(
     val src = org.apache.spark.sql.classic.GraftSqlBridge.ofRows(session, source)
       .withColumn("_graft_key", col(sourceKey).cast("string"))
 
-    // ANSI cardinality rule: a source key may match at most one action
-    if (src.groupBy(col("_graft_key")).count()
-        .filter(col("count") > 1).limit(1).count() > 0)
-      throw new IllegalArgumentException(
-        "MERGE INTO source has duplicate join keys (cardinality violation); " +
-          "deduplicate the source or use the change-batch API with explicit LSNs")
+    // one pass guards BOTH key invariants: the ANSI cardinality rule
+    // (a source key may match at most one action) and non-null keys —
+    // a null never matches the ON equality, so ANSI would route it to
+    // INSERT, but doc_id is the table's non-nullable primary key and a
+    // null row must be rejected typed, not smuggled in (review finding)
+    val badKey = src.groupBy(col("_graft_key")).count()
+      .filter(col("_graft_key").isNull || col("count") > 1)
+      .limit(1).collect().headOption
+    badKey.foreach { r =>
+      if (r.isNullAt(0))
+        throw new IllegalArgumentException(
+          "MERGE INTO source has a null join key; doc_id is non-nullable — " +
+            "filter null keys or route them through the validation path")
+      else
+        throw new IllegalArgumentException(
+          "MERGE INTO source has duplicate join keys (cardinality violation); " +
+            "deduplicate the source or use the change-batch API with explicit LSNs")
+    }
 
     // matched-ness needs only the LIVE KEY SET — and only from the hash
     // buckets the source keys can land in: one bounded driver probe
@@ -201,9 +213,8 @@ case class GraftMergeIntoCommand(
           lit(cur.watermarkLsn + 1).as("lsn") :+
           col("_graft_op").as("op"): _*)
 
-    val nonce = java.lang.Long.toHexString(
-      java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffffffL)
-    val stats = MergeOnRead(table, events, s"sqlmerge-$nonce", batchId = -5L)
+    val stats = MergeOnRead(
+      table, events, s"sqlmerge-${graft.table.Fs.nonce}", batchId = -5L)
     Seq(Row(stats.version, stats.inserted, stats.updated, stats.deleted))
   }
 }

@@ -80,11 +80,12 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
       return MergeStats(commitId, cur.version, skipped = true, 0, cur.rowCount,
         cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1, 0, Seq.empty)
     }
+    var stagedErrors: Option[java.nio.file.Path] = None
     val stats =
       try {
         val conformed = Conform(raw)
         val split     = Validate(conformed, commitId)
-        val staged    = stageErrors(split.errors, commitId)
+        stagedErrors = stageErrors(split.errors, commitId)
         val events = split.valid
         val deduped =
           if (cfg.salt > 1 && batchEstimate(raw) >= cfg.saltThreshold)
@@ -96,24 +97,25 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
             maybeCompact()
             s0
           } else Merge(table, deduped, commitId, batchId)
-        publishErrors(staged, commitId)
+        publishErrors(stagedErrors, commitId)
         s
       } catch {
         // Whole-batch rejects (reference analog: checkRequiredFields
         // abort) — recorded as an error + an empty commit so the ledger
         // marks the batch applied and the STREAM keeps running:
         case Conform.BatchRejected(missing) =>
-          rejectBatch(raw, commitId, batchId, s"missing_required_column:${missing.mkString(",")}")
+          rejectBatch(raw, commitId, batchId,
+            s"missing_required_column:${missing.mkString(",")}", stagedErrors)
         case SchemaEvolution.Incompatible(msg) =>
           // extra column re-appeared with a non-widenable type
-          rejectBatch(raw, commitId, batchId, s"schema_incompatible:$msg")
+          rejectBatch(raw, commitId, batchId, s"schema_incompatible:$msg", stagedErrors)
         case Conform.ConformFailed(detail) =>
           // un-castable required column (e.g. tokens arrived as string).
           // Deliberately NOT a blanket AnalysisException catch: an
           // environment-caused analysis error (vacuumed data file, bad
           // errorDir path) must fail the stream, not ledger the batch as
           // applied with only a sample retained.
-          rejectBatch(raw, commitId, batchId, s"conform_failed:$detail")
+          rejectBatch(raw, commitId, batchId, s"conform_failed:$detail", stagedErrors)
       }
     writeLineage(stats, batchId)
     stats
@@ -127,7 +129,8 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
 
   private def rejectBatch(
       raw: DataFrame, commitId: String, batchId: Long,
-      reason: String): MergeStats = {
+      reason: String,
+      validationStaged: Option[java.nio.file.Path]): MergeStats = {
     val err = raw
       .limit(1000) // sample of the rejected batch for the quarantine table
       .select(
@@ -136,12 +139,17 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         lit(null).cast("string").as("doc_id"),
         lit(s"batch_rejected:$reason").as("reason"),
         to_json(struct(raw.columns.map(col).toIndexedSeq: _*)).as("raw"))
-    val staged = stageErrors(err, commitId)
+    // the whole-batch sample publishes under its OWN commit id
+    // (c-<id>.reject) so the per-row validation errors staged before the
+    // batch died keep c-<id> — round 2 retained both; so does this
+    val staged = stageErrors(err, s"$commitId.reject")
     val cur = table.current.get
     table.commit(cur.copy(
       version = cur.version + 1, parent = cur.version,
-      commitId = commitId, batchId = batchId))
-    publishErrors(staged, commitId)
+      commitId = commitId, batchId = batchId,
+      minEventLsn = Long.MaxValue)) // whole-batch reject: no events applied
+    publishErrors(validationStaged, commitId)
+    publishErrors(staged, s"$commitId.reject")
     MergeStats(commitId, cur.version + 1, skipped = false, 0, cur.rowCount,
       cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1, 0,
       Seq(s"batch_rejected:$reason"))
@@ -164,40 +172,34 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
   // PropertySpec "error/lineage side tables are exactly-once across
   // crash-replay windows" drives each window explicitly.
 
-  private def newNonce: String = java.lang.Long.toHexString(
-    java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffL)
-
   private def publishedDir(root: String, commitId: String) =
     Paths.get(root, s"c-$commitId")
 
   private def stagedDirsFor(root: String, commitId: String): Seq[java.nio.file.Path] = {
     val d = Paths.get(root)
     if (!Files.isDirectory(d)) Seq.empty
-    else {
-      val s = Files.list(d)
-      try {
-        import scala.collection.JavaConverters._
-        s.iterator().asScala
-          .filter(_.getFileName.toString.startsWith(s".staged-c-$commitId-"))
-          .toSeq
-      } finally s.close()
-    }
+    else graft.table.Fs.listDir(d)
+      .filter(_.getFileName.toString.startsWith(s".staged-c-$commitId-"))
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    val s = Files.walk(p)
-    try {
-      import scala.collection.JavaConverters._
-      s.iterator().asScala.toSeq.reverse.foreach(f =>
-        try Files.deleteIfExists(f) catch { case scala.util.control.NonFatal(_) => () })
-    } finally s.close()
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.table.Fs.deleteRecursively(p)
 
-  /** Atomically promote a staged dir to the published c-<id> dir; a twin
-    * that published first wins and the staged copy is discarded. */
+  /** Atomically promote a staged dir to the published c-<id> dir. ONLY
+    * the lost-the-race case (target already published by a twin)
+    * discards the staged copy; any other move failure — no atomic-move
+    * support, permissions, IO — must FAIL the batch loudly: silently
+    * dropping staged rows is the exact loss class this machinery exists
+    * to prevent (round-3 review finding). */
   private def promote(staged: java.nio.file.Path, target: java.nio.file.Path): Unit =
     try Files.move(staged, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { case scala.util.control.NonFatal(_) => deleteRecursively(staged) }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+          _: java.nio.file.DirectoryNotEmptyException =>
+        deleteRecursively(staged) // twin published first
+      case scala.util.control.NonFatal(e) if Files.exists(target) =>
+        deleteRecursively(staged) // raced: the target landed anyway
+    }
 
   /** Stage this commit's error rows (pre-commit). Empty error sets stage
     * nothing: a clean stream must not pay a fixed parquet job per batch —
@@ -205,7 +207,7 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
   private def stageErrors(errors: DataFrame, commitId: String): Option[java.nio.file.Path] =
     if (errors.isEmpty) None
     else {
-      val dir = Paths.get(cfg.errorDir, s".staged-c-$commitId-$newNonce")
+      val dir = Paths.get(cfg.errorDir, s".staged-c-$commitId-${graft.table.Fs.nonce}")
       errors.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       Some(dir)
     }
@@ -228,12 +230,16 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     * recorded as -1 — recoverable facts stay exact, lost ones stay
     * visibly lost rather than silently wrong. */
   private def recoverSideTables(commitId: String, batchId: Long): Unit = {
-    val target = publishedDir(cfg.errorDir, commitId)
-    if (!Files.exists(target))
-      stagedDirsFor(cfg.errorDir, commitId)
-        .find(d => Files.exists(d.resolve("_SUCCESS")))
-        .foreach(promote(_, target))
-    stagedDirsFor(cfg.errorDir, commitId).foreach(deleteRecursively)
+    // both error targets: the per-row validation set (c-<id>) and a
+    // whole-batch reject sample (c-<id>.reject), if the batch died
+    Seq(commitId, s"$commitId.reject").foreach { id =>
+      val target = publishedDir(cfg.errorDir, id)
+      if (!Files.exists(target))
+        stagedDirsFor(cfg.errorDir, id)
+          .find(d => Files.exists(d.resolve("_SUCCESS")))
+          .foreach(promote(_, target))
+      stagedDirsFor(cfg.errorDir, id).foreach(deleteRecursively)
+    }
 
     if (!Files.exists(publishedDir(cfg.lineageDir, commitId)))
       table.versions.find(v => table.manifest(v).commitId == commitId).foreach { v =>
@@ -305,7 +311,7 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         rows_applied = f.rows, conflict_count = -1,
         skew_ratio = skew, wall_ms = s.wallMs)
     }
-    val staged = Paths.get(cfg.lineageDir, s".staged-c-${s.commitId}-$newNonce")
+    val staged = Paths.get(cfg.lineageDir, s".staged-c-${s.commitId}-${graft.table.Fs.nonce}")
     (summary +: perBucket).toDS().coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(staged.toString)
     promote(staged, target)
@@ -399,15 +405,9 @@ object CdcPipeline {
     val d = Paths.get(root)
     val published: Seq[String] =
       if (!Files.isDirectory(d)) Seq.empty
-      else {
-        val s = Files.list(d)
-        try {
-          import scala.collection.JavaConverters._
-          s.iterator().asScala
-            .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("c-"))
-            .map(_.toString).toSeq
-        } finally s.close()
-      }
+      else graft.table.Fs.listDir(d)
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("c-"))
+        .map(_.toString)
     if (published.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

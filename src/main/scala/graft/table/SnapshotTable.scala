@@ -73,7 +73,16 @@ case class Manifest(
     /** Wall-clock commit time (ms), stamped by [[SnapshotTable.commit]];
       * -1 on pre-round-3 manifests. Drives time-based vacuum retention
       * only — never ordering (versions do that). */
-    commitTs: Long = -1L) {
+    commitTs: Long = -1L,
+    /** Smallest event LSN this commit applied (Long.MaxValue for
+      * event-free commits like folds/rejects; -1 = unknown, on
+      * manifests predating the field). changesSince uses it to prove
+      * when the cheap watermark-based replay/diff is EXACT: if every
+      * commit in a range applied only events ABOVE the from-version's
+      * watermark, no out-of-order event can hide below it — otherwise
+      * the per-doc slow path runs. Conservative by construction:
+      * unknown counts as "maybe below". */
+    minEventLsn: Long = -1L) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
 
@@ -103,15 +112,9 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     * every listing leaks one descriptor; at 10k bucket dirs per commit
     * that exhausts the process fd limit within two commits (measured:
     * EMFILE at batch 2 of a 10k-bucket run). */
-  private def listDir(p: Path): Seq[Path] = {
-    val s = Files.list(p)
-    try s.iterator().asScala.toSeq finally s.close()
-  }
+  private def listDir(p: Path): Seq[Path] = Fs.listDir(p)
 
-  private def walkDir(p: Path): Seq[Path] = {
-    val s = Files.walk(p)
-    try s.iterator().asScala.toSeq finally s.close()
-  }
+  private def walkDir(p: Path): Seq[Path] = Fs.walkDir(p)
 
   private def snapDir: Path = Paths.get(root, "snapshots")
 
@@ -128,6 +131,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     n.put("watermarkLsn", m.watermarkLsn)
     n.put("rowCount", m.rowCount)
     n.put("commitTs", m.commitTs)
+    n.put("minEventLsn", m.minEventLsn)
     def putFile(arr: com.fasterxml.jackson.databind.node.ArrayNode, f: DataFile): Unit = {
       val fn = arr.addObject()
       fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
@@ -164,7 +168,8 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
       deltaFiles = Option(n.get("deltaFiles"))
         .map(_.elements().asScala.map(fileFrom).toSeq).getOrElse(Seq.empty),
       deltaRows = Option(n.get("deltaRows")).map(_.asLong()).getOrElse(0L),
-      commitTs = Option(n.get("commitTs")).map(_.asLong()).getOrElse(-1L)
+      commitTs = Option(n.get("commitTs")).map(_.asLong()).getOrElse(-1L),
+      minEventLsn = Option(n.get("minEventLsn")).map(_.asLong()).getOrElse(-1L)
     )
   }
 

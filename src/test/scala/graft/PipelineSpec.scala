@@ -262,28 +262,61 @@ class PipelineSpec extends SparkSpec {
     assert(byDoc == Map("doc1" -> "U", "doc3" -> "D"), s"COW diff wrong: $byDoc")
   }
 
-  test("changesSince delta replay excludes stale out-of-order no-op events") {
+  test("changesSince emits exactly the state-changing events under out-of-order delivery") {
     import graft.operators.MergeOnRead
     import spark.implicits._
-    val base = tmpDir("stale")
-    val p    = mkPipeline(base, mode = "mor")
     def batch(rows: (Long, String, String, Option[Seq[Int]], Option[Long], String)*) =
       rows.toSeq.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
-    p.applyBatch(batch((100L, "I", "X", Some(Seq(1)), Some(1L), "s")), 0L)
+    for (mode <- Seq("mor", "cow")) {
+      val base = tmpDir(s"stale-$mode")
+      val p    = mkPipeline(base, mode)
+      // from-state: X@100 (watermark 100) and Z@10 (BELOW the watermark)
+      p.applyBatch(batch(
+        (100L, "I", "X", Some(Seq(1)), Some(1L), "s"),
+        (10L, "I", "Z", Some(Seq(5)), Some(1L), "s")), 0L)
+      val v1 = p.table.currentVersion.get
+      // batch 1, all out-of-order w.r.t. the watermark except Y:
+      //  - X@50: stale no-op (X already at 100) → must NOT replay
+      //  - Z@50: BELOW the watermark but BEATS Z's own lsn 10 — a real
+      //    applied update the round-2/3 global-watermark filter dropped
+      //    (review finding) → MUST replay
+      //  - Y@200: plain new doc
+      p.applyBatch(batch(
+        (50L, "U", "X", Some(Seq(9)), Some(1L), "s"),
+        (50L, "U", "Z", Some(Seq(7)), Some(1L), "s"),
+        (200L, "I", "Y", Some(Seq(2)), Some(1L), "s")), 1L)
+      val x = p.readTable().filter(col("doc_id") === "X")
+        .select("tokens").as[Seq[Int]].head()
+      assert(x == Seq(1), s"[$mode] stale event must not regress X: $x")
+      val z = p.readTable().filter(col("doc_id") === "Z")
+        .select("tokens").as[Seq[Int]].head()
+      assert(z == Seq(7), s"[$mode] below-watermark update must apply to Z: $z")
+      val got = MergeOnRead.changesSince(p.table, v1)
+        .select("doc_id").as[String].collect().toSet
+      assert(got == Set("Y", "Z"),
+        s"[$mode] changelog must emit Z's applied update and drop X's no-op: $got")
+    }
+  }
+
+  test("changesSince snapshot-diff fallback survives vacuumed delta files it never reads") {
+    import graft.operators.{Merge, MergeOnRead}
+    import spark.implicits._
+    val base = tmpDir("vac-fallback")
+    val p    = mkPipeline(base, mode = "mor")
+    def batch(lsn: Long, id: String) =
+      Seq((lsn, "I", id, Some(Seq(1)), Some(1L), "s"))
+        .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    p.applyBatch(batch(1, "v-a"), 0L)
     val v1 = p.table.currentVersion.get
-    // batch 1 carries a stale out-of-order event for X (lsn 50 < the
-    // applied 100 — a no-op Merge tolerates) plus a fresh Y
-    p.applyBatch(batch(
-      (50L, "U", "X", Some(Seq(9)), Some(1L), "s"),
-      (200L, "I", "Y", Some(Seq(2)), Some(1L), "s")), 1L)
-    // the stale event did not change state...
-    val x = p.readTable().filter(col("doc_id") === "X")
-      .select("tokens").as[Seq[Int]].head()
-    assert(x == Seq(1), s"stale event must not regress X: $x")
-    // ...so the changelog must not emit it (path-equivalence contract)
+    p.applyBatch(batch(2, "v-b"), 1L)
+    // a COW commit in the range forces the snapshot-diff fallback...
+    Merge(p.table, batch(3, "v-c"), "vacfb-cow", 2L)
+    // ...and vacuum reclaims the MOR delta files of the earlier commits
+    p.table.vacuum(1)
+    // the fallback never reads those files — it must succeed, not throw
     val got = MergeOnRead.changesSince(p.table, v1)
       .select("doc_id").as[String].collect().toSet
-    assert(got == Set("Y"), s"stale X@50 must not replay: $got")
+    assert(got == Set("v-b", "v-c"), s"fallback diff wrong: $got")
   }
 
   test("changesSince across a rollback emits the retraction diff") {
@@ -562,6 +595,18 @@ class PipelineSpec extends SparkSpec {
     Seq(("w-d", Seq(5), 1L, "z")).toDF("doc_id", "tokens", "n_tok", "source")
       .write.format("graft").mode("append").option("commitId", "write-once").save(root)
     assert(p.table.currentVersion.get == v1, "replayed commitId must ledger-skip")
+
+    // change-batch overwrite (library call — the writer path strips
+    // lsn/op): a frame whose LWW winner is a DELETE must NOT resurrect
+    // the doc as a live null-payload row (round-3 review finding)
+    graft.sources.GraftDataSource.insertInto(root,
+      Seq(
+        (1L, "U", "w-keep", Some(Seq(1)), Some(1L), "z"),
+        (2L, "D", "w-gone", None: Option[Seq[Int]], None: Option[Long], "z"))
+        .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"),
+      overwrite = true, commitId = None)
+    val after = p.readTable().select("doc_id").as[String].collect().toSet
+    assert(after == Set("w-keep"), s"D winner must not re-land as live: $after")
   }
 
   test("SQL catalog + MERGE INTO: graft.`root` is nameable and mergeable from SQL") {
@@ -624,6 +669,18 @@ class PipelineSpec extends SparkSpec {
             WHEN MATCHED AND t.n_tok > 1 THEN DELETE""").collect()
     }
     assert(eTgt.getMessage.contains("graft MERGE INTO"), eTgt.getMessage)
+
+    // a null source key would smuggle a null doc_id past validation
+    // (ANSI routes it to INSERT) — typed rejection instead
+    Seq((null.asInstanceOf[String], Seq(1), 1L, "x", "upd"))
+      .toDF("doc_id", "tokens", "n_tok", "source", "action")
+      .createOrReplaceTempView("merge_nullkey")
+    val eNull = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING merge_nullkey s ON t.doc_id = s.doc_id
+            WHEN NOT MATCHED THEN INSERT *""").collect()
+    }
+    assert(eNull.getMessage.contains("null join key"), eNull.getMessage)
   }
 
   test("rebucket migrates the hash-bucket count; state, lookups, commits survive") {
@@ -972,6 +1029,21 @@ class PipelineSpec extends SparkSpec {
         .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source", "upstream"), 2L)
     assert(s2.inserted == 1)
     assert(p.readTable().select("doc_id").collect().map(_.getString(0)).toSet == Set("a", "c"))
+
+    // a rejected batch that ALSO carried per-row validation failures
+    // keeps BOTH quarantine records: the row-level errors (c-<id>) and
+    // the whole-batch sample (c-<id>.reject) — round-2 parity, pinned
+    // after the round-3 review caught the staged rows being swept
+    val s3 = p.applyBatch(
+      Seq(
+        (10L, "I", null.asInstanceOf[String], Seq(1), 1L, "s", "bad"),
+        (11L, "I", "d", Seq(1), 1L, "s", "bad"))
+        .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source", "upstream"), 3L)
+    assert(s3.schemaChanges.exists(_.contains("schema_incompatible")))
+    val errs = p.readErrors()
+    assert(errs.filter(col("commit_id") === "b3" && col("reason") === "null_doc_id")
+      .count() == 1, "row-level validation errors of a rejected batch must survive")
+    assert(errs.filter(col("reason").startsWith("batch_rejected")).count() >= 1)
   }
 
   test("schema evolution: added column then widened n_tok (E2)") {
