@@ -471,12 +471,18 @@ object MergeOnRead {
     * Deletes surface as op='D' tombstone rows in both paths.
     *
     * Path-equivalence contract: BOTH paths emit only STATE-CHANGING
-    * events — the delta replay filters out events at or below the
-    * from-version's LSN watermark (out-of-order stale events Merge
-    * tolerates as no-ops; without the filter a non-LWW consumer of the
-    * replay could regress rows to stale values the table never held).
-    * Under the range-monotonic delivery the snapshot-diff path already
-    * assumes, the two paths therefore emit identical change sets.
+    * events (the live view changed — a stale event, or a delete of an
+    * absent/already-dead doc, never emits), and the LWW-fold of either
+    * path's output over the range is identical. The delta replay may
+    * additionally emit SUPERSEDED intermediate events when several
+    * commits in the range touched one doc (it replays what was applied,
+    * per commit; the diff paths see only the final state) — consumers
+    * fold by lsn, which makes the two paths interchangeable. Whether an
+    * event at or below the from-watermark was state-changing is decided
+    * PER DOC against the from-state (never the global watermark, which
+    * would drop genuinely applied out-of-order updates); the cheap
+    * watermark-keyed fast paths run only when the range's recorded
+    * minEventLsn proves no such event exists.
     *
     * Rollback contract ([[TableMaintenance.rollbackTo]]): a range
     * containing a rollback (a commit that DECREASED the watermark) is a
@@ -572,15 +578,25 @@ object MergeOnRead {
         // common mostly-monotonic stream pays O(below), not O(table).
         val above = replay.filter(col("lsn") > w)
         val below = replay.filter(col("lsn") <= w)
+        // the probe re-scans the delta files but reads ONLY doc_id
+        // (column pruning) — the payload is read once per output leg
         val bs = below
           .select(bucketOf(col("doc_id"), mFrom.numBuckets).as("_b"))
           .distinct().collect().map(_.getInt(0)).toSet
         val fromState = resolveBuckets(table, Some(bs), Some(fromVersion))
-          .select(col("doc_id").as("_f_doc"), col(LsnCol).as("_f_lsn"))
+          .select(col("doc_id").as("_f_doc"), col(LsnCol).as("_f_lsn"),
+            coalesce(col(Merge.TombCol), lit(false)).as("_f_tomb"))
+        // state-changing = changes the LIVE view, not just the row's
+        // internal lsn: a D on an absent or already-dead doc advances
+        // nothing observable and must not emit (the diff paths cannot
+        // emit it either — path consistency, second-pass review)
         val belowKept = below
           .join(fromState, col("doc_id") === col("_f_doc"), "left")
-          .filter(col("_f_lsn").isNull || col("lsn") > col("_f_lsn"))
-          .drop("_f_doc", "_f_lsn")
+          .filter(
+            (col("_f_lsn").isNull && col("op") =!= "D") ||
+              (col("_f_lsn").isNotNull && col("lsn") > col("_f_lsn") &&
+                !(col("op") === "D" && col("_f_tomb"))))
+          .drop("_f_doc", "_f_lsn", "_f_tomb")
         above.unionByName(belowKept)
       }
     } else {
@@ -627,7 +643,8 @@ object MergeOnRead {
         from = head
       } else {
         idle += 1
-        if (maxIdlePolls >= 0 && idle > maxIdlePolls) go = false
+        // the Nth consecutive empty poll exits WITHOUT a trailing sleep
+        if (maxIdlePolls >= 0 && idle >= maxIdlePolls) go = false
         else Thread.sleep(pollMs)
       }
     }

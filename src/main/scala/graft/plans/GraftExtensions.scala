@@ -23,9 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
-  private def literalInt(e: Expression, what: String): Int =
-    GraftExtensions.literalInt(e, what)
-
   override def apply(ext: SparkSessionExtensions): Unit = {
     // SQL/catalog surface: expand spark.read.format("graft") relations
     // into the snapshot-resolve plan (see graft.sources.GraftDataSource)
@@ -48,7 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash", "graft_minhash(shingles[, numHashes]) - minhash signature array"),
       (exprs: Seq[Expression]) =>
         if (exprs.size > 1)
-          MinHashSig(exprs.head, literalInt(exprs(1), "graft_minhash numHashes"))
+          MinHashSig(exprs.head, GraftExtensions.literalInt(exprs(1), "graft_minhash numHashes"))
         else MinHashSig(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_rolling_hash"),
@@ -60,8 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_hyperplane_sigs(emb, bits, tables) - multi-table hyperplane LSH signatures"),
       (exprs: Seq[Expression]) =>
         HyperplaneSigs(exprs.head,
-          literalInt(exprs(1), "graft_hyperplane_sigs bits"),
-          literalInt(exprs(2), "graft_hyperplane_sigs tables"))))
+          GraftExtensions.literalInt(exprs(1), "graft_hyperplane_sigs bits"),
+          GraftExtensions.literalInt(exprs(2), "graft_hyperplane_sigs tables"))))
   }
 }
 

@@ -129,7 +129,13 @@ object GraftDataSource {
       // a change-batch frame's LWW-winning deletes must stay deletes —
       // re-landing them as op='U' would resurrect the docs as live
       // null-payload rows (round-3 review finding)
-      val fresh = (if (hasMeta) Dedup.lww(data).filter(col("op") =!= "D").drop("lsn", "op")
+      // null-safe: a malformed null op must re-land as an upsert (the
+      // pre-round-3 behavior), never be silently dropped by the
+      // three-valued `=!= "D"` (second-pass review)
+      val fresh = (if (hasMeta)
+                     Dedup.lww(data)
+                       .filter(col("op").isNull || col("op") =!= "D")
+                       .drop("lsn", "op")
                    else data)
         .withColumn("lsn", lit(w2 + 1)).withColumn("op", lit("U"))
       MergeOnRead(table, fresh, id, batchId = -4L)

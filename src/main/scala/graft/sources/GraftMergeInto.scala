@@ -153,8 +153,15 @@ case class GraftMergeIntoCommand(
     val table = SnapshotTable.load(session, root)
     val cur = table.current.getOrElse(
       throw new IllegalStateException(s"no graft table at $root"))
+    // persisted: the command evaluates the source three times (key
+    // guard, bucket probe, classification join) — an unpinned
+    // nondeterministic source could yield keys in the join whose bucket
+    // the probe never saw, silently misrouting matched-ness (round-3
+    // second-pass review); the cache pins one evaluation for all three
     val src = org.apache.spark.sql.classic.GraftSqlBridge.ofRows(session, source)
       .withColumn("_graft_key", col(sourceKey).cast("string"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // one pass guards BOTH key invariants: the ANSI cardinality rule
     // (a source key may match at most one action) and non-null keys —
@@ -216,5 +223,6 @@ case class GraftMergeIntoCommand(
     val stats = MergeOnRead(
       table, events, s"sqlmerge-${graft.table.Fs.nonce}", batchId = -5L)
     Seq(Row(stats.version, stats.inserted, stats.updated, stats.deleted))
+    } finally { src.unpersist(); () }
   }
 }

@@ -270,20 +270,28 @@ class PipelineSpec extends SparkSpec {
     for (mode <- Seq("mor", "cow")) {
       val base = tmpDir(s"stale-$mode")
       val p    = mkPipeline(base, mode)
-      // from-state: X@100 (watermark 100) and Z@10 (BELOW the watermark)
+      // from-state: X@100 (watermark 100), Z@10 (BELOW the watermark),
+      // and W tombstoned at 20
       p.applyBatch(batch(
         (100L, "I", "X", Some(Seq(1)), Some(1L), "s"),
-        (10L, "I", "Z", Some(Seq(5)), Some(1L), "s")), 0L)
+        (10L, "I", "Z", Some(Seq(5)), Some(1L), "s"),
+        (20L, "D", "W", None, None, "s")), 0L)
       val v1 = p.table.currentVersion.get
       // batch 1, all out-of-order w.r.t. the watermark except Y:
       //  - X@50: stale no-op (X already at 100) → must NOT replay
       //  - Z@50: BELOW the watermark but BEATS Z's own lsn 10 — a real
       //    applied update the round-2/3 global-watermark filter dropped
       //    (review finding) → MUST replay
+      //  - W@50 D: advances an existing tombstone — applied, but the
+      //    LIVE state is unchanged → must NOT replay (the diff paths
+      //    could never emit it; path consistency)
+      //  - V@60 D: delete of an absent doc → must NOT replay
       //  - Y@200: plain new doc
       p.applyBatch(batch(
         (50L, "U", "X", Some(Seq(9)), Some(1L), "s"),
         (50L, "U", "Z", Some(Seq(7)), Some(1L), "s"),
+        (50L, "D", "W", None, None, "s"),
+        (60L, "D", "V", None, None, "s"),
         (200L, "I", "Y", Some(Seq(2)), Some(1L), "s")), 1L)
       val x = p.readTable().filter(col("doc_id") === "X")
         .select("tokens").as[Seq[Int]].head()
