@@ -79,7 +79,14 @@ object Bench {
   private def runCdc(
       spark: SparkSession, changeLog: String, batches: Int, buckets: Int,
       mode: String): Double = {
-    val base = Files.createTempDirectory("graft-bench-run").toString
+    val baseDir = Files.createTempDirectory("graft-bench-run")
+    try runCdcAt(spark, changeLog, batches, buckets, mode, baseDir.toString)
+    finally graft.table.Fs.deleteRecursively(baseDir)
+  }
+
+  private def runCdcAt(
+      spark: SparkSession, changeLog: String, batches: Int, buckets: Int,
+      mode: String, base: String): Double = {
     val p = new CdcPipeline(spark, PipelineConfig(
       tableRoot = s"$base/table",
       changeLogDir = changeLog,
@@ -301,6 +308,35 @@ object Bench {
     out.mkString("{", ",", "}")
   }
 
+  /** The round-3 lesson (BASELINE.md + VERDICT r3): leaked bench temp
+    * trees accumulate in /tmp and degrade EVERY subsequent run on this
+    * box uniformly (~30 GB → 1.6-1.7× inflation across pure scans and
+    * merges alike — a tmpfs/writeback effect, not a code property). The
+    * harness now owns its own reproducibility: every tree it creates is
+    * deleted in a finally, and trees leaked by PRIOR crashed bench/verify
+    * runs are swept at startup so the first timed run starts clean.
+    * Prefixes are exclusively ours; the age gate keeps a concurrently
+    * running graft process (e.g. sbt test) safe. */
+  private def sweepStaleTmp(): Unit = {
+    val tmp = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val now = System.currentTimeMillis()
+    val benchOwned = Set("graft-bench", "graft-benchone")
+    scala.util.Try(graft.table.Fs.listDir(tmp)).getOrElse(Seq.empty).foreach { p =>
+      val name = p.getFileName.toString
+      val ours = benchOwned.exists(name.startsWith)
+      val staleOther = name.startsWith("graft-") &&
+        scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+          .toOption.exists(now - _ > 2L * 3600 * 1000)
+      if (ours || staleOther) {
+        System.err.println(s"[bench] sweeping stale temp tree $p")
+        graft.table.Fs.deleteRecursively(p)
+      }
+    }
+  }
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir     = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val maxCpus   = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -310,17 +346,25 @@ object Bench {
     val batches   = 4
     val buckets   = 64
     val modeNames = sys.env.getOrElse("SPARK_GRAFT_MODES", "cow,mor").split(",").toSeq
+    // ≥3 samples at the max-cores point (documented ±30% box noise there);
+    // the reported sec_max is the per-mode MEDIAN
+    val maxSamples = sys.env.getOrElse("SPARK_GRAFT_MAX_SAMPLES", "3").toInt
+
+    sweepStaleTmp()
 
     // ---- stage the change log once (not timed); fixed file count so
     // every parallelism level reads the identical input layout ----
     val stage     = newSession(maxCpus)
     val changeLog = Files.createTempDirectory("graft-bench-log").toString
+    try {
     CdcGenerator.writeBatches(stage, sfDir, changeLog, batches, replicate, filesPerBatch = 32)
     val nEvents = stage.read.parquet(s"$changeLog/batch-*").count()
     // JIT/codegen warm-up on a sliver so no timed run pays it
-    val warm = Files.createTempDirectory("graft-bench-warm").toString
-    CdcGenerator.writeBatches(stage, "/root/testdata/sf0.001", warm, batches = 2)
-    modeNames.foreach(m => runCdc(stage, warm, 2, 8, m))
+    val warm = Files.createTempDirectory("graft-bench-warm")
+    try {
+      CdcGenerator.writeBatches(stage, "/root/testdata/sf0.001", warm.toString, batches = 2)
+      modeNames.foreach(m => runCdc(stage, warm.toString, 2, 8, m))
+    } finally graft.table.Fs.deleteRecursively(warm)
     stage.stop()
 
     // ---- same job, same input: N cores, 4N cores, then max cores ----
@@ -331,7 +375,10 @@ object Bench {
     }
     val lo  = runAt(loCpus)
     val hi  = runAt(hiCpus)
-    val max = if (maxCpus > hiCpus) runAt(maxCpus) else hi
+    val maxRuns: Seq[Map[String, Double]] =
+      if (maxCpus > hiCpus) (1 to math.max(1, maxSamples)).map(_ => runAt(maxCpus))
+      else Seq(hi)
+    val max = modeNames.map(m => m -> median(maxRuns.map(_(m)))).toMap
 
     case class ModeResult(mode: String) {
       def epsLo: Double  = nEvents / lo(mode)
@@ -339,7 +386,7 @@ object Bench {
       def epsMax: Double = nEvents / max(mode)
       def eff: Double    = (epsHi / epsLo) / (hiCpus.toDouble / loCpus)
       def json: String =
-        f""""$mode":{"sec_n":${lo(mode)}%.2f,"sec_4n":${hi(mode)}%.2f,"sec_max":${max(mode)}%.2f,"events_per_sec_n":$epsLo%.1f,"events_per_sec_4n":$epsHi%.1f,"events_per_sec_max":$epsMax%.1f,"scaling_efficiency_n_to_4n":$eff%.3f}"""
+        f""""$mode":{"sec_n":${lo(mode)}%.2f,"sec_4n":${hi(mode)}%.2f,"sec_max":${max(mode)}%.2f,"sec_max_runs":${maxRuns.map(r => f"${r(mode)}%.2f").mkString("[", ",", "]")},"events_per_sec_n":$epsLo%.1f,"events_per_sec_4n":$epsHi%.1f,"events_per_sec_max":$epsMax%.1f,"scaling_efficiency_n_to_4n":$eff%.3f}"""
     }
     val modes = modeNames.map(ModeResult)
     val best  = modes.maxBy(m => math.max(m.epsHi, m.epsMax))
@@ -370,7 +417,8 @@ object Bench {
     val mhJson  = if (runQueries) minhashStudy(sQ, sfDir) else "{}"
 
     println(
-      f"""{"metric":"change-events/sec applied (end-to-end MERGE throughput)","value":$headline%.1f,"unit":"events/sec","sf":"$sfDir","queries":$qJson,"cdc":{"events":$nEvents,"batches":$batches,"buckets":$buckets,"replicate":$replicate,"cores_n":$loCpus,"cores_4n":$hiCpus,"cores_max":$maxCpus,"best_mode":"${best.mode}","scaling_mode":"${scalingBest.mode}","scaling_efficiency":${scalingBest.eff}%.3f,${modes.map(_.json).mkString(",")}},"ann_lsh_study":$annJson,"ivf_study":$ivfJson,"minhash_study":$mhJson,"query_total_sec":${queries.map(_._2).sum}%.2f}""")
+      f"""{"metric":"change-events/sec applied (end-to-end MERGE throughput)","value":$headline%.1f,"unit":"events/sec","sf":"$sfDir","queries":$qJson,"cdc":{"events":$nEvents,"batches":$batches,"buckets":$buckets,"replicate":$replicate,"cores_n":$loCpus,"cores_4n":$hiCpus,"cores_max":$maxCpus,"max_samples":${maxRuns.size},"best_mode":"${best.mode}","scaling_mode":"${scalingBest.mode}","scaling_efficiency":${scalingBest.eff}%.3f,${modes.map(_.json).mkString(",")}},"ann_lsh_study":$annJson,"ivf_study":$ivfJson,"minhash_study":$mhJson,"query_total_sec":${queries.map(_._2).sum}%.2f}""")
     sQ.stop()
+    } finally graft.table.Fs.deleteRecursively(java.nio.file.Paths.get(changeLog))
   }
 }

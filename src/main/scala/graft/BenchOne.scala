@@ -57,38 +57,50 @@ object BenchOne {
       spark.stop()
       return
     }
-    val changeLog =
-      if (args(2) != "-") args(2)
-      else {
+    val ownedLog = if (args(2) != "-") None else
+      Some(java.nio.file.Files.createTempDirectory("graft-benchone-log"))
+    try {
+      val changeLog = ownedLog.fold(args(2)) { d =>
         val sfDir     = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "90").toInt
-        val d = java.nio.file.Files.createTempDirectory("graft-benchone-log").toString
-        CdcGenerator.writeBatches(spark, sfDir, d, batches, replicate, filesPerBatch = 32)
-        d
+        CdcGenerator.writeBatches(spark, sfDir, d.toString, batches, replicate, filesPerBatch = 32)
+        d.toString
       }
-    val nEvents = spark.read.parquet(s"$changeLog/batch-*").count()
+      val nEvents = spark.read.parquet(s"$changeLog/batch-*").count()
 
-    // warmup on a sliver (JIT + codegen)
-    val warm = java.nio.file.Files.createTempDirectory("graft-benchone-warm").toString
-    CdcGenerator.writeBatches(spark, "/root/testdata/sf0.001", warm, 2)
-    runOnce(spark, warm, 2, 8, mode)
+      // warmup on a sliver (JIT + codegen)
+      val warm = java.nio.file.Files.createTempDirectory("graft-benchone-warm")
+      try {
+        CdcGenerator.writeBatches(spark, "/root/testdata/sf0.001", warm.toString, 2)
+        runOnce(spark, warm.toString, 2, 8, mode)
+      } finally graft.table.Fs.deleteRecursively(warm)
 
-    val sec = runOnce(spark, changeLog, batches, buckets, mode)
-    println(f"BENCHONE mode=$mode cores=$cores events=$nEvents sec=$sec%.2f eps=${nEvents / sec}%.1f")
-    // GRAFT_TWICE: repeat the identical run in the SAME JVM/session on a
-    // fresh table dir — separates session/JVM accumulation (run 2 starts
-    // slow) from table-state effects (run 2 repeats run 1's profile)
-    if (sys.env.contains("GRAFT_TWICE")) {
-      val sec2 = runOnce(spark, changeLog, batches, buckets, mode)
-      println(f"BENCHONE run2 mode=$mode sec=$sec2%.2f eps=${nEvents / sec2}%.1f")
-    }
+      val sec = runOnce(spark, changeLog, batches, buckets, mode)
+      println(f"BENCHONE mode=$mode cores=$cores events=$nEvents sec=$sec%.2f eps=${nEvents / sec}%.1f")
+      // GRAFT_TWICE: repeat the identical run in the SAME JVM/session on a
+      // fresh table dir — separates session/JVM accumulation (run 2 starts
+      // slow) from table-state effects (run 2 repeats run 1's profile)
+      if (sys.env.contains("GRAFT_TWICE")) {
+        val sec2 = runOnce(spark, changeLog, batches, buckets, mode)
+        println(f"BENCHONE run2 mode=$mode sec=$sec2%.2f eps=${nEvents / sec2}%.1f")
+      }
+    } finally ownedLog.foreach(graft.table.Fs.deleteRecursively)
     spark.stop()
   }
 
   def runOnce(
       spark: SparkSession, changeLog: String, batches: Int, buckets: Int,
       mode: String): Double = {
-    val base = java.nio.file.Files.createTempDirectory("graft-benchone-run").toString
+    // self-cleaning (VERDICT r3 #1): leaked bench trees are the documented
+    // cause of monotone /tmp-writeback run degradation on this box
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-benchone-run")
+    try runOnceAt(spark, changeLog, batches, buckets, mode, baseDir.toString)
+    finally graft.table.Fs.deleteRecursively(baseDir)
+  }
+
+  private def runOnceAt(
+      spark: SparkSession, changeLog: String, batches: Int, buckets: Int,
+      mode: String, base: String): Double = {
     val p = new CdcPipeline(spark, PipelineConfig(
       tableRoot = s"$base/table",
       changeLogDir = changeLog,

@@ -39,6 +39,27 @@ object SparkEntry {
     while (df != null) { df.unpersist(); df = liveCaches.poll() }
   }
 
+  /** Every fixture temp tree this process creates, deleted by a JVM
+    * shutdown hook: leaked bench/verify temp trees are the documented
+    * cause of monotone /tmp-writeback run degradation on this box
+    * (BASELINE.md round-3 notes; VERDICT r3 "what's wrong" #2). The hook
+    * (vs deleting eagerly) is correct here because fixtures are cached
+    * per-process and shared across queries until exit. */
+  private val tempRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val sweepHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = tempRoots.poll()
+      while (p != null) { graft.table.Fs.deleteRecursively(p); p = tempRoots.poll() }
+    }, "graft-fixture-sweep"))
+
+  private def tempRoot(prefix: String): String = {
+    sweepHookInstalled
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempRoots.add(p)
+    p.toString
+  }
+
   /** Flagship: run the full CDC pipeline (generate change log → stream →
     * conform → validate/route → LWW dedup → exactly-once MERGE) on
     * sf0.001 and return the final authoritative table state. */
@@ -55,7 +76,7 @@ object SparkEntry {
 
   private def stagedChangelog(spark: SparkSession, dir: String): String =
     changelogCache.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-changelog").toString
+      val out = tempRoot("graft-changelog")
       // 4 files per logical batch + 4 files per trigger → exactly 4
       // micro-batches regardless of session parallelism
       CdcGenerator.writeBatches(spark, dir, out, batches = 4, filesPerBatch = 4)
@@ -65,7 +86,7 @@ object SparkEntry {
   /** Build + stream a full pipeline over a fresh temp table. */
   private def runPipeline(
       spark: SparkSession, dir: String, mode: String): CdcPipeline = {
-    val base = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val base = tempRoot("graft-cdc")
     val p = new CdcPipeline(spark, PipelineConfig(
       tableRoot = s"$base/table",
       changeLogDir = stagedChangelog(spark, dir),
@@ -93,7 +114,7 @@ object SparkEntry {
   private def versionedFixture(
       spark: SparkSession, dir: String, mode: String = "mor"): VersionedFixture =
     versionedCache.computeIfAbsent(s"$dir#$mode", _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-tt").toString
+      val base = tempRoot("graft-tt")
       val p = new CdcPipeline(spark, PipelineConfig(
         tableRoot = s"$base/table",
         changeLogDir = s"$base/changelog-unused",
@@ -145,7 +166,7 @@ object SparkEntry {
 
   private def forkTable(
       spark: SparkSession, dir: String, mode: String): graft.table.SnapshotTable = {
-    val dst = java.nio.file.Files.createTempDirectory("graft-fork").toString
+    val dst = tempRoot("graft-fork")
     stagedPipeline(spark, dir, mode).table.shallowClone(s"$dst/table")
   }
 
@@ -285,7 +306,7 @@ object SparkEntry {
       // straight-through merge — recovery leaves no residue.
       import graft.operators.{Conform, Dedup, MergeOnRead, TableMaintenance, Validate}
       val f   = versionedFixture(s, dir)
-      val dst = java.nio.file.Files.createTempDirectory("graft-mnt").toString
+      val dst = tempRoot("graft-mnt")
       val t   = f.pipeline.table.shallowClone(s"$dst/table")
       val ev  = CdcGenerator.events(s, dir)
       TableMaintenance.rollbackTo(t, f.v1)

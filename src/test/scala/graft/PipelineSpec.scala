@@ -976,6 +976,57 @@ class PipelineSpec extends SparkSpec {
     ()
   }
 
+  test("vacuum between writeDataFiles and commit leaves the in-flight commit intact") {
+    import spark.implicits._
+    val base = tmpDir("vacrace")
+    val p    = mkPipeline(base, mode = "mor")
+    def batch(lsn: Long, id: String) =
+      Seq((lsn, "I", id, Some(Seq(1)), Some(1L), "s"))
+        .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    p.applyBatch(batch(1, "vr-a"), 0L)
+    val cur = p.table.current.get
+
+    // the race window: a second writer has staged its data files but not
+    // yet committed its manifest; scheduled maintenance runs vacuum NOW
+    val staged = p.table.writeDataFiles(
+      Seq(("vr-b", Seq(2), 1L, "s", 2L))
+        .toDF("doc_id", "tokens", "n_tok", "source", "_lsn")
+        .withColumn("_bucket", pmod(xxhash64(col("doc_id")), lit(8)).cast("int")),
+      commitId = "vacrace-inflight", numBuckets = 8)
+    assert(staged.nonEmpty)
+    p.table.vacuum(retainVersions = 1)
+    staged.foreach(f => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(f.path)),
+      s"vacuum must not sweep in-flight staged file ${f.path}"))
+
+    // the writer's commit lands and is fully readable
+    p.table.commit(cur.copy(
+      version = cur.version + 1, parent = cur.version,
+      commitId = "vacrace-inflight", batchId = 99L,
+      watermarkLsn = 2L, rowCount = cur.rowCount + 1,
+      files = cur.files ++ staged, minEventLsn = 2L))
+    p.table.verifyReadable(p.table.current.get)
+    assert(p.readTable().filter(col("doc_id") === "vr-b").count() == 1)
+
+    // a TRUE crashed-write orphan (referenced by nothing, aged past the
+    // grace window) is still reclaimed
+    val orphan = java.nio.file.Paths.get(base, "table", "data", "c-crashed", "junk.parquet")
+    java.nio.file.Files.createDirectories(orphan.getParent)
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 3600 * 1000))
+    val (deleted, _) = p.table.vacuum(retainVersions = 1)
+    assert(deleted >= 1)
+    assert(!java.nio.file.Files.exists(orphan), "aged orphan must be swept")
+    // and a YOUNG unreferenced file (possible in-flight write) survives
+    val young = orphan.getParent.resolve("young.parquet")
+    java.nio.file.Files.createDirectories(young.getParent)
+    java.nio.file.Files.write(young, Array[Byte](1))
+    p.table.vacuum(retainVersions = 1)
+    assert(java.nio.file.Files.exists(young), "young unreferenced file must survive the grace window")
+  }
+
   test("snapshot isolation: a pinned version reads identically across later commits") {
     import spark.implicits._
     val p = mkPipeline(tmpDir("iso"))
