@@ -31,12 +31,22 @@ object MergeOnRead {
 
   private val DeltaCols = Seq("lsn", "op")
 
-  /** Append one deduped change batch as delta files and commit. */
+  /** Append one deduped change batch as delta files and commit.
+    * @param requireWatermarkBelow abort with a typed
+    *   [[Merge.CommitConflict]] (BEFORE committing — the staged delta
+    *   files become vacuum-swept orphans) if the head's watermark has
+    *   reached this LSN by commit time. Callers that STAMP their events
+    *   with a watermark-derived LSN (SQL MERGE INTO) pass their stamped
+    *   LSN here: a concurrent commit landing an event at the identical
+    *   LSN for the same doc would otherwise make the LWW fold's winner
+    *   an undefined tie; the guard turns that window into a retryable
+    *   typed failure instead (round-4 review finding). */
   def apply(
       table: SnapshotTable,
       dedupedBatch: DataFrame,
       commitId: String,
-      batchId: Long): MergeStats = {
+      batchId: Long,
+      requireWatermarkBelow: Option[Long] = None): MergeStats = {
     val t0  = System.nanoTime()
     val cur = table.current.getOrElse(
       throw new IllegalStateException("table has no snapshot; create() first"))
@@ -122,6 +132,12 @@ object MergeOnRead {
       } else {
         require(head.numBuckets == numBuckets,
           s"concurrent rebucket: table now has ${head.numBuckets} buckets, batch bucketed for $numBuckets")
+        requireWatermarkBelow.filter(_ <= head.watermarkLsn).foreach { l =>
+          throw Merge.CommitConflict(commitId, Set.empty,
+            s"a concurrent commit advanced the watermark to ${head.watermarkLsn}, " +
+              s"at or past this batch's stamped LSN $l — the events' LSNs are no " +
+              "longer unique; retry the statement to re-derive them")
+        }
         val headPayload = StructType(head.schema.fields.filterNot(f =>
           Merge.InternalCols.contains(f.name)))
         val (rebasedPayload, rebasedChanges) = SchemaEvolution.evolve(headPayload, batchPayload)
@@ -213,17 +229,13 @@ object MergeOnRead {
     * doc_id, and never covering clean buckets. */
   private val PerBucketPlanLimit = 64
 
-  private def resolveBuckets(
+  private[graft] def resolveBuckets(
       table: SnapshotTable,
       buckets: Option[Set[Int]],
       version: Option[Long],
       key: Option[String] = None): DataFrame = {
     val m = version.map(table.manifest).orElse(table.current).getOrElse(
       throw new IllegalStateException(s"no snapshot at ${table.root}"))
-    // explicit-version reads (time travel) fail typed when the version's
-    // files were vacuumed, not with a mid-task FileNotFound
-    if (version.exists(v => !table.currentVersion.contains(v)))
-      table.verifyReadable(m)
     def prune(fs: Seq[graft.table.DataFile]) = {
       val byBucket = buckets match {
         case Some(bs) => fs.filter(f => bs.contains(f.bucket))
@@ -236,6 +248,15 @@ object MergeOnRead {
     }
     val baseFiles  = prune(m.files)
     val deltaFiles = prune(m.deltaFiles)
+    // explicit-version reads (time travel, changelog windows) fail typed
+    // when files vacuum reclaimed are needed, not with a mid-task
+    // FileNotFound — checked AFTER pruning, so a bucket- or key-pruned
+    // read of a partially vacuumed old version succeeds whenever every
+    // file it will actually touch still exists (vacuum routinely leaves
+    // carried-forward files of old versions intact; only the unpruned
+    // read needs the whole manifest)
+    if (version.exists(v => !table.currentVersion.contains(v)))
+      table.verifyReadable(m, baseFiles ++ deltaFiles)
     if (deltaFiles.isEmpty) return table.readFiles(baseFiles, m.schema)
 
     // Bucket-aligned fold. Both sides are bucketed by the SAME
@@ -470,19 +491,26 @@ object MergeOnRead {
     * bumps the row's `_lsn` and LSNs are monotonic across commits.
     * Deletes surface as op='D' tombstone rows in both paths.
     *
-    * Path-equivalence contract: BOTH paths emit only STATE-CHANGING
-    * events (the live view changed — a stale event, or a delete of an
-    * absent/already-dead doc, never emits), and the LWW-fold of either
-    * path's output over the range is identical. The delta replay may
-    * additionally emit SUPERSEDED intermediate events when several
-    * commits in the range touched one doc (it replays what was applied,
-    * per commit; the diff paths see only the final state) — consumers
-    * fold by lsn, which makes the two paths interchangeable. Whether an
-    * event at or below the from-watermark was state-changing is decided
-    * PER DOC against the from-state (never the global watermark, which
-    * would drop genuinely applied out-of-order updates); the cheap
-    * watermark-keyed fast paths run only when the range's recorded
-    * minEventLsn proves no such event exists.
+    * Path-equivalence contract: LWW-folding either path's output onto
+    * the from-version's live view yields the to-version's live view.
+    * REPLAY paths emit every APPLIED event (one that advanced its doc's
+    * stored `_lsn`) plus, when several commits touched one doc,
+    * superseded intermediates — including delete events for docs not
+    * live at `from` (a tombstone advance, or a delete of an absent doc
+    * the commit persisted). Such delete rows fold to "not live", which
+    * the doc already was: fold-harmless. The DIFF paths emit only net
+    * live-view changes and never those rows. Emitting applied deletes
+    * unconditionally is load-bearing, not sloppiness: whether a D is a
+    * "no-op" CANNOT be decided against the from-state — a range that
+    * inserts a doc and then deletes it in later commits has a D that is
+    * absent-at-from yet essential (dropping it would fold the doc LIVE);
+    * only provably-unapplied events (lsn ≤ the doc's from `_lsn`, a
+    * floor that never decreases) are safe to drop. Whether an event at
+    * or below the from-watermark was applied is decided PER DOC against
+    * the from-state (never the global watermark, which would drop
+    * genuinely applied out-of-order updates); the cheap watermark-keyed
+    * fast paths run only when the range's recorded minEventLsn proves no
+    * such event exists.
     *
     * Rollback contract ([[TableMaintenance.rollbackTo]]): a range
     * containing a rollback (a commit that DECREASED the watermark) is a
@@ -584,19 +612,18 @@ object MergeOnRead {
           .select(bucketOf(col("doc_id"), mFrom.numBuckets).as("_b"))
           .distinct().collect().map(_.getInt(0)).toSet
         val fromState = resolveBuckets(table, Some(bs), Some(fromVersion))
-          .select(col("doc_id").as("_f_doc"), col(LsnCol).as("_f_lsn"),
-            coalesce(col(Merge.TombCol), lit(false)).as("_f_tomb"))
-        // state-changing = changes the LIVE view, not just the row's
-        // internal lsn: a D on an absent or already-dead doc advances
-        // nothing observable and must not emit (the diff paths cannot
-        // emit it either — path consistency, second-pass review)
+          .select(col("doc_id").as("_f_doc"), col(LsnCol).as("_f_lsn"))
+        // drop ONLY provably-unapplied events (lsn ≤ the doc's from-state
+        // `_lsn` floor). Deletes are NOT liveness-filtered: a from-state
+        // check cannot tell an ignorable delete-noop from the delete of a
+        // doc an earlier in-range commit inserted — dropping the latter
+        // would fold the doc live (round-4 fix; see the path-equivalence
+        // contract above). Over-emitting a fold-harmless D is safe;
+        // under-emitting an applied one is wrong.
         val belowKept = below
           .join(fromState, col("doc_id") === col("_f_doc"), "left")
-          .filter(
-            (col("_f_lsn").isNull && col("op") =!= "D") ||
-              (col("_f_lsn").isNotNull && col("lsn") > col("_f_lsn") &&
-                !(col("op") === "D" && col("_f_tomb"))))
-          .drop("_f_doc", "_f_lsn", "_f_tomb")
+          .filter(col("_f_lsn").isNull || col("lsn") > col("_f_lsn"))
+          .drop("_f_doc", "_f_lsn")
         above.unionByName(belowKept)
       }
     } else {

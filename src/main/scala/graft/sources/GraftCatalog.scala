@@ -38,8 +38,19 @@ class GraftCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  private def rootOf(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString("/")
+  /** The identifier IS the table root and must be ONE backticked
+    * absolute path: an unquoted multi-part name like `graft.data.docs`
+    * would otherwise silently join to the RELATIVE path "data/docs" and
+    * resolve CWD-dependently — a wrong-table hazard, so it is rejected
+    * with the correct spelling instead (round-4 review finding). */
+  private def rootOf(ident: Identifier): String = {
+    val joined = (ident.namespace() :+ ident.name()).mkString("/")
+    if (ident.namespace().nonEmpty || !joined.startsWith("/"))
+      throw new IllegalArgumentException(
+        s"graft table identifiers are single backticked absolute paths — " +
+          s"write $catalogName.`/abs/path/to/table`, got '$joined'")
+    joined
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)

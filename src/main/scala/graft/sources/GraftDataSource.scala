@@ -138,13 +138,18 @@ object GraftDataSource {
                        .drop("lsn", "op")
                    else data)
         .withColumn("lsn", lit(w2 + 1)).withColumn("op", lit("U"))
-      MergeOnRead(table, fresh, id, batchId = -4L)
+      // stamped-LSN writes guard against a concurrent commit reaching the
+      // stamp (typed CommitConflict, not an undefined same-LSN LWW tie)
+      MergeOnRead(table, fresh, id, batchId = -4L,
+        requireWatermarkBelow = Some(w2 + 1))
     } else {
       val events =
         if (hasMeta) Dedup.lww(data)
         else data.withColumn("lsn", lit(cur.watermarkLsn + 1))
           .withColumn("op", lit("U"))
-      MergeOnRead(table, events, id, batchId = -4L)
+      MergeOnRead(table, events, id, batchId = -4L,
+        requireWatermarkBelow =
+          if (hasMeta) None else Some(cur.watermarkLsn + 1))
     }
     ()
   }
@@ -217,8 +222,17 @@ case class GraftRelationResolution(session: SparkSession) extends Rule[LogicalPl
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val merged = plan.resolveOperatorsDown {
+      // claim only a FULLY resolved statement: childrenResolved alone is
+      // not enough when the condition or an action needs a later
+      // ResolveReferences pass (nested fields, late-resolved functions) —
+      // translate()'s AttributeReference patterns would miss and reject a
+      // supported statement. Leave the node untouched for the next
+      // fixed-point iteration instead (round-4 review finding).
       case m: MergeIntoTable
-          if GraftMergeInto.graftTargetOf(m.targetTable).isDefined && m.childrenResolved =>
+          if GraftMergeInto.graftTargetOf(m.targetTable).isDefined &&
+            m.childrenResolved && m.mergeCondition.resolved &&
+            (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+              .forall(_.resolved) =>
         GraftMergeInto.translate(m)
     }
     val pendingTargets: Seq[LogicalPlan] = merged.collect {

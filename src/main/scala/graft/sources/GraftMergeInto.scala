@@ -220,8 +220,12 @@ case class GraftMergeIntoCommand(
           lit(cur.watermarkLsn + 1).as("lsn") :+
           col("_graft_op").as("op"): _*)
 
+    // the stamped LSN is read BEFORE the commit loop; the guard makes a
+    // concurrent commit reaching it a typed retryable CommitConflict
+    // instead of an undefined same-LSN LWW tie
     val stats = MergeOnRead(
-      table, events, s"sqlmerge-${graft.table.Fs.nonce}", batchId = -5L)
+      table, events, s"sqlmerge-${graft.table.Fs.nonce}", batchId = -5L,
+      requireWatermarkBelow = Some(cur.watermarkLsn + 1))
     Seq(Row(stats.version, stats.inserted, stats.updated, stats.deleted))
     } finally { src.unpersist(); () }
   }

@@ -88,8 +88,7 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         stagedErrors = stageErrors(split.errors, commitId)
         val events = split.valid
         val deduped =
-          if (cfg.salt > 1 && batchEstimate(raw) >= cfg.saltThreshold)
-            Dedup.lwwSalted(events, cfg.salt)
+          if (cfg.salt > 1 && shouldSalt(raw)) Dedup.lwwSalted(events, cfg.salt)
           else Dedup.lww(events)
         val s =
           if (cfg.mode == "mor") {
@@ -121,11 +120,22 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     stats
   }
 
-  private def batchEstimate(raw: DataFrame): Long =
-    // rows-from-metadata estimate; exact count would cost a job
-    raw.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.longValue)
-      .getOrElse(raw.queryExecution.optimizedPlan.stats.sizeInBytes.longValue / 256L)
+  /** Salt decision = EXACT threshold probe, not a plan-stats estimate.
+    * Round 3 evicted the `sizeInBytes/256` estimator from the merge path
+    * (a filter keeps its child's sizeInBytes, inflating a trickle batch
+    * into "big" arbitrarily) but left it here; same fix as
+    * [[graft.operators.Merge]]: `limit(T).count()` is exact w.r.t. the
+    * threshold and cheap on both sides — a hot batch fills the limit
+    * from the first partitions (CollectLimit runs partitions
+    * incrementally over a zero-column scan), a trickle batch is tiny by
+    * definition. Mis-decision cost is bounded either way (a needless
+    * extra shuffle, or one hot batch unsalted), but the probe makes the
+    * decision track the DATA, not the plan's guess. */
+  private[graft] def shouldSalt(raw: DataFrame): Boolean = {
+    if (cfg.saltThreshold <= 0) return true
+    val lim = math.min(cfg.saltThreshold, Int.MaxValue.toLong).toInt
+    raw.select(lit(1).as("_probe")).limit(lim).count() >= lim
+  }
 
   private def rejectBatch(
       raw: DataFrame, commitId: String, batchId: Long,

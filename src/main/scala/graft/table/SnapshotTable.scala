@@ -463,7 +463,13 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     * file; called only on explicit-version reads (time travel,
     * changelog windows), never on hot-path current reads. */
   def verifyReadable(m: Manifest): Unit =
-    (m.files ++ m.deltaFiles)
+    verifyReadable(m, m.files ++ m.deltaFiles)
+
+  /** [[verifyReadable]] restricted to the files a PRUNED read will
+    * actually touch: a bucket/zone-map-pruned read of a partially
+    * vacuumed old version must succeed when its own files survive. */
+  def verifyReadable(m: Manifest, needed: Seq[DataFile]): Unit =
+    needed
       .find(f => !Files.exists(Paths.get(f.path)))
       .foreach(f => throw VacuumedVersionException(m.version, f.path))
 

@@ -278,14 +278,16 @@ class PipelineSpec extends SparkSpec {
         (20L, "D", "W", None, None, "s")), 0L)
       val v1 = p.table.currentVersion.get
       // batch 1, all out-of-order w.r.t. the watermark except Y:
-      //  - X@50: stale no-op (X already at 100) → must NOT replay
+      //  - X@50: stale no-op (X already at 100) → provably unapplied,
+      //    must NOT replay on any path
       //  - Z@50: BELOW the watermark but BEATS Z's own lsn 10 — a real
       //    applied update the round-2/3 global-watermark filter dropped
       //    (review finding) → MUST replay
-      //  - W@50 D: advances an existing tombstone — applied, but the
-      //    LIVE state is unchanged → must NOT replay (the diff paths
-      //    could never emit it; path consistency)
-      //  - V@60 D: delete of an absent doc → must NOT replay
+      //  - W@50 D: advances an existing tombstone — applied; the REPLAY
+      //    path emits it (fold-harmless: W stays not-live), the DIFF
+      //    path never can (no live-view change) — per the path contract
+      //  - V@60 D: delete of an absent doc — same: applied delete,
+      //    replay emits, diff doesn't
       //  - Y@200: plain new doc
       p.applyBatch(batch(
         (50L, "U", "X", Some(Seq(9)), Some(1L), "s"),
@@ -301,9 +303,81 @@ class PipelineSpec extends SparkSpec {
       assert(z == Seq(7), s"[$mode] below-watermark update must apply to Z: $z")
       val got = MergeOnRead.changesSince(p.table, v1)
         .select("doc_id").as[String].collect().toSet
-      assert(got == Set("Y", "Z"),
+      val want =
+        if (mode == "mor") Set("Y", "Z", "W", "V") // delta replay: applied events
+        else Set("Y", "Z")                         // snapshot diff: net live changes
+      assert(got == want,
         s"[$mode] changelog must emit Z's applied update and drop X's no-op: $got")
+      // the LIVE-VIEW fold of both paths is identical regardless: W and V
+      // fold to not-live, which they already were
+      val folded = MergeOnRead.changesSince(p.table, v1)
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("op"), col("lsn")).as("op"))
+        .filter(col("op") =!= "D")
+        .select("doc_id").as[String].collect().toSet
+      assert(folded == Set("Y", "Z"), s"[$mode] folded live changes wrong: $folded")
     }
+  }
+
+  test("changesSince replays a below-watermark insert-then-delete as dead, not live") {
+    import graft.operators.MergeOnRead
+    import spark.implicits._
+    def batch(rows: (Long, String, String, Option[Seq[Int]], Option[Long], String)*) =
+      rows.toSeq.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    val base = tmpDir("belowid")
+    val p    = mkPipeline(base, "mor")
+    // watermark 100 at v1; then Q is inserted at 50 and deleted at 60 by
+    // two later commits — both below w. A from-state liveness filter
+    // would call the D@60 a "delete of an absent doc" and drop it, and
+    // the folded changelog would claim Q is live (the pre-round-4 bug).
+    p.applyBatch(batch((100L, "I", "X", Some(Seq(1)), Some(1L), "s")), 0L)
+    val v1 = p.table.currentVersion.get
+    p.applyBatch(batch((50L, "I", "Q", Some(Seq(5)), Some(1L), "s")), 1L)
+    p.applyBatch(batch((60L, "D", "Q", None, None, "s")), 2L)
+    assert(p.readTable().filter(col("doc_id") === "Q").isEmpty, "Q must be dead")
+    val changes = MergeOnRead.changesSince(p.table, v1)
+    val qOps = changes.filter(col("doc_id") === "Q")
+      .orderBy(col("lsn")).select("op").as[String].collect().toSeq
+    assert(qOps == Seq("U", "D"), s"both applied Q events must replay: $qOps")
+    val foldedLive = changes
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("op"), col("lsn")).as("op"))
+      .filter(col("op") =!= "D")
+      .select("doc_id").as[String].collect().toSet
+    assert(!foldedLive.contains("Q"), "folded changelog must agree Q is dead")
+  }
+
+  test("bucket-pruned read of a partially vacuumed old version succeeds when its files survive") {
+    import graft.operators.{Merge, MergeOnRead}
+    import graft.table.VacuumedVersionException
+    import spark.implicits._
+    val base = tmpDir("partial-vac")
+    val p    = mkPipeline(base, mode = "cow")
+    def batch(rows: (Long, String, String, Option[Seq[Int]], Option[Long], String)*) =
+      rows.toSeq.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    // two docs in DIFFERENT buckets at v1 (numBuckets=8; probe doc ids)
+    val ids = (0 until 64).map(i => s"pv-$i")
+    val inA = ids.find(MergeOnRead.bucketOfValue(_, 8) == 0).get
+    val inB = ids.find(MergeOnRead.bucketOfValue(_, 8) == 1).get
+    p.applyBatch(batch(
+      (1L, "I", inA, Some(Seq(1)), Some(1L), "s"),
+      (2L, "I", inB, Some(Seq(2)), Some(1L), "s")), 0L)
+    val v1 = p.table.currentVersion.get
+    // v2 rewrites only inA's bucket (COW carries inB's file forward) —
+    // vacuum then reclaims v1's superseded bucket-0 file but inB's
+    // shared file survives
+    Merge(p.table, batch((3L, "U", inA, Some(Seq(9)), Some(1L), "s")), "pv-up", 1L)
+    p.table.vacuum(retainVersions = 1)
+
+    // pruned read of v1 touching only the surviving bucket: must succeed
+    // (pre-fix: verifyReadable statted the whole manifest and threw)
+    val got = MergeOnRead.resolveBuckets(
+        p.table, Some(Set(MergeOnRead.bucketOfValue(inB, 8))), Some(v1))
+      .filter(col("doc_id") === inB).select("tokens").as[Seq[Int]].collect().toSeq
+    assert(got == Seq(Seq(2)), s"pruned old-version read wrong: $got")
+    // the unpruned read of v1 still fails typed — it needs the dead file
+    intercept[VacuumedVersionException] { p.readTableAt(v1).collect() }
+    ()
   }
 
   test("changesSince snapshot-diff fallback survives vacuumed delta files it never reads") {
@@ -691,6 +765,44 @@ class PipelineSpec extends SparkSpec {
     assert(eNull.getMessage.contains("null join key"), eNull.getMessage)
   }
 
+  test("stamped-LSN writes fail typed when a concurrent commit reaches the stamp") {
+    import graft.operators.{Merge, MergeOnRead}
+    import spark.implicits._
+    val base = tmpDir("lsnguard")
+    val p    = mkPipeline(base, mode = "mor")
+    p.applyBatch(Seq((5L, "I", "g-a", Some(Seq(1)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    // a writer stamped lsn = w+1 = 6, but "concurrently" another commit
+    // advanced the watermark to 6 before it could commit
+    p.applyBatch(Seq((6L, "I", "g-b", Some(Seq(2)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 1L)
+    val stale = Seq(("g-c", Seq(3), 1L, "s", 6L, "U"))
+      .toDF("doc_id", "tokens", "n_tok", "source", "lsn", "op")
+    val e = intercept[Merge.CommitConflict] {
+      MergeOnRead(p.table, stale, "lsn-stale", batchId = 9L,
+        requireWatermarkBelow = Some(6L))
+    }
+    assert(e.getMessage.contains("watermark"), e.getMessage)
+    // with a fresh stamp the same write lands
+    val w = p.table.current.get.watermarkLsn
+    MergeOnRead(p.table,
+      Seq(("g-c", Seq(3), 1L, "s", w + 1, "U"))
+        .toDF("doc_id", "tokens", "n_tok", "source", "lsn", "op"),
+      "lsn-fresh", batchId = 10L, requireWatermarkBelow = Some(w + 1))
+    assert(p.readTable().filter(col("doc_id") === "g-c").count() == 1)
+  }
+
+  test("catalog rejects relative / multi-part identifiers instead of resolving CWD-dependently") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.data.docs").collect()
+    }
+    assert(e.getMessage.contains("absolute path"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.`relative/path`").collect()
+    }
+    assert(e2.getMessage.contains("absolute path"), e2.getMessage)
+  }
+
   test("rebucket migrates the hash-bucket count; state, lookups, commits survive") {
     import graft.operators.TableMaintenance
     val base = tmpDir("rebucket")
@@ -974,6 +1086,20 @@ class PipelineSpec extends SparkSpec {
     assert(d1 > 0)
     intercept[graft.table.VacuumedVersionException] { p.readTableAt(v1).collect() }
     ()
+  }
+
+  test("salt decision is an exact threshold probe, immune to inflated plan estimates") {
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"${tmpDir("saltprobe")}/table",
+      changeLogDir = "-", checkpointDir = "-", errorDir = "-", lineageDir = "-",
+      saltThreshold = 100L))
+    // a filter keeps its child's sizeInBytes: the old sizeInBytes/256
+    // estimator sees ~5M rows here, the probe sees the actual 10
+    val trickle = spark.range(5000000L).filter(col("id") < 10).toDF()
+    assert(trickle.queryExecution.optimizedPlan.stats.sizeInBytes.longValue / 256L > 100L,
+      "fixture must actually have an inflated plan estimate")
+    assert(!p.shouldSalt(trickle), "inflated-estimate trickle batch must not salt")
+    assert(p.shouldSalt(spark.range(500L).toDF()), "above-threshold batch must salt")
   }
 
   test("vacuum between writeDataFiles and commit leaves the in-flight commit intact") {
