@@ -357,6 +357,33 @@ object SparkEntry {
             WHEN NOT MATCHED THEN INSERT *""").collect()
       stateProjection(liveView(t))
     }),
+    "q_sql_insert" -> ((s, dir) => {
+      // SQL DDL + INSERT (round-4): CREATE TABLE through the catalog,
+      // two INSERT INTO ... SELECT statements (the second upserts a
+      // tenth of the keys — LWW, not append-duplication), read back via
+      // SQL. The whole round trip is plain SQL; no library calls.
+      val root = tempRoot("graft-sqlins") + "/table"
+      s.sql(
+        s"""CREATE TABLE graft.`$root`
+            (doc_id STRING, tokens ARRAY<INT>, n_tok BIGINT, source STRING)
+            TBLPROPERTIES ('numBuckets' = '8')""")
+      docs(s, dir).select(
+        Tokenize.docId(col("doc_id")).as("doc_id"),
+        Tokenize.tokens(col("text")).as("tokens"),
+        col("doc_id").as("raw_id"))
+        .createOrReplaceTempView("graft_ins_src")
+      s.sql(
+        s"""INSERT INTO graft.`$root`
+            SELECT doc_id, tokens, CAST(size(tokens) AS BIGINT), 'sql'
+            FROM graft_ins_src""")
+      s.sql(
+        s"""INSERT INTO graft.`$root`
+            SELECT doc_id, array(CAST(raw_id % 97 AS INT)), 1L, 'sql2'
+            FROM graft_ins_src WHERE raw_id % 10 = 0""")
+      s.sql(
+        s"""SELECT doc_id, concat_ws(',', tokens) AS tokens_csv, n_tok, source
+            FROM graft.`$root` ORDER BY doc_id""")
+    }),
     "q_cdc_errors" -> ((s, dir) => {
       val conformed = Conform(CdcGenerator.events(s, dir))
       Validate(conformed, "oracle-run").errors
@@ -957,6 +984,17 @@ object SparkEntry {
             FROM live l FULL JOIN src s ON l.doc_id = s.doc_id
             WHERE NOT (l.doc_id IS NOT NULL AND s.doc_id IS NOT NULL AND s.action = 'del')
             ORDER BY doc_id""",
+      "q_sql_insert" ->
+        // CREATE + 2× INSERT INTO: every doc carries the tokenized text
+        // from the first insert except the %10 keys the second insert
+        // LWW-upserted to ([raw_id % 97], 'sql2')
+        s"""SELECT $docId AS doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN cast(doc_id % 97 AS varchar)
+                        ELSE array_to_string($toks, ',') END AS tokens_csv,
+                   CASE WHEN doc_id % 10 = 0 THEN cast(1 AS bigint)
+                        ELSE cast(len($toks) AS bigint) END AS n_tok,
+                   CASE WHEN doc_id % 10 = 0 THEN 'sql2' ELSE 'sql' END AS source
+            FROM documents ORDER BY $docId""",
       "q_sql_read_tt" ->
         // state at the version after batch 0 (all events below the LSN
         // stride boundary) — the q_cdc_time_travel contract via SQL

@@ -24,10 +24,24 @@ import graft.table.SnapshotTable
   * returns the same [[GraftTable]] handle as `spark.read.format("graft")`,
   * so the [[GraftRelationResolution]] rule gives catalog reads the
   * identical expanded resolve plan, and MERGE INTO targets resolve to a
-  * rewriteable relation. Creating tables via SQL DDL is intentionally
-  * out of scope (tables are created by the ingest pipeline /
-  * `SnapshotTable.create`); `createTable` says so instead of
-  * half-implementing DDL. */
+  * rewriteable relation.
+  *
+  * DDL surface (round-4):
+  * {{{
+  *   CREATE TABLE graft.`/data/docs`
+  *     (doc_id STRING, tokens ARRAY<INT>, n_tok BIGINT, source STRING)
+  *     TBLPROPERTIES ('numBuckets' = '16')
+  *   INSERT INTO graft.`/data/docs` SELECT ...   -- LWW upsert commit
+  *   INSERT OVERWRITE graft.`/data/docs` ...     -- replace-with-history
+  * }}}
+  * CREATE TABLE compiles onto [[SnapshotTable.create]] (the declared
+  * columns become the payload schema; the engine appends its internal
+  * `_lsn`/`_tombstone` columns, and `numBuckets` fixes the hash-bucket
+  * layout). INSERT resolves through the V2 write capability to the same
+  * [[GraftDataSource.insertInto]] LWW-upsert path as
+  * `df.write.format("graft")` — never a bare file append; an exactly-once
+  * commit id can ride the session conf `graft.sql.commitId`. Unsupported
+  * DDL (partition transforms, ALTER/DROP/RENAME) keeps failing typed. */
 class GraftCatalog extends TableCatalog {
 
   private var catalogName: String = "graft"
@@ -68,9 +82,33 @@ class GraftCatalog extends TableCatalog {
 
   override def createTable(
       ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by the ingest pipeline (SnapshotTable.create), not SQL DDL")
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val root = rootOf(ident)
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft tables are hash-bucketed by doc_id internally; " +
+          "PARTITIONED BY is not supported (set TBLPROPERTIES('numBuckets'='N'))")
+    if (!schema.fields.exists(f =>
+        f.name == "doc_id" && f.dataType == org.apache.spark.sql.types.StringType))
+      throw new IllegalArgumentException(
+        "graft tables require a `doc_id STRING` column (the merge key)")
+    schema.fieldNames.find(graft.operators.Merge.InternalCols.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name $c is reserved for the engine's internal state"))
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val buckets = Option(properties.get("numBuckets")).map(_.toInt).getOrElse(16)
+    require(buckets > 0, s"numBuckets must be positive, got $buckets")
+    // declared columns = payload; the engine's LWW/tombstone state rides
+    // the same internal columns every pipeline-created table carries
+    val physical = StructType(schema.fields)
+      .add(graft.operators.Merge.LsnCol, org.apache.spark.sql.types.LongType,
+        nullable = false)
+      .add(graft.operators.Merge.TombCol, org.apache.spark.sql.types.BooleanType,
+        nullable = true)
+    SnapshotTable.create(SparkSession.active, root, physical, buckets)
+    GraftTable(root, None, schema)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

@@ -121,7 +121,11 @@ object GraftDataSource {
       s"no graft table at $root — create it (SnapshotTable.create) first"))
     require(data.columns.contains("doc_id"), "graft writes require a doc_id column")
     val hasMeta = data.columns.contains("lsn") && data.columns.contains("op")
-    val id = commitId.getOrElse("w-" + graft.table.Fs.nonce)
+    // SQL INSERT has no writer options — the session conf carries the
+    // exactly-once commit id there; DataFrameWriter's option wins if both
+    val id = commitId
+      .orElse(Option(spark.conf.get("graft.sql.commitId", null)).filter(_.nonEmpty))
+      .getOrElse("w-" + graft.table.Fs.nonce)
     import org.apache.spark.sql.functions.{col, lit}
     if (overwrite) {
       TableMaintenance.deleteWhere(table, lit(true), s"$id.truncate", mode = "mor")

@@ -792,6 +792,59 @@ class PipelineSpec extends SparkSpec {
     assert(p.readTable().filter(col("doc_id") === "g-c").count() == 1)
   }
 
+  test("SQL DDL + INSERT: CREATE TABLE and INSERT INTO run end-to-end through the catalog") {
+    import spark.implicits._
+    val root = s"${tmpDir("sqlddl")}/table"
+    spark.sql(
+      s"""CREATE TABLE graft.`$root`
+          (doc_id STRING, tokens ARRAY<INT>, n_tok BIGINT, source STRING)
+          TBLPROPERTIES ('numBuckets' = '8')""")
+    val t = graft.table.SnapshotTable.load(spark, root)
+    assert(t.currentVersion.contains(0L))
+    assert(t.current.get.numBuckets == 8)
+
+    // plain INSERT INTO routes through the LWW upsert commit
+    spark.sql(
+      s"""INSERT INTO graft.`$root`
+          VALUES ('d-a', array(1, 2), 2L, 's'), ('d-b', array(3), 1L, 's')""")
+    assert(spark.sql(s"SELECT * FROM graft.`$root`").count() == 2)
+
+    // a second INSERT upserts (LWW) rather than duplicating
+    spark.sql(s"INSERT INTO graft.`$root` VALUES ('d-a', array(9), 1L, 'x')")
+    val a = spark.sql(s"SELECT tokens, source FROM graft.`$root` WHERE doc_id = 'd-a'")
+      .as[(Seq[Int], String)].head()
+    assert(a == (Seq(9), "x"), s"insert must LWW-upsert: $a")
+    assert(spark.sql(s"SELECT * FROM graft.`$root`").count() == 2)
+
+    // INSERT OVERWRITE = replace-with-history
+    spark.sql(s"INSERT OVERWRITE graft.`$root` VALUES ('d-z', array(7), 1L, 'o')")
+    assert(spark.sql(s"SELECT doc_id FROM graft.`$root`").as[String].collect().toSeq
+      == Seq("d-z"))
+
+    // exactly-once via the session conf commit id: the replayed INSERT
+    // is a ledgered no-op
+    spark.conf.set("graft.sql.commitId", "sql-once")
+    try {
+      spark.sql(s"INSERT INTO graft.`$root` VALUES ('d-e', array(1), 1L, 'e')")
+      val v = t.currentVersion.get
+      spark.sql(s"INSERT INTO graft.`$root` VALUES ('d-e', array(1), 1L, 'e')")
+      assert(t.currentVersion.contains(v), "replayed commit id must be a ledger no-op")
+    } finally spark.conf.unset("graft.sql.commitId")
+
+    // typed rejections: duplicate create, missing doc_id, reserved name
+    intercept[Exception] { spark.sql(
+      s"CREATE TABLE graft.`$root` (doc_id STRING) ") }
+    val eKey = intercept[Exception] { spark.sql(
+      s"CREATE TABLE graft.`${root}2` (id STRING, n INT)") }
+    assert(eKey.getMessage.contains("doc_id"), eKey.getMessage)
+    val eRes = intercept[Exception] { spark.sql(
+      s"CREATE TABLE graft.`${root}3` (doc_id STRING, _lsn BIGINT)") }
+    assert(eRes.getMessage.contains("reserved"), eRes.getMessage)
+    val ePart = intercept[Exception] { spark.sql(
+      s"CREATE TABLE graft.`${root}4` (doc_id STRING, source STRING) PARTITIONED BY (source)") }
+    assert(ePart.getMessage.contains("hash-bucketed"), ePart.getMessage)
+  }
+
   test("catalog rejects relative / multi-part identifiers instead of resolving CWD-dependently") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft.data.docs").collect()
