@@ -357,6 +357,23 @@ object SparkEntry {
             WHEN NOT MATCHED THEN INSERT *""").collect()
       stateProjection(liveView(t))
     }),
+    "q_sql_merge_expr" -> ((s, dir) => {
+      // MERGE INTO with EXPRESSION assignments (round-4 dialect
+      // widening): matched rows get n_tok/source computed from source
+      // columns while the unassigned tokens column keeps its target
+      // value; source rows without a NOT MATCHED action drop.
+      val t = forkTable(s, dir, mode = "mor")
+      docs(s, dir).filter(col("doc_id") % 5 === 0).select(
+        Tokenize.docId(col("doc_id")).as("doc_id"),
+        (col("doc_id") % 13).cast("long").as("bump"))
+        .createOrReplaceTempView("graft_merge_expr_src")
+      s.sql(
+        s"""MERGE INTO graft.`${t.root}` t USING graft_merge_expr_src s
+            ON t.doc_id = s.doc_id
+            WHEN MATCHED THEN UPDATE
+              SET n_tok = s.bump + 100, source = concat('expr-', s.doc_id)""").collect()
+      stateProjection(liveView(t))
+    }),
     "q_sql_insert" -> ((s, dir) => {
       // SQL DDL + INSERT (round-4): CREATE TABLE through the catalog,
       // two INSERT INTO ... SELECT statements (the second upserts a
@@ -984,6 +1001,34 @@ object SparkEntry {
             FROM live l FULL JOIN src s ON l.doc_id = s.doc_id
             WHERE NOT (l.doc_id IS NOT NULL AND s.doc_id IS NOT NULL AND s.action = 'del')
             ORDER BY doc_id""",
+      "q_sql_merge_expr" ->
+        // merged live state, with the %5 keys' n_tok/source rewritten by
+        // the expression assignments and tokens carried from the target
+        s"""WITH evs AS ($ev),
+            valid AS (
+              SELECT * FROM evs
+              WHERE doc_id IS NOT NULL
+                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+            last AS (
+              SELECT doc_id,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens,
+                     max_by(n_tok, lsn) AS n_tok,
+                     max_by(source, lsn) AS source
+              FROM valid GROUP BY doc_id),
+            live AS (SELECT * FROM last WHERE op <> 'D'),
+            src AS (
+              SELECT 'doc' || cast(doc_id AS varchar) AS doc_id,
+                     cast(doc_id % 13 AS bigint) AS bump
+              FROM documents WHERE doc_id % 5 = 0)
+            SELECT l.doc_id,
+                   array_to_string(l.tokens, ',') AS tokens_csv,
+                   CASE WHEN s.doc_id IS NOT NULL THEN s.bump + 100
+                        ELSE cast(l.n_tok AS bigint) END AS n_tok,
+                   CASE WHEN s.doc_id IS NOT NULL THEN 'expr-' || l.doc_id
+                        ELSE l.source END AS source
+            FROM live l LEFT JOIN src s ON l.doc_id = s.doc_id
+            ORDER BY l.doc_id""",
       "q_sql_insert" ->
         // CREATE + 2× INSERT INTO: every doc carries the tokenized text
         // from the first insert except the %10 keys the second insert

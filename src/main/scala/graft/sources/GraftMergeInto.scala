@@ -20,14 +20,19 @@ import graft.table.SnapshotTable
   * Supported dialect (the engine's upsert trio, ANSI-ordered):
   *  - `ON target.doc_id = source.<column>` (single key equality);
   *  - `WHEN MATCHED [AND cond] THEN UPDATE SET *` / `THEN DELETE`;
+  *  - `WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, …` —
+  *    expression assignments over SOURCE columns (round-4 widening);
+  *    unassigned payload columns keep their target values, so the
+  *    classification join carries the matched target payload for these;
   *  - `WHEN NOT MATCHED [AND cond] THEN INSERT *`;
   *  - action conditions over SOURCE columns only; first matching
   *    action wins, in declaration order;
   *  - duplicate source keys raise the ANSI cardinality violation.
   * Anything else fails with a typed [[GraftMergeInto.MergeUnsupported]]
-  * naming the construct — never a silently-wrong merge. Non-star
-  * assignments and target-referencing conditions belong to the library
-  * change-batch API, which expresses them with explicit LSNs.
+  * naming the construct — never a silently-wrong merge:
+  * target-referencing conditions/values, assignment to the merge key,
+  * nested-field assignment, and NOT MATCHED BY SOURCE stay rejected
+  * (the library change-batch API expresses those with explicit LSNs).
   */
 object GraftMergeInto {
 
@@ -35,9 +40,14 @@ object GraftMergeInto {
       extends RuntimeException(s"graft MERGE INTO: $detail")
 
   /** One MERGE action: op kind ('U' | 'D' | 'I'), which side of the
-    * match it applies to, and the index of its condition column
-    * (`_graft_c<i>` in the projected source), if any. */
-  final case class ActionSpec(kind: String, matchedSide: Boolean, condIdx: Option[Int])
+    * match it applies to, the index of its condition column
+    * (`_graft_c<i>` in the projected source), if any, and — for
+    * expression-assignment updates — the assigned payload columns as
+    * (name → `_graft_v<j>` value-column index); None = star semantics
+    * (payload copied by name from the source). */
+  final case class ActionSpec(
+      kind: String, matchedSide: Boolean, condIdx: Option[Int],
+      assigns: Option[Seq[(String, Int)]] = None)
 
   private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, child) => stripAlias(child)
@@ -76,22 +86,19 @@ object GraftMergeInto {
       else throw MergeUnsupported(
         s"action conditions may reference only source columns; got ${c.sql}")
 
+    def strip(e: Expression): Expression = e match {
+      case al: Alias => strip(al.child)
+      case c: Cast   => strip(c.child)
+      case other     => other
+    }
     // a resolved star action arrives as by-name assignments (possibly
-    // cast/aliased); anything that is NOT a plain by-name copy from the
-    // source is outside the upsert dialect
-    def requireStarShaped(assignments: Seq[Assignment]): Unit =
-      assignments.foreach { a =>
-        def strip(e: Expression): Expression = e match {
-          case al: Alias => strip(al.child)
-          case c: Cast   => strip(c.child)
-          case other     => other
-        }
+    // cast/aliased); non-star shapes fall through to expression handling
+    def isStarShaped(assignments: Seq[Assignment]): Boolean =
+      assignments.forall { a =>
         (strip(a.key), strip(a.value)) match {
-          case (k: AttributeReference, v: AttributeReference)
-              if srcOut.contains(v) && v.name.equalsIgnoreCase(k.name) => ()
-          case _ =>
-            throw MergeUnsupported(
-              s"only UPDATE SET * / INSERT * (by-name star assignments) are supported; got ${a.sql}")
+          case (k: AttributeReference, v: AttributeReference) =>
+            srcOut.contains(v) && v.name.equalsIgnoreCase(k.name)
+          case _ => false
         }
       }
 
@@ -99,31 +106,55 @@ object GraftMergeInto {
     def condIdx(c: Option[Expression]): Option[Int] =
       c.map { e => conds += checkCond(e); conds.size - 1 }
 
+    // expression assignments: key must be a plain target payload column
+    // (never the merge key; nested fields are out of dialect), the value
+    // any expression over SOURCE columns — evaluated in the projected
+    // source as `_graft_v<j>` (same trick as the condition columns)
+    val values = scala.collection.mutable.ArrayBuffer[Expression]()
+    def exprAssigns(assignments: Seq[Assignment]): Seq[(String, Int)] =
+      assignments.map { a =>
+        val name = strip(a.key) match {
+          case k: AttributeReference if tgtOut.contains(k) => k.name
+          case other => throw MergeUnsupported(
+            s"assignment keys must be plain target columns; got ${other.sql}")
+        }
+        if (name.equalsIgnoreCase("doc_id"))
+          throw MergeUnsupported("cannot assign to the merge key doc_id")
+        if (!a.value.references.subsetOf(srcOut))
+          throw MergeUnsupported(
+            s"assignment values may reference only source columns; got ${a.value.sql}")
+        values += a.value
+        name -> (values.size - 1)
+      }
+
     val specs = scala.collection.mutable.ArrayBuffer[ActionSpec]()
     m.matchedActions.foreach {
       case DeleteAction(c)     => specs += ActionSpec("D", matchedSide = true, condIdx(c))
       case UpdateStarAction(c) => specs += ActionSpec("U", matchedSide = true, condIdx(c))
       case UpdateAction(c, as, fromStar) =>
-        if (!fromStar) requireStarShaped(as)
-        specs += ActionSpec("U", matchedSide = true, condIdx(c))
+        val assigns =
+          if (fromStar || isStarShaped(as)) None else Some(exprAssigns(as))
+        specs += ActionSpec("U", matchedSide = true, condIdx(c), assigns)
       case other => throw MergeUnsupported(s"unsupported WHEN MATCHED action: $other")
     }
     m.notMatchedActions.foreach {
       case InsertStarAction(c) => specs += ActionSpec("I", matchedSide = false, condIdx(c))
       case InsertAction(c, as) =>
-        requireStarShaped(as)
+        if (!isStarShaped(as))
+          throw MergeUnsupported(
+            s"INSERT supports only star (by-name) assignments; got ${as.map(_.sql).mkString(", ")}")
         specs += ActionSpec("I", matchedSide = false, condIdx(c))
       case other => throw MergeUnsupported(s"unsupported WHEN NOT MATCHED action: $other")
     }
     if (specs.isEmpty) throw MergeUnsupported("no merge actions given")
 
-    // evaluate every action condition as a named boolean column over the
-    // source NOW (resolved expressions in a Project) so the command
-    // needs no Expression→Column bridge at run time
+    // evaluate every action condition and assignment value as a named
+    // column over the source NOW (resolved expressions in a Project) so
+    // the command needs no Expression→Column bridge at run time
     val projected = Project(
-      m.sourceTable.output ++ conds.zipWithIndex.map { case (c, i) =>
-        Alias(c, s"_graft_c$i")()
-      },
+      m.sourceTable.output ++
+        conds.zipWithIndex.map { case (c, i) => Alias(c, s"_graft_c$i")() } ++
+        values.zipWithIndex.map { case (v, j) => Alias(v, s"_graft_v$j")() },
       m.sourceTable)
 
     GraftMergeIntoCommand(t.root, projected, key.name, specs.toSeq)
@@ -182,43 +213,75 @@ case class GraftMergeIntoCommand(
             "deduplicate the source or use the change-batch API with explicit LSNs")
     }
 
+    val payload = cur.schema.fields
+      .filterNot(f => Merge.InternalCols.contains(f.name))
+      .filterNot(_.name == "doc_id")
+    specs.flatMap(_.assigns).flatten.map(_._1).foreach { a =>
+      if (!payload.exists(_.name == a))
+        throw new IllegalArgumentException(
+          s"MERGE INTO assigns unknown target column $a")
+    }
+
     // matched-ness needs only the LIVE KEY SET — and only from the hash
     // buckets the source keys can land in: one bounded driver probe
     // (≤ numBuckets values) prunes the table read to the touched slice,
     // so a small MERGE source never scans the whole table (the same
-    // pruning shape as the COW merge's touched-bucket read)
+    // pruning shape as the COW merge's touched-bucket read). Expression
+    // assignments additionally need the matched TARGET PAYLOAD (their
+    // unassigned columns keep target values) — carried on the same
+    // pruned join only when such an action exists.
+    val needTargetPayload = specs.exists(_.assigns.isDefined)
     val touched = src
       .select(MergeOnRead.bucketOf(col("_graft_key"), cur.numBuckets).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val live = MergeOnRead.resolveBuckets(table, touched)
       .filter(!coalesce(col(Merge.TombCol), lit(false)))
-      .select(col("doc_id").as("_graft_tgt"), lit(true).as("_graft_matched"))
+      .select(
+        Seq(col("doc_id").as("_graft_tgt"), lit(true).as("_graft_matched")) ++
+          (if (needTargetPayload)
+             payload.toSeq.map(f => col(f.name).as(s"_graft_t_${f.name}"))
+           else Seq.empty): _*)
     val joined  = src.join(live, col("_graft_key") === col("_graft_tgt"), "left")
     val matched = coalesce(col("_graft_matched"), lit(false))
     def armed(s: GraftMergeInto.ActionSpec) = {
       val side = if (s.matchedSide) matched else !matched
       s.condIdx.map(i => side && col(s"_graft_c$i")).getOrElse(side)
     }
-    val opExpr = specs.tail
-      .foldLeft(when(armed(specs.head), lit(specs.head.kind))) {
-        (acc, s) => acc.when(armed(s), lit(s.kind))
-      } // unmatched-by-any-action rows fall to null and are dropped
+    // first armed action wins, by declaration order (ANSI); rows no
+    // action claims fall to null and are dropped
+    val actExpr = specs.indices.tail
+      .foldLeft(when(armed(specs.head), lit(0))) {
+        (acc, i) => acc.when(armed(specs(i)), lit(i))
+      }
 
-    val payload = cur.schema.fields
-      .filterNot(f => Merge.InternalCols.contains(f.name))
-      .filterNot(_.name == "doc_id")
     val srcCols = src.columns.toSet
+    // payload column value under action i: star actions copy by name
+    // from the source; expression updates take the evaluated `_graft_v<j>`
+    // for assigned columns and the target's value for the rest
+    def valueUnder(s: GraftMergeInto.ActionSpec, f: org.apache.spark.sql.types.StructField) =
+      s.assigns match {
+        case Some(as) => as.find(_._1 == f.name) match {
+          case Some((_, j)) => col(s"_graft_v$j").cast(f.dataType)
+          case None         => col(s"_graft_t_${f.name}")
+        }
+        case None =>
+          if (srcCols.contains(f.name)) col(f.name).cast(f.dataType)
+          else lit(null).cast(f.dataType)
+      }
+    def payloadCol(f: org.apache.spark.sql.types.StructField) =
+      specs.indices.tail
+        .foldLeft(when(col("_graft_act") === 0, valueUnder(specs.head, f))) {
+          (acc, i) => acc.when(col("_graft_act") === i, valueUnder(specs(i), f))
+        }.as(f.name)
+    val kinds = typedLit(specs.map(_.kind))
     val events = joined
-      .withColumn("_graft_op", opExpr)
-      .filter(col("_graft_op").isNotNull)
+      .withColumn("_graft_act", actExpr)
+      .filter(col("_graft_act").isNotNull)
       .select(
         col("_graft_key").as("doc_id") +:
-          payload.toSeq.map { f =>
-            if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          } :+
+          payload.toSeq.map(payloadCol) :+
           lit(cur.watermarkLsn + 1).as("lsn") :+
-          col("_graft_op").as("op"): _*)
+          element_at(kinds, col("_graft_act") + 1).as("op"): _*)
 
     // the stamped LSN is read BEFORE the commit loop; the guard makes a
     // concurrent commit reaching it a typed retryable CommitConflict

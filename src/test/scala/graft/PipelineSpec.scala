@@ -765,6 +765,43 @@ class PipelineSpec extends SparkSpec {
     assert(eNull.getMessage.contains("null join key"), eNull.getMessage)
   }
 
+  test("MERGE INTO expression assignments update assigned columns, keep the rest") {
+    import spark.implicits._
+    val base = tmpDir("sqlmergeexpr")
+    val p    = mkPipeline(base, mode = "mor")
+    p.applyBatch(Seq(
+      (1L, "I", "x-a", Some(Seq(1, 2)), Some(2L), "s"),
+      (2L, "I", "x-b", Some(Seq(3)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    val root = p.table.root
+    Seq(("x-a", 40L, "up"), ("x-c", 7L, "up"))
+      .toDF("doc_id", "bump", "tag")
+      .createOrReplaceTempView("merge_expr_src")
+    // expression assignments over SOURCE columns; unassigned columns
+    // (tokens) must keep their target values
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING merge_expr_src s ON t.doc_id = s.doc_id
+          WHEN MATCHED THEN UPDATE SET n_tok = s.bump + 2, source = upper(s.tag)""").collect()
+    val st = p.readTable().collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[scala.collection.Seq[Int]]("tokens").toSeq,
+          r.getAs[Long]("n_tok"), r.getAs[String]("source"))).toMap
+    assert(st("x-a") == (Seq(1, 2), 42L, "UP"),
+      s"assigned cols updated, tokens kept: ${st("x-a")}")
+    assert(st("x-b") == (Seq(3), 1L, "s"), "unmatched target row untouched")
+    assert(!st.contains("x-c"), "no NOT MATCHED action → source-only row dropped")
+
+    // still typed: assignment to the merge key / target-referencing value
+    val eKey = intercept[Exception] { spark.sql(
+      s"""MERGE INTO graft.`$root` t USING merge_expr_src s ON t.doc_id = s.doc_id
+          WHEN MATCHED THEN UPDATE SET doc_id = s.tag""").collect() }
+    assert(eKey.getMessage.contains("merge key"), eKey.getMessage)
+    val eTgt = intercept[Exception] { spark.sql(
+      s"""MERGE INTO graft.`$root` t USING merge_expr_src s ON t.doc_id = s.doc_id
+          WHEN MATCHED THEN UPDATE SET n_tok = t.n_tok + 1""").collect() }
+    assert(eTgt.getMessage.contains("source columns"), eTgt.getMessage)
+  }
+
   test("stamped-LSN writes fail typed when a concurrent commit reaches the stamp") {
     import graft.operators.{Merge, MergeOnRead}
     import spark.implicits._
