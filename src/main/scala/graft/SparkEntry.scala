@@ -282,6 +282,33 @@ object SparkEntry {
             .otherwise(col("source")).as("source"))
         .orderBy(col("lsn"))
     }),
+    "q_sql_stream_changes" -> ((s, dir) => {
+      // The STREAMING changelog source (round-4): readStream.format
+      // ("graft") tails the table's versions as micro-batches of
+      // changesSince rows — here drained with Trigger.AvailableNow into
+      // parquet and read back. Same change set as the batch call
+      // (shared oracle with q_cdc_changes).
+      val f   = versionedFixture(s, dir)
+      val out = tempRoot("graft-chstream")
+      val q = s.readStream.format("graft")
+        .option("startingVersion", f.v1)
+        .load(f.pipeline.table.root)
+        .writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$out/rows"); ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/rows")
+        .select(col("lsn"), col("op"), col("doc_id"),
+          concat_ws(",", col("tokens")).as("tokens_csv"),
+          col("n_tok"),
+          when(col("op") === "D", lit(null: String))
+            .otherwise(col("source")).as("source"))
+        .orderBy(col("lsn"))
+    }),
     "q_cdc_changes_cow" -> ((s, dir) => {
       // The changesSince FALLBACK path: a COW join commit leaves no
       // replayable delta files, so the range resolves by snapshot diff —
@@ -1130,6 +1157,7 @@ object SparkEntry {
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
       "q_cdc_changes" -> changesOracle,
       "q_cdc_changes_cow" -> changesOracle,
+      "q_sql_stream_changes" -> changesOracle,
       "q_sql_changes" -> changesOracle,
       "q_delete_where" ->
         s"""WITH evs AS ($ev),

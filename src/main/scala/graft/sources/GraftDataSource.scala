@@ -46,9 +46,36 @@ import graft.table.SnapshotTable
   * UpdateAddressPointsSDE.py:24) — this is the engine's equivalent
   * open-to-all-readers surface.
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming changelog source (spark.readStream.format("graft")) ----
+  // V1 StreamSourceProvider by design: getBatch returns the native
+  // changesSince plan per micro-batch — see GraftChangelogSource.
+
+  override def sourceSchema(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft streaming source requires a path: spark.readStream.format(\"graft\").load(<tableRoot>)"))
+    val table = SnapshotTable.load(sqlContext.sparkSession, root)
+    (shortName(), GraftDataSource.changesSchema(table, None))
+  }
+
+  override def createSource(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]):
+      org.apache.spark.sql.execution.streaming.Source =
+    new graft.streaming.GraftChangelogSource(
+      sqlContext.sparkSession,
+      parameters("path"),
+      metadataPath,
+      parameters.get("startingVersion").map(_.toLong),
+      parameters.get("maxVersionsPerTrigger").map(_.toInt))
 
   private def rootOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(

@@ -1,0 +1,163 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.MergeOnRead
+import graft.sources.GraftDataSource
+import graft.table.SnapshotTable
+
+/** `spark.readStream.format("graft").load(root)` — the engine's
+  * changelog as a real Structured Streaming source, so downstream
+  * pipelines tail THIS table exactly the way this engine tails its own
+  * source (checkpointed offsets, restart recovery, AvailableNow), not
+  * via the driver-side [[MergeOnRead.followChanges]] poll loop.
+  *
+  * Offsets are TABLE VERSIONS; each micro-batch delivers
+  * [[MergeOnRead.changesSince]](from, to] under that operator's full
+  * contract — rollback-containing ranges surface as retraction state
+  * diffs, vacuumed windows fail typed, and the per-batch read is the
+  * same native plan the batch call builds (delta-file replay with no
+  * exchange on the fast path — gated in PlanSpec). The V1 `Source` API
+  * is the deliberate vehicle, NOT the DSv2 `MicroBatchStream`: V1's
+  * `getBatch` returns a DataFrame, so the batch plan IS the native
+  * changesSince plan (pushdown, pruning, codegen intact) — a DSv2
+  * micro-batch scan would force the row-granular reader shim this
+  * engine's batch path deliberately avoids; Delta Lake's streaming
+  * source ships on the same V1 trait for the same reason.
+  *
+  * Options:
+  *  - `startingVersion`: emit changes AFTER this committed version
+  *    (default: the head version when the stream first starts — new
+  *    changes only). Persisted under the checkpoint's source-metadata
+  *    dir so restarts replay the identical window even after the head
+  *    moves.
+  *  - `maxVersionsPerTrigger`: cap how many table versions one
+  *    micro-batch may cover (rate limiting; default unbounded).
+  *
+  * Exactly-once: `changesSince` is a pure function of the immutable
+  * manifest chain, so a checkpoint-replayed (start, end] re-delivers
+  * byte-identical rows. Schema is pinned at stream start; columns a
+  * later evolution ADDS are not surfaced until the stream restarts
+  * (emitting frames are aligned to the pinned schema), and a column
+  * REMOVED mid-stream fails typed.
+  */
+final class GraftChangelogSource(
+    spark: SparkSession,
+    root: String,
+    metadataPath: String,
+    startingVersion: Option[Long],
+    maxVersionsPerTrigger: Option[Int])
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private val table = SnapshotTable.load(spark, root)
+
+  /** The stream's from-version, fixed at FIRST start and persisted in
+    * the source-metadata dir: batch 0's range start is not in Spark's
+    * offset log (its `start` is None), so without this file a restart
+    * before batch 0 committed would silently re-anchor at the new head
+    * and drop the window in between. */
+  private val initialVersion: Long = {
+    val p = Paths.get(metadataPath, "graft-initial-version")
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    else {
+      val v = startingVersion.getOrElse(
+        table.currentVersion.getOrElse(throw new IllegalStateException(
+          s"no graft snapshot at $root — cannot stream its changelog")))
+      require(table.versions.contains(v),
+        s"startingVersion $v is not a committed version of $root " +
+          s"(have ${table.versions.headOption.getOrElse(-1L)}..${table.currentVersion.getOrElse(-1L)})")
+      Files.createDirectories(p.getParent)
+      val tmp = Files.createTempFile(p.getParent, ".graft-init-", ".tmp")
+      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(p, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () } // racing twin
+      finally Files.deleteIfExists(tmp)
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    }
+  }
+
+  /** Schema pinned at stream start (payload + lsn + op). */
+  override val schema: StructType = GraftDataSource.changesSchema(table, None)
+
+  // highest version already handed out (offset monotonicity + the base
+  // for rate limiting); getBatch raises it on checkpoint recovery
+  @volatile private var lastEnd: Long = initialVersion
+
+  private def versionOf(o: V1Offset): Long = o match {
+    case l: LongOffset       => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other               => other.json.toLong
+  }
+
+  override def getOffset: Option[V1Offset] = {
+    val head = table.currentVersion.getOrElse(return None)
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) => math.min(head, lastEnd + m)
+      case None    => head
+    }
+    if (capped <= initialVersion) None else Some(LongOffset(capped))
+  }
+
+  // ---- admission control (rate limiting + Trigger.AvailableNow) ----
+  // With SupportsAdmissionControl the engine calls latestOffset(start,
+  // limit) instead of getOffset; AvailableNow pins the drain target at
+  // prepare time and keeps triggering until the stream reaches it (the
+  // engine's fallback for sources WITHOUT this is one single batch —
+  // which silently strands data beyond a maxVersionsPerTrigger cap).
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadLimit}
+
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = table.currentVersion
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
+    val base = Option(start).map(o => o.json.trim.toLong)
+      .getOrElse(math.max(lastEnd, initialVersion))
+    val head0 = table.currentVersion.getOrElse(return null)
+    val head  = availableNowCap.fold(head0)(math.min(head0, _))
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) => math.min(head, base + m)
+      case None    => head
+    }
+    if (capped <= base || capped <= initialVersion) null else LongOffset(capped)
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(initialVersion)
+    val to   = versionOf(end)
+    lastEnd = math.max(lastEnd, to)
+    val changes = MergeOnRead.changesSince(table, from, Some(to))
+    // align to the pinned schema: evolution-added columns are dropped
+    // until restart; a vanished column fails loudly here
+    val present = changes.columns.toSet
+    val aligned = changes.select(schema.fields.toIndexedSeq.map { f =>
+      if (!present.contains(f.name))
+        throw new IllegalStateException(
+          s"graft changelog stream: column ${f.name} of the pinned schema " +
+            s"no longer exists at version $to; restart the stream")
+      col(f.name).cast(f.dataType).as(f.name)
+    }: _*)
+    org.apache.spark.sql.classic.GraftSqlBridge.asStreamingBatch(aligned)
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftChangelogSource[$root, from=$initialVersion]"
+}

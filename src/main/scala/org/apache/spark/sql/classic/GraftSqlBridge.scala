@@ -14,4 +14,18 @@ object GraftSqlBridge {
       session: org.apache.spark.sql.SparkSession,
       plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     Dataset.ofRows(session.asInstanceOf[SparkSession], plan)
+
+  /** Flag a fully built batch frame as STREAMING for a V1 streaming
+    * Source's `getBatch` (MicroBatchExecution requires the per-trigger
+    * plan to be streaming-flagged — the same `LogicalRDD.fromDataset`
+    * wrap the built-in sources use). The frame's own plan compiles
+    * unchanged underneath (`toRdd` is the lazily compiled native plan —
+    * pushdown, pruning, codegen all intact); only the leaf's streaming
+    * bit changes. */
+  def asStreamingBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = true))
+  }
 }
