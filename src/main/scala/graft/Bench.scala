@@ -118,7 +118,12 @@ object Bench {
         f"[bench] mode=$mode batch=$b wall=${(System.nanoTime() - tb) / 1e9}%.2fs merge=${st.wallMs / 1000.0}%.2fs " +
           f"ins=${st.inserted} upd=${st.updated} del=${st.deleted} rows=${st.rowsAfter}$diag")
     }
-    if (mode == "mor") { MergeOnRead.compact(p.table, "bench-final"); () }
+    if (mode == "mor") {
+      val tc = System.nanoTime()
+      MergeOnRead.compact(p.table, "bench-final")
+      System.err.println(
+        f"[bench] mode=mor compact wall=${(System.nanoTime() - tc) / 1e9}%.2fs")
+    }
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -212,9 +217,14 @@ object Bench {
       .select(col("q_id"), col("vec_id")).cache()
     val nTruth = truth.count()
 
-    def study(label: String, cents: org.apache.spark.sql.DataFrame): String = {
+    def study(
+        label: String, cents: org.apache.spark.sql.DataFrame,
+        nprobe: Int = 1): String = {
       val assigned = Similarity.ivfAssignWith(v, cents).cache()
-      val qcells = assigned.filter(col("vec_id") < 5)
+      // data vectors stay single-assigned; QUERIES probe their top-p
+      // cells (multi-probe widening — the recall/cost knob at fixed index)
+      val qcells = Similarity.ivfProbe(
+          v.filter(col("vec_id") < 5), cents, nprobe)
         .select(col("vec_id").as("q_id"), col("cent_id"))
       val cand = assigned.as("a")
         .join(qcells.as("q"),
@@ -229,9 +239,15 @@ object Bench {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
     val trained = Similarity.kmeansCentroids(
       s, v, Similarity.IvfK, Similarity.IvfIters)
+    val sampled = Similarity.kmeansCentroids(
+      s, v, Similarity.IvfK, Similarity.IvfIters, sampleFraction = 0.25)
+    val kLbl = s"kmeans${Similarity.IvfK}x${Similarity.IvfIters}"
     val out = Seq(
       study(s"first${Similarity.IvfK}", untrained),
-      study(s"kmeans${Similarity.IvfK}x${Similarity.IvfIters}", trained))
+      study(kLbl, trained),
+      study(s"${kLbl}_np2", trained, nprobe = 2),
+      study(s"${kLbl}_np4", trained, nprobe = 4),
+      study(s"${kLbl}_sample25", sampled))
     v.unpersist(); truth.unpersist()
     out.mkString("{", ",", "}")
   }

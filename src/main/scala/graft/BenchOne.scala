@@ -132,7 +132,13 @@ object BenchOne {
         System.err.println(s"[benchone] batch=$b wallMs=${s.wallMs} gcMs=${gcMs() - g0} " +
           s"taskMs=${clock.get() - c0} tasks=${tasks.get() - k0} ins=${s.inserted} upd=${s.updated}")
     }
-    if (mode == "mor") { MergeOnRead.compact(p.table, "final"); () }
+    if (mode == "mor") {
+      val tc = System.nanoTime()
+      MergeOnRead.compact(p.table, "final")
+      System.err.println(
+        f"[benchone] compact fold=${sys.env.getOrElse("GRAFT_FOLD", "auto")} " +
+          f"wall=${(System.nanoTime() - tc) / 1e9}%.2fs")
+    }
     (System.nanoTime() - t0) / 1e9
   }
 }

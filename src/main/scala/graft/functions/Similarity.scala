@@ -135,22 +135,40 @@ object Similarity {
     * rows); the k×dim centroid matrix collapses to the driver per
     * iteration (trivial — 16×64 here). At 100 TB: train on a sample
     * (k-means needs no more), assign full. Twin: [[kmeansCentroidsSql]]. */
+  /** @param sampleFraction train on a DETERMINISTIC hash-sample of the
+    *   vectors (pmod(xxhash64(vec_id), 10000) < fraction·10000 — no RNG,
+    *   replayable) instead of the full set. The 100-TB training path:
+    *   k-means quality needs only a representative sample, so training
+    *   cost drops from O(n·k·iters) to O(n·fraction·k·iters) while the
+    *   full set still gets assigned ([[ivfAssignWith]]) against the
+    *   sampled centroids. 1.0 (default) = exact round-3 behavior, which
+    *   the DuckDB oracle replays; init takes the k lowest sampled ids. */
   def kmeansCentroids(
       spark: org.apache.spark.sql.SparkSession,
       vectors: DataFrame, // (vec_id, embedding)
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, sampleFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    var cents: Seq[(Long, Seq[Double])] = vectors.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("long"),
-        transform(col("embedding"), x => x.cast("double")))
-      .collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val train =
+      if (sampleFraction >= 1.0) vectors
+      else vectors.filter(
+        pmod(xxhash64(col("vec_id")), lit(10000L)) <
+          lit(math.round(sampleFraction * 10000)))
+    var cents: Seq[(Long, Seq[Double])] =
+      (if (sampleFraction >= 1.0) train.filter(col("vec_id") < k)
+       else train.orderBy(col("vec_id")).limit(k))
+        .select(col("vec_id").cast("long"),
+          transform(col("embedding"), x => x.cast("double")))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+        .zipWithIndex.map { case ((_, c), i) => (i.toLong, c) }
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("_sim").desc, col("cent_id"))
     for (_ <- 1 to iters) {
       val centDf = cents.toDF("cent_id", "cent")
-      val assigned = vectors
+      val assigned = train
         .join(broadcast(centDf))
         .withColumn("_sim", cosine(col("embedding"), col("cent")))
         .withColumn("_rn", row_number().over(w))
@@ -230,6 +248,29 @@ object Similarity {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
+  }
+
+  /** Multi-probe cell selection: the `nprobe` NEAREST cells per vector
+    * (IVF search widening — data vectors stay single-assigned via
+    * [[ivfAssignWith]]; QUERIES probe their top-p cells and search the
+    * union, trading candidate volume for recall without touching the
+    * index). Returns one (vec_id, cent_id, probe_rank) row per probed
+    * cell, probe_rank 1..nprobe. */
+  def ivfProbe(
+      vectors: DataFrame,   // (vec_id, embedding)
+      centroids: DataFrame, // (cent_id, cent)
+      nprobe: Int,
+      score: (Column, Column) => Column = cosine): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_sim").desc, col("cent_id"))
+    vectors
+      .join(broadcast(centroids))
+      .withColumn("_sim", score(col("embedding"), col("cent")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nprobe)
+      .select(col("vec_id"), col("cent_id"), col("_rn").as("probe_rank"))
   }
 
   /** [[ivfAssignWith]] against untrained first-K "centroids" (the

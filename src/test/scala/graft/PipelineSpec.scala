@@ -765,6 +765,36 @@ class PipelineSpec extends SparkSpec {
     assert(eNull.getMessage.contains("null join key"), eNull.getMessage)
   }
 
+  test("resolveViaAgg ≡ resolve (the compaction A/B fold), incl. ties and tombstones") {
+    import graft.operators.MergeOnRead
+    import spark.implicits._
+    val base = tmpDir("aggfold")
+    val p    = mkPipeline(base, mode = "mor")
+    def batch(rows: (Long, String, String, Option[Seq[Int]], Option[Long], String)*) =
+      rows.toSeq.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    p.applyBatch(batch(
+      (1L, "I", "f-a", Some(Seq(1)), Some(1L), "s"),
+      (2L, "I", "f-b", Some(Seq(2)), Some(1L), "s"),
+      (3L, "I", "f-c", Some(Seq(3)), Some(1L), "s")), 0L)
+    p.applyBatch(batch(
+      (5L, "U", "f-a", Some(Seq(9)), Some(1L), "s"),
+      (6L, "D", "f-b", None, None, "s")), 1L)
+    // the two documented same-LSN cases, which both folds must resolve
+    // identically: an exact replay (same lsn, same payload — collapses),
+    // and a delta tying a BASE row's lsn (base wins: f-c keeps Seq(3))
+    p.applyBatch(batch(
+      (5L, "U", "f-a", Some(Seq(9)), Some(1L), "s"),
+      (1L, "U", "f-c", Some(Seq(4)), Some(1L), "tie")), 2L)
+    val m = p.table.current.get
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"),
+        col(graft.operators.Merge.LsnCol),
+        coalesce(col(graft.operators.Merge.TombCol), lit(false)))
+      .collect().map(_.toSeq).toSet
+    assert(canon(MergeOnRead.resolveViaAgg(p.table, m)) ==
+      canon(MergeOnRead.resolve(p.table)))
+  }
+
   test("MERGE INTO expression assignments update assigned columns, keep the rest") {
     import spark.implicits._
     val base = tmpDir("sqlmergeexpr")

@@ -303,6 +303,33 @@ class PropertySpec extends SparkSpec {
       .filter(col("commit_id") === "b0" && col("partition_id") === -1).count() == 1)
   }
 
+  test("IVF sample-training is deterministic; multi-probe widens candidates monotonically") {
+    import graft.functions.Similarity
+    val v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // hash-sampled training: no RNG anywhere → two runs are bit-identical
+    def train() = Similarity
+      .kmeansCentroids(spark, v, k = 8, iters = 2, sampleFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val c1 = train()
+    assert(c1 == train(), "sample-trained centroids must be replayable bit-for-bit")
+    assert(c1.size == 8)
+
+    // nprobe=1 matches the single-cell assignment; growing nprobe only
+    // ADDS probed cells (prefix property); nprobe=K covers every cell
+    val cents = Similarity.kmeansCentroids(spark, v, k = 8, iters = 1)
+    val qs = v.filter(col("vec_id") < 3)
+    def probes(p: Int) = Similarity.ivfProbe(qs, cents, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = probes(1)
+    val a1 = Similarity.ivfAssignWith(qs, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(p1 == a1, "nprobe=1 must equal the single-cell assignment")
+    val p2 = probes(2)
+    assert(p1.subsetOf(p2) && p2.size == 6, s"probe sets must nest: $p1 vs $p2")
+    assert(probes(8).size == 24, "nprobe=K must cover every cell per query")
+  }
+
   test("widened n_tok stays byte-equal through evolution (§7.4-6)") {
     import spark.implicits._
     val p = mkPipeline(tmpDir("widen"))
