@@ -65,7 +65,17 @@ final class GraftChangelogSource(
     * before batch 0 committed would silently re-anchor at the new head
     * and drop the window in between. */
   private val initialVersion: Long = {
-    val p = Paths.get(metadataPath, "graft-initial-version")
+    // metadataPath arrives as a Hadoop-style URI ("file:/tmp/.../sources/0");
+    // Paths.get on the raw string would treat it as a RELATIVE path and
+    // silently anchor the file under the process CWD — discovered when
+    // stray `file:` trees appeared in the working directory. Strip the
+    // scheme down to a filesystem path (local-only sandbox; a real
+    // deployment would go through the checkpoint FileSystem API).
+    val metaDir =
+      if (metadataPath.startsWith("file:")) Paths.get(
+        java.net.URI.create(metadataPath).getPath)
+      else Paths.get(metadataPath)
+    val p = metaDir.resolve("graft-initial-version")
     if (Files.exists(p))
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
     else {

@@ -162,6 +162,12 @@ class StreamingSpec extends SparkSpec {
     val want = MergeOnRead.changesSince(p.table, v1)
       .select("doc_id", "lsn", "op").collect().map(_.toSeq).toSet
     assert(got1 == want && want.nonEmpty, s"streamed ≠ batch: $got1 vs $want")
+    // the persisted starting version must live INSIDE the checkpoint
+    // (metadataPath arrives as a file: URI — treating it as a relative
+    // path would silently anchor the file under the process CWD)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/ckpt/sources/0/graft-initial-version")),
+      "initial-version file must be anchored inside the checkpoint dir")
 
     // restart from the SAME checkpoint after new commits: exactly the
     // new window arrives, nothing re-delivered
