@@ -401,6 +401,25 @@ object SparkEntry {
               SET n_tok = s.bump + 100, source = concat('expr-', s.doc_id)""").collect()
       stateProjection(liveView(t))
     }),
+    "q_sql_merge_sync" -> ((s, dir) => {
+      // Full-snapshot sync (round-4): WHEN NOT MATCHED BY SOURCE THEN
+      // DELETE makes the source THE desired state — matched rows update,
+      // new rows insert, and every live target row absent from the
+      // source retracts. Final state == the source, exactly.
+      val t = forkTable(s, dir, mode = "mor")
+      docs(s, dir).filter(col("doc_id") % 3 === 0).select(
+        Tokenize.docId(col("doc_id")).as("doc_id"),
+        array((col("doc_id") % 5).cast("int")).as("tokens"),
+        lit(1L).as("n_tok"), lit("sync").as("source"))
+        .createOrReplaceTempView("graft_merge_sync_src")
+      s.sql(
+        s"""MERGE INTO graft.`${t.root}` t USING graft_merge_sync_src s
+            ON t.doc_id = s.doc_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""").collect()
+      stateProjection(liveView(t))
+    }),
     "q_sql_insert" -> ((s, dir) => {
       // SQL DDL + INSERT (round-4): CREATE TABLE through the catalog,
       // two INSERT INTO ... SELECT statements (the second upserts a
@@ -1056,6 +1075,13 @@ object SparkEntry {
                         ELSE l.source END AS source
             FROM live l LEFT JOIN src s ON l.doc_id = s.doc_id
             ORDER BY l.doc_id""",
+      "q_sql_merge_sync" ->
+        // full sync: the final state IS the source (matched updated,
+        // unmatched inserted, absent-from-source retracted)
+        s"""SELECT $docId AS doc_id,
+                   cast(doc_id % 5 AS varchar) AS tokens_csv,
+                   cast(1 AS bigint) AS n_tok, 'sync' AS source
+            FROM documents WHERE doc_id % 3 = 0 ORDER BY $docId""",
       "q_sql_insert" ->
         // CREATE + 2× INSERT INTO: every doc carries the tokenized text
         // from the first insert except the %10 keys the second insert

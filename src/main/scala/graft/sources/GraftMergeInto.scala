@@ -25,6 +25,8 @@ import graft.table.SnapshotTable
   *    unassigned payload columns keep their target values, so the
   *    classification join carries the matched target payload for these;
   *  - `WHEN NOT MATCHED [AND cond] THEN INSERT *`;
+  *  - `WHEN NOT MATCHED BY SOURCE THEN DELETE` (unconditional —
+  *    full-snapshot-sync retraction; round-4 widening);
   *  - action conditions over SOURCE columns only; first matching
   *    action wins, in declaration order;
   *  - duplicate source keys raise the ANSI cardinality violation.
@@ -65,8 +67,17 @@ object GraftMergeInto {
     val (rel, t) = graftTargetOf(m.targetTable).get
     if (t.pinnedVersion.nonEmpty || t.changesFrom.nonEmpty)
       throw MergeUnsupported("cannot merge into a version-pinned or changelog read")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      throw MergeUnsupported("WHEN NOT MATCHED BY SOURCE is not supported")
+    // NOT MATCHED BY SOURCE: the unconditional DELETE (full-snapshot-sync
+    // semantics — the source IS the desired state, target rows absent
+    // from it retract). Conditioned/UPDATE variants need target-side
+    // expression evaluation and stay out of dialect (typed).
+    val deleteUnmatchedTarget = m.notMatchedBySourceActions match {
+      case Seq()                  => false
+      case Seq(DeleteAction(None)) => true
+      case other => throw MergeUnsupported(
+        "WHEN NOT MATCHED BY SOURCE supports only the unconditional DELETE; " +
+          s"got ${other.mkString(", ")}")
+    }
 
     val srcOut = m.sourceTable.outputSet
     val tgtOut = rel.outputSet
@@ -157,7 +168,8 @@ object GraftMergeInto {
         values.zipWithIndex.map { case (v, j) => Alias(v, s"_graft_v$j")() },
       m.sourceTable)
 
-    GraftMergeIntoCommand(t.root, projected, key.name, specs.toSeq)
+    GraftMergeIntoCommand(t.root, projected, key.name, specs.toSeq,
+      deleteUnmatchedTarget)
   }
 }
 
@@ -169,7 +181,8 @@ case class GraftMergeIntoCommand(
     root: String,
     source: LogicalPlan, // Project carrying _graft_c<i> condition columns; resolved
     sourceKey: String,
-    specs: Seq[GraftMergeInto.ActionSpec]) extends LeafRunnableCommand {
+    specs: Seq[GraftMergeInto.ActionSpec],
+    deleteUnmatchedTarget: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -283,11 +296,28 @@ case class GraftMergeIntoCommand(
           lit(cur.watermarkLsn + 1).as("lsn") :+
           element_at(kinds, col("_graft_act") + 1).as("op"): _*)
 
+    // NOT MATCHED BY SOURCE DELETE (full-snapshot sync): every LIVE
+    // target doc absent from the source keys retracts. The construct
+    // inspects every target row by definition, so this leg reads the
+    // full live key set — the ONLY unpruned read in the command, paid
+    // only when the clause is present. Its keys are anti-joined against
+    // the source's, so the two legs never stamp the same doc at the
+    // shared LSN.
+    val allEvents =
+      if (!deleteUnmatchedTarget) events
+      else events.unionByName(
+        MergeOnRead.liveView(table).select(col("doc_id"))
+          .join(src.select(col("_graft_key").as("doc_id")), Seq("doc_id"), "left_anti")
+          .select(
+            col("doc_id") +:
+              payload.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)) :+
+              lit(cur.watermarkLsn + 1).as("lsn") :+ lit("D").as("op"): _*))
+
     // the stamped LSN is read BEFORE the commit loop; the guard makes a
     // concurrent commit reaching it a typed retryable CommitConflict
     // instead of an undefined same-LSN LWW tie
     val stats = MergeOnRead(
-      table, events, s"sqlmerge-${graft.table.Fs.nonce}", batchId = -5L,
+      table, allEvents, s"sqlmerge-${graft.table.Fs.nonce}", batchId = -5L,
       requireWatermarkBelow = Some(cur.watermarkLsn + 1))
     Seq(Row(stats.version, stats.inserted, stats.updated, stats.deleted))
     } finally { src.unpersist(); () }

@@ -832,6 +832,41 @@ class PipelineSpec extends SparkSpec {
     assert(eTgt.getMessage.contains("source columns"), eTgt.getMessage)
   }
 
+  test("MERGE INTO ... NOT MATCHED BY SOURCE DELETE syncs the table to the source") {
+    import spark.implicits._
+    val base = tmpDir("sqlmergesync")
+    val p    = mkPipeline(base, mode = "mor")
+    p.applyBatch(Seq(
+      (1L, "I", "y-a", Some(Seq(1)), Some(1L), "s"),
+      (2L, "I", "y-b", Some(Seq(2)), Some(1L), "s"),
+      (3L, "I", "y-c", Some(Seq(3)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    val root = p.table.root
+    // source = the full desired state: update y-b, insert y-d; y-a/y-c
+    // are absent from it and must retract
+    Seq(("y-b", Seq(9), 1L, "x"), ("y-d", Seq(4), 1L, "x"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .createOrReplaceTempView("merge_sync_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING merge_sync_src s ON t.doc_id = s.doc_id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""").collect()
+    val st = p.readTable().collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        r.getAs[scala.collection.Seq[Int]]("tokens").toSeq).toMap
+    assert(st == Map("y-b" -> Seq(9), "y-d" -> Seq(4)),
+      s"table must sync to the source exactly: $st")
+    // the retractions are real tombstones (time travel still sees y-a)
+    assert(p.lookup("y-a").isEmpty)
+
+    // conditioned / UPDATE NMS variants stay out of dialect, typed
+    val e = intercept[Exception] { spark.sql(
+      s"""MERGE INTO graft.`$root` t USING merge_sync_src s ON t.doc_id = s.doc_id
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET source = 'gone'""").collect() }
+    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"), e.getMessage)
+  }
+
   test("stamped-LSN writes fail typed when a concurrent commit reaches the stamp") {
     import graft.operators.{Merge, MergeOnRead}
     import spark.implicits._
