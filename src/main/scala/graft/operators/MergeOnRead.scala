@@ -552,15 +552,21 @@ object MergeOnRead {
       v -> m.deltaFiles.filterNot(f => before.contains(f.path))
     }
     val stepFiles = steps.flatMap(_._2)
-    // every event-carrying commit advances the watermark; a commit that
-    // advanced it WITHOUT adding delta files went through the COW join
-    // and left no replayable change records → snapshot-diff fallback
+    // A commit is coverable by delta replay iff it ADDED delta files or
+    // provably applied NO events (minEventLsn == MaxValue — folds,
+    // rejects, rollbacks record it explicitly). The round-3 heuristic
+    // "no deltas added AND watermark unchanged ⇒ event-free" was WRONG:
+    // a COW commit applying only below-watermark (out-of-order) events
+    // leaves the watermark unchanged too, and the range silently
+    // replayed as empty (found by the round-4 fold-equivalence property
+    // test). Unknown minEventLsn (pre-round-3 manifests, -1) reads as
+    // "may have applied events" → snapshot-diff fallback, conservative.
     val deltaOnly = range.forall { v =>
       val m      = table.manifest(v)
       val prev   = table.manifest(m.parent)
       val added  = m.deltaFiles.map(_.path).toSet
         .diff(prev.deltaFiles.map(_.path).toSet).nonEmpty
-      added || m.watermarkLsn == prev.watermarkLsn
+      added || m.minEventLsn == Long.MaxValue
     }
     // Did any commit in the range apply an event at or below from's
     // watermark? If provably not (every commit's recorded minEventLsn is

@@ -303,6 +303,65 @@ class PropertySpec extends SparkSpec {
       .filter(col("commit_id") === "b0" && col("partition_id") === -1).count() == 1)
   }
 
+  test("changesSince fold-equivalence: every version range folds from-state to to-state (both modes)") {
+    import graft.operators.MergeOnRead
+    import spark.implicits._
+    // Randomized (seeded) out-of-order streams; for EVERY committed
+    // version pair (from ≤ to), LWW-folding changesSince(from, to) onto
+    // resolve(from) must yield resolve(to)'s live view — the round-4
+    // path contract, exercised across the delta-replay fast path, the
+    // per-doc below-watermark leg, and the COW snapshot-diff fallback.
+    val rnd = new Random(4242)
+    for (mode <- Seq("mor", "cow"); trial <- 0 until 3) {
+      val base = tmpDir(s"foldeq-$mode-$trial")
+      val p    = mkPipeline(base, mode)
+      val docs = (0 until 8).map(i => s"fe-$i")
+      // unique LSNs (single-writer contract), shuffled → heavy disorder
+      val lsns = rnd.shuffle((1 to 40).toList)
+      val events = lsns.map { lsn =>
+        val doc = docs(rnd.nextInt(docs.size))
+        val op  = rnd.nextInt(10) match {
+          case d if d < 5 => "I"
+          case d if d < 8 => "U"
+          case _          => "D"
+        }
+        if (op == "D") (lsn.toLong, op, doc, None: Option[Seq[Int]], None: Option[Long], "s")
+        else (lsn.toLong, op, doc, Some(Seq(lsn)), Some(1L), "s")
+      }
+      // random partition into 4 batches, events arbitrarily assigned
+      val batches = events.groupBy(_ => rnd.nextInt(4)).toSeq.sortBy(_._1)
+      batches.zipWithIndex.foreach { case ((_, evs), i) =>
+        p.applyBatch(
+          evs.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), i.toLong)
+      }
+      val versions = p.table.versions
+      def stateAt(v: Long): Map[String, (Long, Boolean, Seq[Int])] =
+        MergeOnRead.resolve(p.table, Some(v)).collect().map { r =>
+          r.getAs[String]("doc_id") -> ((
+            r.getAs[Long]("_lsn"),
+            Option(r.getAs[java.lang.Boolean]("_tombstone")).exists(_.booleanValue),
+            Option(r.getAs[scala.collection.Seq[Int]]("tokens")).map(_.toSeq).getOrElse(Seq.empty)))
+        }.toMap
+      for (from <- versions; to <- versions; if from <= to) {
+        val changes = MergeOnRead.changesSince(p.table, from, Some(to)).collect().map { r =>
+          (r.getAs[String]("doc_id"), r.getAs[Long]("lsn"), r.getAs[String]("op"),
+            Option(r.getAs[scala.collection.Seq[Int]]("tokens")).map(_.toSeq).getOrElse(Seq.empty))
+        }
+        // LWW fold onto the from-state; ties keep the from row (base wins)
+        val folded = changes.foldLeft(stateAt(from)) { case (st, (doc, lsn, op, toks)) =>
+          st.get(doc) match {
+            case Some((cur, _, _)) if lsn <= cur => st
+            case _ => st + (doc -> ((lsn, op == "D", toks)))
+          }
+        }
+        def live(m: Map[String, (Long, Boolean, Seq[Int])]) =
+          m.collect { case (d, (_, false, t)) => d -> t }
+        assert(live(folded) == live(stateAt(to)),
+          s"[$mode trial $trial] fold($from→$to) diverges:\n folded=${live(folded)}\n actual=${live(stateAt(to))}")
+      }
+    }
+  }
+
   test("IVF sample-training is deterministic; multi-probe widens candidates monotonically") {
     import graft.functions.Similarity
     val v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
