@@ -429,10 +429,25 @@ object MergeOnRead {
         (System.nanoTime() - t0) / 1000000, Seq.empty)
 
     val touched = cur.deltaFiles.map(_.bucket).toSet
-    val folded = foldDirtyBuckets(
-      table, cur,
-      cur.files.filter(f => touched.contains(f.bucket)), cur.deltaFiles,
-      classified = true)
+    val touchedBase = cur.files.filter(f => touched.contains(f.bucket))
+    // fold choice mirrors compact()'s measured A/B: below the per-bucket
+    // plan limit the bucket-local fold runs with ZERO exchanges
+    // (plan-gated — the trickle case's precious property); above it the
+    // sort path would pay a bucket-keyed exchange + external sort + row
+    // codec anyway, and the hash-agg fold beats that by ~2× (BASELINE.md
+    // round-4). GRAFT_FOLD=agg|sort forces either for studies.
+    val useAgg = sys.env.get("GRAFT_FOLD") match {
+      case Some("agg")  => true
+      case Some("sort") => false
+      case _            => touched.size > PerBucketPlanLimit
+    }
+    val folded =
+      if (useAgg) aggLww(
+        eventsFrame(table, cur, touchedBase, cur.deltaFiles),
+        cur.schema.fields.filterNot(f => Merge.InternalCols.contains(f.name)).toSeq,
+        classified = true)
+      else foldDirtyBuckets(
+        table, cur, touchedBase, cur.deltaFiles, classified = true)
     val obs = Observation(s"fold-$commitId")
     def cnt(a: String) = sum(when(col(ActionCol) === a, 1L).otherwise(0L)).as(a)
     val observed = folded.observe(
@@ -441,7 +456,7 @@ object MergeOnRead {
       .drop(ActionCol)
       .withColumn("_bucket", bucketOf(col("doc_id"), cur.numBuckets))
     val newFiles =
-      table.writeDataFiles(out, commitId, cur.numBuckets, prePartitioned = true)
+      table.writeDataFiles(out, commitId, cur.numBuckets, prePartitioned = !useAgg)
     val m = obs.get
     def g(k: String): Long = m.get(k) match {
       case Some(null)      => 0L
@@ -799,6 +814,19 @@ object MergeOnRead {
     * true). Semantically ≡ resolve() by construction (PipelineSpec gate);
     * kept env-gated (GRAFT_FOLD=agg) for the measured scaling study. */
   private[graft] def resolveViaAgg(table: SnapshotTable, m: Manifest): DataFrame = {
+    val payloadFields =
+      m.schema.fields.filterNot(f => Merge.InternalCols.contains(f.name)).toSeq
+    aggLww(
+      eventsFrame(table, m, m.files, m.deltaFiles), payloadFields,
+      classified = false)
+  }
+
+  /** base ∪ delta rows in [[localLww]]'s input layout
+    * (payload…, lsn, op, _from_base). */
+  private def eventsFrame(
+      table: SnapshotTable, m: Manifest,
+      baseFiles: Seq[graft.table.DataFile],
+      deltaFiles: Seq[graft.table.DataFile]): DataFrame = {
     val payloadCols =
       m.schema.fieldNames.filterNot(Merge.InternalCols.contains).toSeq
     val payloadFields =
@@ -809,25 +837,49 @@ object MergeOnRead {
           StructField("op", StringType, nullable = false)))
     val baseOp = when(coalesce(col(Merge.TombCol), lit(false)), lit("D"))
       .otherwise(lit("I")).as("op")
-    val events = table.readFiles(m.files, m.schema)
+    table.readFiles(baseFiles, m.schema)
       .select(payloadCols.map(col) :+ col(LsnCol).as("lsn") :+ baseOp :+
         lit(true).as("_from_base"): _*)
-      .unionByName(table.readFiles(m.deltaFiles, deltaSchema).select(
+      .unionByName(table.readFiles(deltaFiles, deltaSchema).select(
         payloadCols.map(col) :+ col("lsn") :+ col("op") :+
           lit(false).as("_from_base"): _*))
+  }
+
+  /** The [[localLww]] fold as ONE hash aggregation — same input layout,
+    * same output contract (payload…, _lsn, _tombstone [, _action]), same
+    * tie semantics (struct ordering on (lsn, _from_base): the base row
+    * beats a same-LSN delta). Pays a doc_id exchange instead of the
+    * external sort + row-codec run-fold; the measured winner for folds
+    * covering most of the table (BASELINE.md round-4 A/B). */
+  private def aggLww(
+      events: DataFrame, payloadFields: Seq[StructField],
+      classified: Boolean): DataFrame = {
+    val payloadCols = payloadFields.map(_.name)
     val rowStruct = struct(
       payloadCols.filterNot(_ == "doc_id").map(col) ++
-        Seq(col("lsn"), col("op")): _*)
-    events
+        Seq(col("lsn"), col("op"), col("_from_base")): _*)
+    val agged = events
       .groupBy(col("doc_id"))
-      .agg(max_by(rowStruct, struct(col("lsn"), col("_from_base"))).as("_w"))
-      .select(
-        payloadFields.toIndexedSeq.map { f =>
-          if (f.name == "doc_id") col("doc_id")
-          else col(s"_w.${f.name}").as(f.name)
-        } :+
-          col("_w.lsn").as(LsnCol) :+
-          (col("_w.op") === "D").as(Merge.TombCol): _*)
+      .agg(
+        max_by(rowStruct, struct(col("lsn"), col("_from_base"))).as("_w"),
+        // per-doc facts the classification needs: a live base row exists
+        // (base holds ≤1 row per doc), and any batch/delta row was seen
+        max(when(col("_from_base") && col("op") =!= "D", 1).otherwise(0)).as("_bl"),
+        max(when(!col("_from_base"), 1).otherwise(0)).as("_bs"))
+    val baseLive = col("_bl") === 1
+    val action =
+      when(col("_w._from_base"),
+        when(col("_bs") === 1, lit("stale")).otherwise(lit("keep")))
+        .otherwise(when(col("_w.op") =!= "D",
+          when(baseLive, lit("update")).otherwise(lit("insert")))
+          .otherwise(when(baseLive, lit("delete")).otherwise(lit("delete_noop"))))
+    agged.select(
+      payloadFields.toIndexedSeq.map { f =>
+        if (f.name == "doc_id") col("doc_id")
+        else col(s"_w.${f.name}").as(f.name)
+      } ++
+        Seq(col("_w.lsn").as(LsnCol), (col("_w.op") === "D").as(Merge.TombCol)) ++
+        (if (classified) Seq(action.as(ActionCol)) else Seq.empty): _*)
   }
 
   /** The authoritative LOGICAL view of a table (at a version): resolved

@@ -795,6 +795,52 @@ class PipelineSpec extends SparkSpec {
       canon(MergeOnRead.resolve(p.table)))
   }
 
+  test("foldTouched agg path (>64 dirty buckets) matches the bucket-local fold: state AND stats") {
+    import graft.operators.MergeOnRead
+    import graft.streaming.{CdcPipeline, PipelineConfig}
+    import spark.implicits._
+    def mk(buckets: Int) = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"${tmpDir(s"aggft$buckets")}/table",
+      changeLogDir = "-", checkpointDir = "-",
+      errorDir = s"${tmpDir(s"aggft$buckets-e")}", lineageDir = s"${tmpDir(s"aggft$buckets-l")}",
+      numBuckets = buckets, mode = "mor",
+      compactThreshold = Double.PositiveInfinity))
+    // 128 buckets → ~100+ dirty buckets → the agg path fires naturally;
+    // 8 buckets → bucket-local fold (zero-exchange, plan-gated elsewhere)
+    val pAgg  = mk(128)
+    val pSort = mk(8)
+    val b0 = (0 until 200)
+      .map(i => (i + 1L, "I", s"ft-$i", Some(Seq(i)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    // batch B covers every action class: update, delete, delete-noop
+    // (absent doc), stale (lsn below the doc's base), and fresh insert
+    val b1 = ((0 until 50).map(i => (1000L + i, "U", s"ft-$i", Some(Seq(9, i)), Some(2L), "x")) ++
+      (50 until 70).map(i => (1100L + i, "D", s"ft-$i", None: Option[Seq[Int]], None: Option[Long], "s")) ++
+      Seq((1300L, "D", "ft-absent", None: Option[Seq[Int]], None: Option[Long], "s")) ++
+      (70 until 80).map(i => (0L - i, "U", s"ft-$i", Some(Seq(1)), Some(1L), "stale")) ++
+      (200 until 230).map(i => (1400L + i, "I", s"ft-$i", Some(Seq(i)), Some(1L), "s")))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    def run(p: CdcPipeline): (graft.operators.MergeStats, Map[String, Seq[Int]]) = {
+      p.applyBatch(b0, 0L)
+      MergeOnRead.foldTouched(p.table, "ft-f0", -10L)
+      p.applyBatch(b1, 1L)
+      val st = MergeOnRead.foldTouched(p.table, "ft-f1", -11L)
+      (st, p.readTable().collect()
+        .map(r => r.getAs[String]("doc_id") ->
+          r.getAs[scala.collection.Seq[Int]]("tokens").toSeq).toMap)
+    }
+    val (sAgg, stateAgg)   = run(pAgg)
+    val (sSort, stateSort) = run(pSort)
+    assert(pAgg.table.current.get.deltaFiles.isEmpty)
+    assert(stateAgg == stateSort, "fold paths must produce identical state")
+    def counts(s: graft.operators.MergeStats) =
+      (s.inserted, s.updated, s.deleted, s.deleteNoops, s.staleEvents)
+    assert(counts(sAgg) == counts(sSort),
+      s"classified stats must match: agg=${counts(sAgg)} sort=${counts(sSort)}")
+    assert(counts(sAgg) == ((30L, 50L, 20L, 1L, 10L)),
+      s"expected action mix: ${counts(sAgg)}")
+  }
+
   test("MERGE INTO expression assignments update assigned columns, keep the rest") {
     import spark.implicits._
     val base = tmpDir("sqlmergeexpr")

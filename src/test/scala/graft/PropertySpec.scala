@@ -328,11 +328,14 @@ class PropertySpec extends SparkSpec {
         if (op == "D") (lsn.toLong, op, doc, None: Option[Seq[Int]], None: Option[Long], "s")
         else (lsn.toLong, op, doc, Some(Seq(lsn)), Some(1L), "s")
       }
-      // random partition into 4 batches, events arbitrarily assigned
+      // random partition into 4 batches, events arbitrarily assigned;
+      // random compactions interleave (their event-free commits land in
+      // ranges and must classify as replay-coverable, not as diffs)
       val batches = events.groupBy(_ => rnd.nextInt(4)).toSeq.sortBy(_._1)
       batches.zipWithIndex.foreach { case ((_, evs), i) =>
         p.applyBatch(
           evs.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), i.toLong)
+        if (rnd.nextInt(3) == 0) { MergeOnRead.compact(p.table, s"feq-c$i"); () }
       }
       val versions = p.table.versions
       def stateAt(v: Long): Map[String, (Long, Boolean, Seq[Int])] =
