@@ -227,24 +227,30 @@ object Bench {
         .select(col("q_id"), col("vec_id")).cache()
     }.toMap
 
-    def study(
+    // one cached assignment per CENTROID LAYOUT (assignment is
+    // independent of nprobe — recomputing it per probe row wasted two
+    // full O(n·k) passes per layout, round-4 review finding)
+    def studyLayout(
         label: String, cents: org.apache.spark.sql.DataFrame,
-        nprobe: Int = 1): Seq[String] = {
+        nprobes: Seq[(String, Int)]): Seq[String] = {
       val assigned = Similarity.ivfAssignWith(v, cents).cache()
-      val out = querySets.map { q =>
-        val truth  = truths(q.suffix)
-        val nTruth = truth.count()
-        // data vectors stay single-assigned; QUERIES probe their top-p
-        // cells (multi-probe widening — the recall/cost knob at fixed index)
-        val qcells = Similarity.ivfProbe(v.filter(q.pred), cents, nprobe)
-          .select(col("vec_id").as("q_id"), col("cent_id"))
-        val cand = assigned.as("a")
-          .join(qcells.as("q"),
-            col("a.cent_id") === col("q.cent_id") && col("a.vec_id") =!= col("q.q_id"))
-          .select(col("q.q_id").as("q_id"), col("a.vec_id").as("vec_id"))
-        val candN = cand.count()
-        val found = truth.join(cand, Seq("q_id", "vec_id"), "left_semi").count()
-        f""""$label${q.suffix}":{"recall_at10":${found.toDouble / nTruth}%.3f,"cand_frac":${candN.toDouble / (5.0 * (n - 1))}%.4f}"""
+      val out = nprobes.flatMap { case (suffix, nprobe) =>
+        querySets.map { q =>
+          val truth  = truths(q.suffix)
+          val nTruth = truth.count()
+          // data vectors stay single-assigned; QUERIES probe their top-p
+          // cells (multi-probe widening — the recall/cost knob at fixed
+          // index)
+          val qcells = Similarity.ivfProbe(v.filter(q.pred), cents, nprobe)
+            .select(col("vec_id").as("q_id"), col("cent_id"))
+          val cand = assigned.as("a")
+            .join(qcells.as("q"),
+              col("a.cent_id") === col("q.cent_id") && col("a.vec_id") =!= col("q.q_id"))
+            .select(col("q.q_id").as("q_id"), col("a.vec_id").as("vec_id"))
+          val candN = cand.count()
+          val found = truth.join(cand, Seq("q_id", "vec_id"), "left_semi").count()
+          f""""$label$suffix${q.suffix}":{"recall_at10":${found.toDouble / nTruth}%.3f,"cand_frac":${candN.toDouble / (5.0 * (n - 1))}%.4f}"""
+        }
       }
       assigned.unpersist()
       out
@@ -257,12 +263,10 @@ object Bench {
       s, v, Similarity.IvfK, Similarity.IvfIters, sampleFraction = 0.25)
     val kLbl = s"kmeans${Similarity.IvfK}x${Similarity.IvfIters}"
     val out =
-      study(s"first${Similarity.IvfK}", untrained) ++
-        study(kLbl, trained) ++
-        study(s"${kLbl}_np2", trained, nprobe = 2) ++
-        study(s"${kLbl}_np4", trained, nprobe = 4) ++
-        study(s"${kLbl}_sample25", sampled) ++
-        study(s"${kLbl}_sample25_np4", sampled, nprobe = 4)
+      studyLayout(s"first${Similarity.IvfK}", untrained, Seq("" -> 1)) ++
+        studyLayout(kLbl, trained,
+          Seq("" -> 1, "_np2" -> 2, "_np4" -> 4)) ++
+        studyLayout(s"${kLbl}_sample25", sampled, Seq("" -> 1, "_np4" -> 4))
     v.unpersist(); truths.values.foreach(_.unpersist())
     out.mkString("{", ",", "}")
   }
@@ -347,7 +351,13 @@ object Bench {
     * deleted in a finally, and trees leaked by PRIOR crashed bench/verify
     * runs are swept at startup so the first timed run starts clean.
     * Prefixes are exclusively ours; the age gate keeps a concurrently
-    * running graft process (e.g. sbt test) safe. */
+    * running graft process (e.g. sbt test) safe. SINGLE-BENCH
+    * assumption: the bench prefixes are swept unconditionally, so a
+    * second concurrent Bench/BenchOne would lose its live trees — by
+    * design: concurrent benches already corrupt each other's numbers,
+    * and the sweep makes that fail loudly (and kills the documented
+    * zombie-forked-JVM leftovers) instead of silently measuring a
+    * contended box. */
   private def sweepStaleTmp(): Unit = {
     val tmp = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
@@ -366,7 +376,11 @@ object Bench {
     }
   }
 
-  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir     = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

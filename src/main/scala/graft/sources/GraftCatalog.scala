@@ -92,9 +92,18 @@ class GraftCatalog extends TableCatalog {
         f.name == "doc_id" && f.dataType == org.apache.spark.sql.types.StringType))
       throw new IllegalArgumentException(
         "graft tables require a `doc_id STRING` column (the merge key)")
-    schema.fieldNames.find(graft.operators.Merge.InternalCols.contains).foreach(c =>
+    // reserved: the engine's internal state columns AND the change-batch
+    // metadata names — a payload column named lsn/op would make every
+    // INSERT look like an explicit change batch to the write path
+    // (hasMeta detection), silently reinterpreting rows as events
+    // (round-4 review finding); _bucket/ingest_ts collide with merge
+    // internals the same way
+    val reserved = graft.operators.Merge.InternalCols ++
+      Seq("lsn", "op", "_bucket", "ingest_ts")
+    schema.fieldNames.find(n => reserved.exists(_.equalsIgnoreCase(n))).foreach(c =>
       throw new IllegalArgumentException(
-        s"column name $c is reserved for the engine's internal state"))
+        s"column name $c is reserved (engine state / change-batch metadata); " +
+          "rename the payload column"))
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     val buckets = Option(properties.get("numBuckets")).map(_.toInt).getOrElse(16)

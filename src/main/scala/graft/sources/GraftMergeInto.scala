@@ -103,15 +103,26 @@ object GraftMergeInto {
       case other     => other
     }
     // a resolved star action arrives as by-name assignments (possibly
-    // cast/aliased); non-star shapes fall through to expression handling
-    def isStarShaped(assignments: Seq[Assignment]): Boolean =
-      assignments.forall { a =>
+    // cast/aliased) COVERING every target payload column; shape alone is
+    // not enough — a partial by-name list like `SET n_tok = s.n_tok`
+    // must take the expression path (unassigned columns keep target
+    // values), or star semantics would silently null/overwrite them
+    // (round-4 review finding). Non-star shapes likewise fall through.
+    val targetPayloadNames = rel.output.map(_.name.toLowerCase)
+      .filterNot(_ == "doc_id").toSet
+    def isStarShaped(assignments: Seq[Assignment]): Boolean = {
+      val byName = assignments.forall { a =>
         (strip(a.key), strip(a.value)) match {
           case (k: AttributeReference, v: AttributeReference) =>
             srcOut.contains(v) && v.name.equalsIgnoreCase(k.name)
           case _ => false
         }
       }
+      byName && targetPayloadNames.subsetOf(
+        assignments.map(a => strip(a.key)).collect {
+          case k: AttributeReference => k.name.toLowerCase
+        }.toSet)
+    }
 
     val conds = scala.collection.mutable.ArrayBuffer[Expression]()
     def condIdx(c: Option[Expression]): Option[Int] =
@@ -157,7 +168,8 @@ object GraftMergeInto {
         specs += ActionSpec("I", matchedSide = false, condIdx(c))
       case other => throw MergeUnsupported(s"unsupported WHEN NOT MATCHED action: $other")
     }
-    if (specs.isEmpty) throw MergeUnsupported("no merge actions given")
+    if (specs.isEmpty && !deleteUnmatchedTarget)
+      throw MergeUnsupported("no merge actions given")
 
     // evaluate every action condition and assignment value as a named
     // column over the source NOW (resolved expressions in a Project) so
@@ -261,8 +273,9 @@ case class GraftMergeIntoCommand(
       s.condIdx.map(i => side && col(s"_graft_c$i")).getOrElse(side)
     }
     // first armed action wins, by declaration order (ANSI); rows no
-    // action claims fall to null and are dropped
-    val actExpr = specs.indices.tail
+    // action claims fall to null and are dropped (lazy: empty-spec
+    // statements never evaluate it)
+    lazy val actExpr = specs.indices.tail
       .foldLeft(when(armed(specs.head), lit(0))) {
         (acc, i) => acc.when(armed(specs(i)), lit(i))
       }
@@ -286,15 +299,26 @@ case class GraftMergeIntoCommand(
         .foldLeft(when(col("_graft_act") === 0, valueUnder(specs.head, f))) {
           (acc, i) => acc.when(col("_graft_act") === i, valueUnder(specs(i), f))
         }.as(f.name)
-    val kinds = typedLit(specs.map(_.kind))
-    val events = joined
-      .withColumn("_graft_act", actExpr)
-      .filter(col("_graft_act").isNotNull)
-      .select(
-        col("_graft_key").as("doc_id") +:
-          payload.toSeq.map(payloadCol) :+
-          lit(cur.watermarkLsn + 1).as("lsn") :+
-          element_at(kinds, col("_graft_act") + 1).as("op"): _*)
+    // a pure NOT-MATCHED-BY-SOURCE statement has no source-driven
+    // actions: the src leg is empty (the retraction leg below carries
+    // the whole statement)
+    val events =
+      if (specs.isEmpty)
+        joined.limit(0).select(
+          col("_graft_key").as("doc_id") +:
+            payload.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)) :+
+            lit(cur.watermarkLsn + 1).as("lsn") :+ lit("D").as("op"): _*)
+      else {
+        val kinds = typedLit(specs.map(_.kind))
+        joined
+          .withColumn("_graft_act", actExpr)
+          .filter(col("_graft_act").isNotNull)
+          .select(
+            col("_graft_key").as("doc_id") +:
+              payload.toSeq.map(payloadCol) :+
+              lit(cur.watermarkLsn + 1).as("lsn") :+
+              element_at(kinds, col("_graft_act") + 1).as("op"): _*)
+      }
 
     // NOT MATCHED BY SOURCE DELETE (full-snapshot sync): every LIVE
     // target doc absent from the source keys retracts. The construct

@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.MergeOnRead
@@ -71,10 +71,14 @@ final class GraftChangelogSource(
     // stray `file:` trees appeared in the working directory. Strip the
     // scheme down to a filesystem path (local-only sandbox; a real
     // deployment would go through the checkpoint FileSystem API).
+    val scheme = java.net.URI.create(metadataPath.replace(" ", "%20")).getScheme
     val metaDir =
-      if (metadataPath.startsWith("file:")) Paths.get(
-        java.net.URI.create(metadataPath).getPath)
-      else Paths.get(metadataPath)
+      if (scheme == null) Paths.get(metadataPath)
+      else if (scheme == "file") Paths.get(java.net.URI.create(metadataPath).getPath)
+      else throw new IllegalArgumentException(
+        s"graft changelog stream supports only local (file:) checkpoints in " +
+          s"this build; got $metadataPath — a non-file scheme would silently " +
+          "anchor the starting-version marker as a RELATIVE local path")
     val p = metaDir.resolve("graft-initial-version")
     if (Files.exists(p))
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
@@ -152,14 +156,17 @@ final class GraftChangelogSource(
     lastEnd = math.max(lastEnd, to)
     val changes = MergeOnRead.changesSince(table, from, Some(to))
     // align to the pinned schema: evolution-added columns are dropped
-    // until restart; a vanished column fails loudly here
+    // until restart, and a pinned column MISSING from the window is
+    // null-filled, not an error — the engine's evolution is add/widen
+    // only, so a missing column means the window's end version PREDATES
+    // its addition (a rate-limited or restart-lagging stream pinned at a
+    // newer head replaying an older window); throwing here would wedge
+    // the stream on the same checkpointed batch forever (round-4 review
+    // finding)
     val present = changes.columns.toSet
     val aligned = changes.select(schema.fields.toIndexedSeq.map { f =>
-      if (!present.contains(f.name))
-        throw new IllegalStateException(
-          s"graft changelog stream: column ${f.name} of the pinned schema " +
-            s"no longer exists at version $to; restart the stream")
-      col(f.name).cast(f.dataType).as(f.name)
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
     }: _*)
     org.apache.spark.sql.classic.GraftSqlBridge.asStreamingBatch(aligned)
   }

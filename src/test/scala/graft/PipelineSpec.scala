@@ -878,6 +878,46 @@ class PipelineSpec extends SparkSpec {
     assert(eTgt.getMessage.contains("source columns"), eTgt.getMessage)
   }
 
+  test("MERGE partial by-name assignment takes expression semantics, not star") {
+    import spark.implicits._
+    val base = tmpDir("sqlmergepartial")
+    val p    = mkPipeline(base, mode = "mor")
+    p.applyBatch(Seq((1L, "I", "pb-a", Some(Seq(1, 2)), Some(2L), "keepme"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    // the source HAS columns shadowing every payload name — a shape-only
+    // star classification would copy tokens/source from it (or null
+    // them), silently clobbering the unassigned columns
+    Seq(("pb-a", Seq(9), 7L, "CLOBBER"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .createOrReplaceTempView("merge_partial_src")
+    spark.sql(
+      s"""MERGE INTO graft.`${p.table.root}` t USING merge_partial_src s
+          ON t.doc_id = s.doc_id
+          WHEN MATCHED THEN UPDATE SET n_tok = s.n_tok""").collect()
+    val r = p.readTable().filter(col("doc_id") === "pb-a")
+      .select("tokens", "n_tok", "source")
+      .as[(Seq[Int], Long, String)].head()
+    assert(r == ((Seq(1, 2), 7L, "keepme")),
+      s"only n_tok may change; unassigned columns keep target values: $r")
+  }
+
+  test("MERGE with ONLY a NOT MATCHED BY SOURCE DELETE is a pure retraction sync") {
+    import spark.implicits._
+    val base = tmpDir("sqlmergepure")
+    val p    = mkPipeline(base, mode = "mor")
+    p.applyBatch(Seq(
+      (1L, "I", "pr-a", Some(Seq(1)), Some(1L), "s"),
+      (2L, "I", "pr-b", Some(Seq(2)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    Seq(Tuple1("pr-b")).toDF("doc_id").createOrReplaceTempView("merge_pure_src")
+    spark.sql(
+      s"""MERGE INTO graft.`${p.table.root}` t USING merge_pure_src s
+          ON t.doc_id = s.doc_id
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""").collect()
+    val live = p.readTable().select("doc_id").as[String].collect().toSet
+    assert(live == Set("pr-b"), s"rows absent from source must retract: $live")
+  }
+
   test("MERGE INTO ... NOT MATCHED BY SOURCE DELETE syncs the table to the source") {
     import spark.implicits._
     val base = tmpDir("sqlmergesync")
@@ -988,6 +1028,11 @@ class PipelineSpec extends SparkSpec {
     val eRes = intercept[Exception] { spark.sql(
       s"CREATE TABLE graft.`${root}3` (doc_id STRING, _lsn BIGINT)") }
     assert(eRes.getMessage.contains("reserved"), eRes.getMessage)
+    // lsn/op payload names would make every INSERT look like an explicit
+    // change batch to the write path — reserved too
+    val eMeta = intercept[Exception] { spark.sql(
+      s"CREATE TABLE graft.`${root}5` (doc_id STRING, op STRING, lsn BIGINT)") }
+    assert(eMeta.getMessage.contains("reserved"), eMeta.getMessage)
     val ePart = intercept[Exception] { spark.sql(
       s"CREATE TABLE graft.`${root}4` (doc_id STRING, source STRING) PARTITIONED BY (source)") }
     assert(ePart.getMessage.contains("hash-bucketed"), ePart.getMessage)

@@ -243,6 +243,47 @@ class StreamingSpec extends SparkSpec {
       s"expected VacuumedVersionException in: ${causes(e).map(_.getClass.getSimpleName)}")
   }
 
+  test("changelog stream null-fills pinned columns in windows predating their addition") {
+    import graft.streaming.{CdcPipeline, PipelineConfig}
+    import spark.implicits._
+    val base = tmpDir("chevolve")
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/table", changeLogDir = "-", checkpointDir = "-",
+      errorDir = s"$base/errors", lineageDir = s"$base/lineage",
+      numBuckets = 8, mode = "mor"))
+    p.applyBatch(Seq((1L, "I", "ev-a", Some(Seq(1)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    val v1 = p.table.currentVersion.get
+    p.applyBatch(Seq((2L, "I", "ev-b", Some(Seq(2)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 1L)
+    // schema evolution: batch 2 adds an `extra` column
+    p.applyBatch(Seq((3L, "I", "ev-c", Some(Seq(3)), Some(1L), "s", "bonus"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source", "extra"), 2L)
+
+    // the stream pins the POST-evolution schema (it starts at head), but
+    // rate limiting makes its early micro-batches cover PRE-evolution
+    // windows — those must null-fill `extra`, not wedge the stream
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Option[String])]()
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", v1)
+      .option("maxVersionsPerTrigger", 1)
+      .load(s"$base/table")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("doc_id", "extra").collect().foreach(r =>
+          rows.add((r.getString(0), Option(r.getString(1)))))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.collection.JavaConverters._
+    val got = rows.iterator().asScala.toMap
+    assert(got == Map("ev-b" -> None, "ev-c" -> Some("bonus")),
+      s"pre-evolution window must null-fill the pinned column: $got")
+  }
+
   test("authenticated connector (S3b): typed pre-flight auth, redaction, stream parity") {
     import graft.ingest.{CdcGenerator, Connector, ConnectorAuthException, ConnectorConfig}
     val base = tmpDir("conn")
