@@ -528,7 +528,8 @@ object MergeOnRead {
     * such event exists.
     *
     * Rollback contract ([[TableMaintenance.rollbackTo]]): a range
-    * containing a rollback (a commit that DECREASED the watermark) is a
+    * containing a rollback (batchId == -3, or — for pre-marker
+    * manifests — a commit that decreased the watermark) is a
     * retraction — neither replay path above can express it (the rolled-
     * back rows' LSNs sit below the from-watermark). Such ranges resolve
     * by exact STATE DIFF of the two snapshots: docs live in `to` whose
@@ -550,11 +551,19 @@ object MergeOnRead {
       mTo.schema.fieldNames.filterNot(Merge.InternalCols.contains).toSeq
     val range = table.versions.filter(v => v > fromVersion && v <= to)
 
-    // a watermark DECREASE in the range marks a rollback — replay cannot
-    // express retraction, so the range resolves as an exact state diff
+    // a rollback in the range forces the exact state diff — replay
+    // cannot express retraction. Detected by the rollback commit's
+    // explicit batchId marker (-3, stamped by rollbackTo), NOT by
+    // watermark decrease alone: a rollback undoing a commit that applied
+    // only below-watermark events is watermark-NEUTRAL, and (because
+    // rollbackTo copies the TARGET manifest verbatim) may inherit
+    // minEventLsn == MaxValue from a fold target — which would otherwise
+    // classify the retraction as event-free and replay it as empty.
+    // The watermark-decrease check stays as a backstop for manifests
+    // predating the marker.
     val hasRollback = range.exists { v =>
       val m = table.manifest(v)
-      m.watermarkLsn < table.manifest(m.parent).watermarkLsn
+      m.batchId == -3L || m.watermarkLsn < table.manifest(m.parent).watermarkLsn
     }
     if (hasRollback) return snapshotDiff(table, fromVersion, to, payloadCols)
 
@@ -568,8 +577,10 @@ object MergeOnRead {
     }
     val stepFiles = steps.flatMap(_._2)
     // A commit is coverable by delta replay iff it ADDED delta files or
-    // provably applied NO events (minEventLsn == MaxValue — folds,
-    // rejects, rollbacks record it explicitly). The round-3 heuristic
+    // provably applied NO events (minEventLsn == MaxValue — folds and
+    // rejects record it explicitly; rollbacks inherit the TARGET's value
+    // but never reach this classification — hasRollback above already
+    // routed them to the state diff). The round-3 heuristic
     // "no deltas added AND watermark unchanged ⇒ event-free" was WRONG:
     // a COW commit applying only below-watermark (out-of-order) events
     // leaves the watermark unchanged too, and the range silently

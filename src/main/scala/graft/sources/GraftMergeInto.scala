@@ -33,8 +33,9 @@ import graft.table.SnapshotTable
   * Anything else fails with a typed [[GraftMergeInto.MergeUnsupported]]
   * naming the construct — never a silently-wrong merge:
   * target-referencing conditions/values, assignment to the merge key,
-  * nested-field assignment, and NOT MATCHED BY SOURCE stay rejected
-  * (the library change-batch API expresses those with explicit LSNs).
+  * nested-field assignment, and CONDITIONAL or non-DELETE NOT MATCHED
+  * BY SOURCE actions stay rejected (the library change-batch API
+  * expresses those with explicit LSNs).
   */
 object GraftMergeInto {
 
@@ -255,18 +256,20 @@ case class GraftMergeIntoCommand(
     // assignments additionally need the matched TARGET PAYLOAD (their
     // unassigned columns keep target values) — carried on the same
     // pruned join only when such an action exists.
+    // lazy: a pure NOT-MATCHED-BY-SOURCE statement (specs.isEmpty) never
+    // consults matched-ness, so it must not pay the probe's source scan
     val needTargetPayload = specs.exists(_.assigns.isDefined)
-    val touched = src
+    lazy val touched = src
       .select(MergeOnRead.bucketOf(col("_graft_key"), cur.numBuckets).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val live = MergeOnRead.resolveBuckets(table, touched)
+    lazy val live = MergeOnRead.resolveBuckets(table, touched)
       .filter(!coalesce(col(Merge.TombCol), lit(false)))
       .select(
         Seq(col("doc_id").as("_graft_tgt"), lit(true).as("_graft_matched")) ++
           (if (needTargetPayload)
              payload.toSeq.map(f => col(f.name).as(s"_graft_t_${f.name}"))
            else Seq.empty): _*)
-    val joined  = src.join(live, col("_graft_key") === col("_graft_tgt"), "left")
+    lazy val joined = src.join(live, col("_graft_key") === col("_graft_tgt"), "left")
     val matched = coalesce(col("_graft_matched"), lit(false))
     def armed(s: GraftMergeInto.ActionSpec) = {
       val side = if (s.matchedSide) matched else !matched
@@ -301,10 +304,11 @@ case class GraftMergeIntoCommand(
         }.as(f.name)
     // a pure NOT-MATCHED-BY-SOURCE statement has no source-driven
     // actions: the src leg is empty (the retraction leg below carries
-    // the whole statement)
+    // the whole statement) — built off `src`, not `joined`, so the
+    // lazy bucket probe and pruned target read are never forced
     val events =
       if (specs.isEmpty)
-        joined.limit(0).select(
+        src.limit(0).select(
           col("_graft_key").as("doc_id") +:
             payload.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)) :+
             lit(cur.watermarkLsn + 1).as("lsn") :+ lit("D").as("op"): _*)

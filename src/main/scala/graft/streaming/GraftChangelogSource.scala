@@ -45,8 +45,13 @@ import graft.table.SnapshotTable
   * manifest chain, so a checkpoint-replayed (start, end] re-delivers
   * byte-identical rows. Schema is pinned at stream start; columns a
   * later evolution ADDS are not surfaced until the stream restarts
-  * (emitting frames are aligned to the pinned schema), and a column
-  * REMOVED mid-stream fails typed.
+  * (emitting frames are aligned to the pinned schema), and a pinned
+  * column ABSENT from a window's schema null-fills rather than failing:
+  * that covers both windows predating the column's addition (the common
+  * rate-limited-catch-up case) and the rarer mid-stream narrowing (a
+  * rollback restoring a pre-evolution schema) — consumers that must
+  * distinguish "null value" from "column did not exist yet" should
+  * restart the stream after an evolution rather than read through it.
   */
 final class GraftChangelogSource(
     spark: SparkSession,
@@ -68,13 +73,17 @@ final class GraftChangelogSource(
     // metadataPath arrives as a Hadoop-style URI ("file:/tmp/.../sources/0");
     // Paths.get on the raw string would treat it as a RELATIVE path and
     // silently anchor the file under the process CWD — discovered when
-    // stray `file:` trees appeared in the working directory. Strip the
-    // scheme down to a filesystem path (local-only sandbox; a real
-    // deployment would go through the checkpoint FileSystem API).
-    val scheme = java.net.URI.create(metadataPath.replace(" ", "%20")).getScheme
+    // stray `file:` trees appeared in the working directory. Parse with
+    // Hadoop's Path, which accepts the UNENCODED form Spark actually
+    // passes (Path.toString never percent-encodes, so a checkpoint dir
+    // containing a space or '%' blows up java.net.URI.create), then
+    // strip the scheme down to a filesystem path (local-only sandbox; a
+    // real deployment would go through the checkpoint FileSystem API).
+    val metaUri = new org.apache.hadoop.fs.Path(metadataPath).toUri
+    val scheme = metaUri.getScheme
     val metaDir =
       if (scheme == null) Paths.get(metadataPath)
-      else if (scheme == "file") Paths.get(java.net.URI.create(metadataPath).getPath)
+      else if (scheme == "file") Paths.get(metaUri.getPath)
       else throw new IllegalArgumentException(
         s"graft changelog stream supports only local (file:) checkpoints in " +
           s"this build; got $metadataPath — a non-file scheme would silently " +

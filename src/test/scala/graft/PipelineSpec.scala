@@ -437,6 +437,37 @@ class PipelineSpec extends SparkSpec {
     assert(b == Seq(2), s"B must revert to v1 payload: $b")
   }
 
+  test("changesSince detects a watermark-NEUTRAL rollback via the commit marker") {
+    import graft.operators.{Merge, MergeOnRead, TableMaintenance}
+    import spark.implicits._
+    val base = tmpDir("rbneutral")
+    val p    = mkPipeline(base, mode = "mor")
+    def batch(rows: (Long, String, String, Option[Seq[Int]], Option[Long], String)*) =
+      rows.toSeq.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    // watermark lands at 10; compaction then records minEventLsn=MaxValue
+    p.applyBatch(batch(
+      (1L, "I", "A", Some(Seq(1)), Some(1L), "s"),
+      (10L, "I", "B", Some(Seq(2)), Some(1L), "s")), 0L)
+    MergeOnRead.compact(p.table, "rbn-compact")
+    val v1 = p.table.currentVersion.get
+    // a COW commit applying ONLY a below-watermark (out-of-order) event:
+    // the watermark stays 10, so the rollback below decreases nothing
+    Merge(p.table, batch((5L, "U", "A", Some(Seq(9)), Some(1L), "s")), "rbn-oo", 1L)
+    val v2 = p.table.currentVersion.get
+    assert(p.table.manifest(v2).watermarkLsn == p.table.manifest(v1).watermarkLsn,
+      "fixture must be watermark-neutral")
+    TableMaintenance.rollbackTo(p.table, v1)
+    val v3 = p.table.currentVersion.get
+    // the rollback commit copies the compact TARGET's manifest — so it
+    // inherits minEventLsn == MaxValue; before the batchId marker check
+    // the range classified as event-free delta replay and the genuine
+    // retraction silently surfaced as EMPTY
+    val got = MergeOnRead.changesSince(p.table, v2, Some(v3))
+      .select("doc_id", "op", "lsn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("A", "U", 1L)), s"retraction lost: $got")
+  }
+
   test("time travel: readTableAt reconstructs an earlier version exactly") {
     import graft.operators.{Conform, Dedup, Validate}
     val base = tmpDir("tt")

@@ -317,4 +317,35 @@ class StreamingSpec extends SparkSpec {
     assert(!s.contains("secrets.json") && !s.contains("hunter2") &&
       s.contains("<redacted>"))
   }
+
+  test("changelog stream starts under a checkpoint path with URI-hostile characters") {
+    import graft.streaming.{CdcPipeline, PipelineConfig}
+    import spark.implicits._
+    // Spark passes metadataPath as a Hadoop Path string, which never
+    // percent-encodes: a space or '%' in the checkpoint dir blew up the
+    // old java.net.URI.create parse before the stream could start
+    val base = tmpDir("ch space %dir")
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/table", changeLogDir = "-", checkpointDir = "-",
+      errorDir = s"$base/errors", lineageDir = s"$base/lineage",
+      numBuckets = 8, mode = "mor"))
+    p.applyBatch(Seq((1L, "I", "sp-a", Some(Seq(1)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    val v0 = p.table.currentVersion.get
+    p.applyBatch(Seq((2L, "I", "sp-b", Some(Seq(2)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 1L)
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", v0)
+      .load(s"$base/table")
+      .writeStream.format("memory").queryName("ch_space")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("ch_space").count() == 1, "one insert after v0")
+    // and the version marker anchored inside the hostile-path checkpoint
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/ckpt/sources/0/graft-initial-version")),
+      "initial-version file must be anchored inside the checkpoint dir")
+  }
 }
