@@ -447,6 +447,27 @@ object SparkEntry {
         s"""SELECT doc_id, concat_ws(',', tokens) AS tokens_csv, n_tok, source
             FROM graft.`$root` ORDER BY doc_id""")
     }),
+    "q_sql_update" -> ((s, dir) => {
+      // SQL UPDATE (round-4 DML widening): self-referencing expression
+      // assignments over the live rows matching a payload predicate,
+      // committed as one O(matches) MOR rewrite at a fresh LSN — the
+      // SQL spelling of TableMaintenance.enrichRewrite's contract.
+      val t = forkTable(s, dir, mode = "mor")
+      s.sql(
+        s"""UPDATE graft.`${t.root}`
+            SET n_tok = n_tok + 100, source = concat('upd-', source)
+            WHERE n_tok >= 2""").collect()
+      stateProjection(liveView(t))
+    }),
+    "q_sql_delete" -> ((s, dir) => {
+      // SQL DELETE FROM: predicate tombstones through the same MOR
+      // commit as TableMaintenance.deleteWhere — O(matches) events,
+      // never a table rewrite; late below-watermark CDC events cannot
+      // resurrect the rows.
+      val t = forkTable(s, dir, mode = "mor")
+      s.sql(s"DELETE FROM graft.`${t.root}` WHERE doc_id LIKE '%0'").collect()
+      stateProjection(liveView(t))
+    }),
     "q_cdc_errors" -> ((s, dir) => {
       val conformed = Conform(CdcGenerator.events(s, dir))
       Validate(conformed, "oracle-run").errors
@@ -1093,6 +1114,45 @@ object SparkEntry {
                         ELSE cast(len($toks) AS bigint) END AS n_tok,
                    CASE WHEN doc_id % 10 = 0 THEN 'sql2' ELSE 'sql' END AS source
             FROM documents ORDER BY $docId""",
+      "q_sql_update" ->
+        // merged live state with the n_tok>=2 rows rewritten by the
+        // UPDATE's expression assignments (tokens untouched)
+        s"""WITH evs AS ($ev),
+            valid AS (
+              SELECT * FROM evs
+              WHERE doc_id IS NOT NULL
+                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+            last AS (
+              SELECT doc_id,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens,
+                     max_by(n_tok, lsn) AS n_tok,
+                     max_by(source, lsn) AS source
+              FROM valid GROUP BY doc_id),
+            live AS (SELECT * FROM last WHERE op <> 'D')
+            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
+                   CASE WHEN n_tok >= 2 THEN cast(n_tok AS bigint) + 100
+                        ELSE cast(n_tok AS bigint) END AS n_tok,
+                   CASE WHEN n_tok >= 2 THEN 'upd-' || source ELSE source END AS source
+            FROM live ORDER BY doc_id""",
+      "q_sql_delete" ->
+        // merged live state minus the '%0' keys the DELETE tombstoned
+        s"""WITH evs AS ($ev),
+            valid AS (
+              SELECT * FROM evs
+              WHERE doc_id IS NOT NULL
+                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+            last AS (
+              SELECT doc_id,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens,
+                     max_by(n_tok, lsn) AS n_tok,
+                     max_by(source, lsn) AS source
+              FROM valid GROUP BY doc_id),
+            live AS (SELECT * FROM last WHERE op <> 'D')
+            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
+                   cast(n_tok AS bigint) AS n_tok, source
+            FROM live WHERE doc_id NOT LIKE '%0' ORDER BY doc_id""",
       "q_sql_read_tt" ->
         // state at the version after batch 0 (all events below the LSN
         // stride boundary) — the q_cdc_time_travel contract via SQL

@@ -73,6 +73,43 @@ class GraftCatalog extends TableCatalog {
     GraftTable(root, None, GraftDataSource.logicalSchema(t, None))
   }
 
+  /** `VERSION AS OF <v>` — the SQL spelling of the reader's
+    * `option("version", v)` pin; the expanded read is the identical
+    * snapshot-resolve plan at that version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    val t    = SnapshotTable.load(SparkSession.active, root)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft VERSION AS OF takes a numeric table version; got '$version'")
+    }
+    if (!t.versions.contains(v))
+      throw new IllegalArgumentException(
+        s"version $v is not a committed version of $root " +
+          s"(have ${t.versions.minOption.getOrElse(-1L)}..${t.currentVersion.getOrElse(-1L)})")
+    GraftTable(root, Some(v), GraftDataSource.logicalSchema(t, Some(v)))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — resolves to the LATEST version whose
+    * commit wall-clock is at or before the timestamp (Spark hands the
+    * literal down in microseconds). Pre-round-3 manifests carry no
+    * commitTs and never qualify — a table whose whole history predates
+    * the field fails typed rather than guessing. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    val t    = SnapshotTable.load(SparkSession.active, root)
+    val ms   = timestamp / 1000L
+    val v = t.versions
+      .filter { v => val ts = t.manifest(v).commitTs; ts >= 0 && ts <= ms }
+      .maxOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version of $root at or before timestamp ${ms}ms; " +
+          "the earliest timestamped commit is " +
+          t.versions.flatMap(v => Some(t.manifest(v).commitTs).filter(_ >= 0))
+            .minOption.fold("unknown (pre-commitTs manifests)")(x => s"${x}ms")))
+    GraftTable(root, Some(v), GraftDataSource.logicalSchema(t, Some(v)))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     SnapshotTable.load(SparkSession.active, rootOf(ident)).currentVersion.isDefined
 

@@ -249,7 +249,7 @@ case class GraftTable(
   *     MergeIntoTable target are left alone (reference-identity guard)
   *     until the statement resolves and pass 1 claims it. */
 case class GraftRelationResolution(session: SparkSession) extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, MergeIntoTable, UpdateTable}
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val merged = plan.resolveOperatorsDown {
@@ -265,31 +265,61 @@ case class GraftRelationResolution(session: SparkSession) extends Rule[LogicalPl
             (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
               .forall(_.resolved) =>
         GraftMergeInto.translate(m)
+      // DELETE FROM / UPDATE: row-level SQL DML over the live view,
+      // compiled onto the same O(matches) tombstone/rewrite commits the
+      // library's TableMaintenance ops use (the condition and assignment
+      // expressions stay bound — the target expands inside the compiled
+      // command with the relation's own attribute ids)
+      case d: DeleteFromTable
+          if GraftMergeInto.graftTargetOf(d.table).isDefined &&
+            d.childrenResolved && d.condition.resolved =>
+        GraftDml.translateDelete(session, d)
+      case u: UpdateTable
+          if GraftMergeInto.graftTargetOf(u.table).isDefined &&
+            u.childrenResolved && u.assignments.forall(_.resolved) &&
+            u.condition.forall(_.resolved) =>
+        GraftDml.translateUpdate(session, u)
     }
+    // targets of not-yet-claimed DML statements must stay UNEXPANDED so
+    // the claim above can still read the GraftTable (root, version) off
+    // the relation on a later fixed-point pass
     val pendingTargets: Seq[LogicalPlan] = merged.collect {
-      case m: MergeIntoTable => m.targetTable.collect {
-        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r: LogicalPlan
-      }
+      case m: MergeIntoTable   => relationsIn(m.targetTable)
+      case d: DeleteFromTable  => relationsIn(d.table)
+      case u: UpdateTable      => relationsIn(u.table)
     }.flatten
     merged.resolveOperatorsUp {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] && !pendingTargets.exists(_ eq r) =>
-        val t  = r.table.asInstanceOf[GraftTable]
-        val st = SnapshotTable.load(session, t.root)
-        val expanded = (t.changesFrom match {
-          // changelog view through SQL: the engine's CDC-out, same
-          // contract and paths as the library call
-          case Some(from) => MergeOnRead.changesSince(st, from, t.changesTo)
-          case None       => MergeOnRead.liveView(st, t.pinnedVersion)
-        }).queryExecution.analyzed
-        val byName = expanded.output.map(a => a.name -> a).toMap
-        Project(
-          r.output.map { o =>
-            val src = byName.getOrElse(o.name, throw new IllegalStateException(
-              s"graft table ${t.root} no longer has column ${o.name}; re-read the table"))
-            Alias(src, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-          },
-          expanded)
+        GraftRelationResolution.expand(session, r)
     }
+  }
+
+  private def relationsIn(p: LogicalPlan): Seq[LogicalPlan] = p.collect {
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r: LogicalPlan
+  }
+}
+
+object GraftRelationResolution {
+  /** Expand a [[GraftTable]] V2 relation into the library's resolve plan
+    * for its (root, version / changes range), re-aliased to the
+    * relation's output attribute ids so references above it stay bound. */
+  def expand(session: SparkSession, r: DataSourceV2Relation): LogicalPlan = {
+    val t  = r.table.asInstanceOf[GraftTable]
+    val st = SnapshotTable.load(session, t.root)
+    val expanded = (t.changesFrom match {
+      // changelog view through SQL: the engine's CDC-out, same
+      // contract and paths as the library call
+      case Some(from) => MergeOnRead.changesSince(st, from, t.changesTo)
+      case None       => MergeOnRead.liveView(st, t.pinnedVersion)
+    }).queryExecution.analyzed
+    val byName = expanded.output.map(a => a.name -> a).toMap
+    Project(
+      r.output.map { o =>
+        val src = byName.getOrElse(o.name, throw new IllegalStateException(
+          s"graft table ${t.root} no longer has column ${o.name}; re-read the table"))
+        Alias(src, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      },
+      expanded)
   }
 }

@@ -796,6 +796,60 @@ class PipelineSpec extends SparkSpec {
     assert(eNull.getMessage.contains("null join key"), eNull.getMessage)
   }
 
+  test("SQL DELETE FROM and UPDATE route through the MOR commit with typed dialect edges") {
+    import spark.implicits._
+    val base = tmpDir("sqldml")
+    val p    = mkPipeline(base, mode = "mor")
+    p.applyBatch(Seq(
+      (1L, "I", "d-a", Some(Seq(1)), Some(1L), "keep"),
+      (2L, "I", "d-b", Some(Seq(2, 2)), Some(2L), "purge"),
+      (3L, "I", "d-c", Some(Seq(3)), Some(1L), "keep"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    val root = p.table.root
+
+    // UPDATE with a self-referencing assignment and a predicate: only
+    // matching live rows rewrite; unassigned columns keep their values
+    val up = spark.sql(
+      s"""UPDATE graft.`$root` SET n_tok = n_tok + 10, source = concat(source, '!')
+          WHERE source = 'keep'""").collect()
+    assert(up.length == 1 && up(0).getLong(1) == 2, s"2 rows updated: ${up.toSeq}")
+    val afterUp = p.readTable().collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[String]("source"),
+          r.getAs[scala.collection.Seq[Int]]("tokens").toSeq)).toMap
+    assert(afterUp("d-a") == (11L, "keep!", Seq(1)), s"got ${afterUp("d-a")}")
+    assert(afterUp("d-c") == (11L, "keep!", Seq(3)))
+    assert(afterUp("d-b") == (2L, "purge", Seq(2, 2)), "non-matching row untouched")
+
+    // DELETE FROM with a payload predicate: tombstones above the
+    // watermark, O(matches) — the other rows stay live
+    val del = spark.sql(s"DELETE FROM graft.`$root` WHERE source = 'purge'").collect()
+    assert(del.length == 1 && del(0).getLong(1) == 1, s"1 row deleted: ${del.toSeq}")
+    assert(p.lookup("d-b").isEmpty, "purged row must be tombstoned")
+    assert(p.readTable().count() == 2)
+
+    // the commits are ordinary ledgered versions: time travel still
+    // reconstructs the pre-DML state
+    assert(spark.sql(
+      s"SELECT * FROM graft.`$root` VERSION AS OF 1").count() == 3)
+
+    // unconditioned DELETE retracts everything (full purge)
+    spark.sql(s"DELETE FROM graft.`$root`").collect()
+    assert(p.readTable().count() == 0, "DELETE without WHERE must empty the live view")
+
+    // dialect edges fail typed, never silently wrong
+    val eKey = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$root` SET doc_id = 'x'").collect()
+    }
+    assert(eKey.getMessage.contains("doc_id"), eKey.getMessage)
+    val eSub = intercept[Exception] {
+      spark.sql(
+        s"""DELETE FROM graft.`$root`
+            WHERE doc_id IN (SELECT doc_id FROM graft.`$root`)""").collect()
+    }
+    assert(eSub.getMessage.contains("subquer"), eSub.getMessage)
+  }
+
   test("resolveViaAgg ≡ resolve (the compaction A/B fold), incl. ties and tombstones") {
     import graft.operators.MergeOnRead
     import spark.implicits._
