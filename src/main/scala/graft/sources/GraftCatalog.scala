@@ -79,6 +79,7 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     val t    = SnapshotTable.load(SparkSession.active, root)
+    if (t.currentVersion.isEmpty) throw new NoSuchTableException(ident)
     val v = try version.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft VERSION AS OF takes a numeric table version; got '$version'")
@@ -98,6 +99,7 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val root = rootOf(ident)
     val t    = SnapshotTable.load(SparkSession.active, root)
+    if (t.currentVersion.isEmpty) throw new NoSuchTableException(ident)
     val ms   = timestamp / 1000L
     val v = t.versions
       .filter { v => val ts = t.manifest(v).commitTs; ts >= 0 && ts <= ms }

@@ -43,12 +43,23 @@ object GraftDml {
   final case class DmlUnsupported(detail: String)
       extends RuntimeException(s"graft DML: $detail")
 
-  private def claim(p: LogicalPlan): (DataSourceV2Relation, GraftTable) = {
+  /** Claim the target and fix the commit's LSN stamp NOW: the read
+    * snapshot is pinned at analysis time (expand below bakes the
+    * manifest's file list into the command), so the stamp and its
+    * CommitConflict guard must anchor to the SAME instant — stamping at
+    * run time against a head a concurrent writer advanced would pass
+    * the guard and silently clobber (review finding). The stamp is read
+    * BEFORE expand(), so a commit racing the two loads can only make
+    * the guard stricter, never looser. */
+  private def claim(
+      session: SparkSession, p: LogicalPlan): (DataSourceV2Relation, GraftTable, Long) = {
     val (rel, t) = GraftMergeInto.graftTargetOf(p).get
     if (t.pinnedVersion.nonEmpty || t.changesFrom.nonEmpty)
       throw DmlUnsupported(
         "cannot modify a version-pinned or changelog read; load the table without options")
-    (rel, t)
+    val cur = SnapshotTable.load(session, t.root).current.getOrElse(
+      throw new IllegalStateException(s"no graft table at ${t.root}"))
+    (rel, t, cur.watermarkLsn + 1)
   }
 
   /** Subqueries in DML conditions would need their own analysis pass
@@ -58,7 +69,7 @@ object GraftDml {
       throw DmlUnsupported(s"subqueries are not supported in DML conditions; got ${e.sql}")
 
   def translateDelete(session: SparkSession, d: DeleteFromTable): LogicalPlan = {
-    val (rel, t) = claim(d.table)
+    val (rel, t, stampLsn) = claim(session, d.table)
     checkNoSubquery(d.condition)
     val expanded = GraftRelationResolution.expand(session, rel)
     val docId = rel.output.find(_.name.equalsIgnoreCase("doc_id")).getOrElse(
@@ -66,19 +77,14 @@ object GraftDml {
     // only the matched keys flow to the commit — payload is irrelevant
     // to a tombstone event
     GraftDmlCommand(t.root, Project(Seq(docId),
-      Filter(d.condition, expanded)), op = "D")
+      Filter(d.condition, expanded)), op = "D", stampLsn)
   }
 
   def translateUpdate(session: SparkSession, u: UpdateTable): LogicalPlan = {
-    val (rel, t) = claim(u.table)
+    val (rel, t, stampLsn) = claim(session, u.table)
     u.condition.foreach(checkNoSubquery)
-    def strip(e: Expression): Expression = e match {
-      case al: Alias => strip(al.child)
-      case c: Cast   => strip(c.child)
-      case other     => other
-    }
-    val byKey: Map[String, Expression] = u.assignments.map { a =>
-      val name = strip(a.key) match {
+    val assigns: Seq[(String, Expression)] = u.assignments.map { a =>
+      val name = GraftMergeInto.stripWraps(a.key) match {
         case k: AttributeReference if rel.outputSet.contains(k) => k.name
         case other => throw DmlUnsupported(
           s"UPDATE SET keys must be plain target columns; got ${other.sql}")
@@ -90,7 +96,13 @@ object GraftDml {
         throw DmlUnsupported(
           s"UPDATE SET values may reference only the table's columns; got ${a.value.sql}")
       name.toLowerCase -> a.value
-    }.toMap
+    }
+    // ANSI (and Spark's own aligned path) reject duplicate assignments;
+    // a silent last-wins Map would violate the never-silently-wrong bar
+    assigns.groupBy(_._1).collect { case (n, as) if as.size > 1 => n }
+      .headOption.foreach(n =>
+        throw DmlUnsupported(s"duplicate UPDATE SET assignment to column $n"))
+    val byKey = assigns.toMap
     if (byKey.isEmpty) throw DmlUnsupported("UPDATE with no assignments")
     val expanded = GraftRelationResolution.expand(session, rel)
     // each payload column: the assignment expression (cast back to the
@@ -104,7 +116,8 @@ object GraftDml {
       }
     }
     GraftDmlCommand(t.root, Project(cols,
-      Filter(u.condition.getOrElse(Literal(true, BooleanType)), expanded)), op = "U")
+      Filter(u.condition.getOrElse(Literal(true, BooleanType)), expanded)), op = "U",
+      stampLsn)
   }
 }
 
@@ -117,7 +130,8 @@ object GraftDml {
 case class GraftDmlCommand(
     root: String,
     source: LogicalPlan, // resolved; doc_id (+ full payload when op=U)
-    op: String)          // "U" | "D"
+    op: String,          // "U" | "D"
+    stampLsn: Long)      // fixed at ANALYSIS time, same instant as `source`
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -129,16 +143,15 @@ case class GraftDmlCommand(
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions._
     val table = SnapshotTable.load(session, root)
-    val cur = table.current.getOrElse(
-      throw new IllegalStateException(s"no graft table at $root"))
-    val lsn = cur.watermarkLsn + 1
     val events = org.apache.spark.sql.classic.GraftSqlBridge.ofRows(session, source)
-      .withColumn("lsn", lit(lsn))
+      .withColumn("lsn", lit(stampLsn))
       .withColumn("op", lit(op))
     val stats = MergeOnRead(
       table, events, s"sqldml-${graft.table.Fs.nonce}", batchId = -6L,
-      requireWatermarkBelow = Some(lsn))
-    val affected = if (op == "D") stats.deleted else stats.updated
+      requireWatermarkBelow = Some(stampLsn))
+    // MergeOnRead's observed counters are null-sum -1 over an empty
+    // batch — a zero-match statement must report 0, not -1
+    val affected = (if (op == "D") stats.deleted else stats.updated).max(0L)
     Seq(Row(stats.version, affected))
   }
 }

@@ -57,6 +57,14 @@ object GraftMergeInto {
     case other                   => other
   }
 
+  /** Unwrap the Alias/Cast shells analysis adds around assignment
+    * keys and values (shared with [[GraftDml]]). */
+  private[sources] def stripWraps(e: Expression): Expression = e match {
+    case al: Alias => stripWraps(al.child)
+    case c: Cast   => stripWraps(c.child)
+    case other     => other
+  }
+
   def graftTargetOf(p: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =
     stripAlias(p) match {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
@@ -98,11 +106,7 @@ object GraftMergeInto {
       else throw MergeUnsupported(
         s"action conditions may reference only source columns; got ${c.sql}")
 
-    def strip(e: Expression): Expression = e match {
-      case al: Alias => strip(al.child)
-      case c: Cast   => strip(c.child)
-      case other     => other
-    }
+    def strip(e: Expression): Expression = stripWraps(e)
     // a resolved star action arrives as by-name assignments (possibly
     // cast/aliased) COVERING every target payload column; shape alone is
     // not enough — a partial by-name list like `SET n_tok = s.n_tok`

@@ -837,6 +837,11 @@ class PipelineSpec extends SparkSpec {
     spark.sql(s"DELETE FROM graft.`$root`").collect()
     assert(p.readTable().count() == 0, "DELETE without WHERE must empty the live view")
 
+    // a zero-match statement reports affected = 0 (the observed
+    // counters are null-sums over an empty batch — must not leak -1)
+    val del0 = spark.sql(s"DELETE FROM graft.`$root` WHERE doc_id = 'absent'").collect()
+    assert(del0(0).getLong(1) == 0, s"zero-match DELETE: ${del0.toSeq}")
+
     // dialect edges fail typed, never silently wrong
     val eKey = intercept[Exception] {
       spark.sql(s"UPDATE graft.`$root` SET doc_id = 'x'").collect()
@@ -848,6 +853,12 @@ class PipelineSpec extends SparkSpec {
             WHERE doc_id IN (SELECT doc_id FROM graft.`$root`)""").collect()
     }
     assert(eSub.getMessage.contains("subquer"), eSub.getMessage)
+    // duplicate assignments to one column: ANSI rejects; last-wins
+    // would be silently wrong
+    val eDup = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$root` SET n_tok = 1, N_TOK = 2").collect()
+    }
+    assert(eDup.getMessage.contains("duplicate"), eDup.getMessage)
   }
 
   test("resolveViaAgg ≡ resolve (the compaction A/B fold), incl. ties and tombstones") {
