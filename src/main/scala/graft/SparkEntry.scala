@@ -309,6 +309,35 @@ object SparkEntry {
             .otherwise(col("source")).as("source"))
         .orderBy(col("lsn"))
     }),
+    "q_stream_sink" -> ((s, dir) => {
+      // The streaming WRITE sink (round-4, the read source's twin): a
+      // binlog tail is one statement — readStream(change files) →
+      // writeStream.format("graft") — each micro-batch a ledgered LWW
+      // upsert commit (exactly-once across restarts via the checkpoint-
+      // keyed commit id). Validation is the same predicate the
+      // pipeline's conform stage applies, inlined stream-side; the
+      // final table state must equal the batch pipeline's (oracle
+      // shared with q_cdc_merge_state).
+      val root = tempRoot("graft-snk") + "/table"
+      graft.table.SnapshotTable.create(s, root,
+        org.apache.spark.sql.types.StructType(Conform.EventSchema.fields
+          .filter(f => Set("doc_id", "tokens", "n_tok", "source").contains(f.name))),
+        numBuckets = 16)
+      val q = s.readStream.schema(Conform.EventSchema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(s"${stagedChangelog(s, dir)}/batch-*")
+        .filter(col("doc_id").isNotNull &&
+          (col("op") === "D" ||
+            (col("tokens").isNotNull && col("n_tok") === size(col("tokens")))))
+        .drop("ingest_ts")
+        .writeStream.format("graft")
+        .option("path", root)
+        .option("checkpointLocation", tempRoot("graft-snk-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      stateProjection(liveView(graft.table.SnapshotTable.load(s, root)))
+    }),
     "q_cdc_changes_cow" -> ((s, dir) => {
       // The changesSince FALLBACK path: a COW join commit leaves no
       // replayable delta files, so the range resolves by snapshot diff —
@@ -1189,6 +1218,25 @@ object SparkEntry {
                    cast(n_tok AS bigint) AS n_tok, source
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
       "q_cdc_merge_state_mor" ->
+        s"""WITH evs AS ($ev),
+            valid AS (
+              SELECT * FROM evs
+              WHERE doc_id IS NOT NULL
+                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+            last AS (
+              SELECT doc_id,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens,
+                     max_by(n_tok, lsn) AS n_tok,
+                     max_by(source, lsn) AS source
+              FROM valid GROUP BY doc_id)
+            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
+                   cast(n_tok AS bigint) AS n_tok, source
+            FROM last WHERE op <> 'D' ORDER BY doc_id""",
+      // the streaming sink applies the same change stream through
+      // writeStream.format("graft") — the final state contract is
+      // identical to the batch pipeline's
+      "q_stream_sink" ->
         s"""WITH evs AS ($ev),
             valid AS (
               SELECT * FROM evs

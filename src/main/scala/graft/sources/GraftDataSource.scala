@@ -27,6 +27,8 @@ import graft.table.SnapshotTable
   *     .option("changesTo", 5).load(root)                          //   changelog
   *   df.write.format("graft").mode("append").save(root)            // LWW upsert
   *   df.write.format("graft").mode("overwrite").save(root)         // replace
+  *   df.writeStream.format("graft").option("path", root)           // streaming
+  *     .option("checkpointLocation", cp).start()                   //   upsert sink
   * }}}
   *
   * A DataSource V2 [[TableProvider]] supplies discovery (short name
@@ -47,7 +49,8 @@ import graft.table.SnapshotTable
   * open-to-all-readers surface.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -76,6 +79,41 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       metadataPath,
       parameters.get("startingVersion").map(_.toLong),
       parameters.get("maxVersionsPerTrigger").map(_.toInt))
+
+  // ---- streaming upsert sink (df.writeStream.format("graft")) ----
+  // V1 StreamSinkProvider (the DataStreamWriter falls back to it when
+  // the V2 table does not declare STREAMING_WRITE — the bridge Delta
+  // shipped on): addBatch gets the whole micro-batch frame on the
+  // driver, which is exactly the shape the MERGE machinery wants.
+
+  override def createSink(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val ci = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    require(partitionColumns.isEmpty,
+      "graft sink manages its own bucketing; partitionBy is not supported")
+    require(outputMode != OutputMode.Complete(),
+      "graft sink supports Append/Update output modes (rows are LWW upserts); " +
+        "Complete would re-land the whole result every trigger — use a batch overwrite instead")
+    val root = ci.getOrElse("path", throw new IllegalArgumentException(
+      "graft streaming sink requires a path: .writeStream.format(\"graft\").option(\"path\", <tableRoot>)"))
+    // fail at start(), not first batch, when the table doesn't exist
+    val table = SnapshotTable.load(sqlContext.sparkSession, root)
+    require(table.current.isDefined,
+      s"no graft table at $root — create it (SnapshotTable.create / SQL CREATE TABLE) first")
+    // exactly-once key: explicit streamId, else the checkpoint location
+    // (stable across restarts), else a per-query nonce. Hashed — the
+    // commit id lands in delta file names, so no raw paths.
+    val rawKey = ci.get("streamid").orElse(ci.get("checkpointlocation"))
+      .getOrElse(graft.table.Fs.nonce)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(rawKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+    new graft.streaming.GraftStreamSink(sqlContext.sparkSession, root, key)
+  }
 
   private def rootOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(

@@ -28,4 +28,17 @@ object GraftSqlBridge {
       org.apache.spark.sql.execution.LogicalRDD.fromDataset(
         ds.queryExecution.toRdd, ds, isStreaming = true))
   }
+
+  /** The inverse, for a V1 streaming Sink's `addBatch`: rebind the
+    * micro-batch frame to its compiled RDD with the streaming flag OFF —
+    * the `ForeachBatchSink` idiom. The sink's write path runs several
+    * actions over the frame (cardinality probe, classification join,
+    * bucket write); a streaming-flagged plan rejects any new action with
+    * "streaming sources must be executed with writeStream.start()". */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
 }

@@ -348,4 +348,84 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$base/ckpt/sources/0/graft-initial-version")),
       "initial-version file must be anchored inside the checkpoint dir")
   }
+
+  test("graft streaming sink: exactly-once upserts, cross-batch LWW, ledger-skipped replays") {
+    import org.apache.spark.sql.types._
+    import graft.operators.MergeOnRead
+    import graft.table.SnapshotTable
+    import spark.implicits._
+    val base = tmpDir("snk")
+    val root = s"$base/table"
+    SnapshotTable.create(spark, root, StructType(Seq(
+      StructField("doc_id", StringType), StructField("tokens", ArrayType(IntegerType)),
+      StructField("n_tok", LongType), StructField("source", StringType))), numBuckets = 4)
+
+    def events(rows: (Long, String, String, Option[Seq[Int]], Option[Long], String)*) =
+      rows.toSeq.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    val evSchema = events().schema
+
+    // wave 1 over two files → two micro-batches at maxFilesPerTrigger=1
+    events((1L, "I", "d-a", Some(Seq(1)), Some(1L), "s"),
+           (2L, "I", "d-b", Some(Seq(2)), Some(1L), "s"))
+      .write.parquet(s"$base/in/w1")
+    events((3L, "U", "d-a", Some(Seq(9)), Some(1L), "s2")).write.parquet(s"$base/in/w2")
+
+    def runStream(): Unit = {
+      val q = spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in/*")
+        .writeStream.format("graft")
+        .option("path", root)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def state(): Set[(String, String, Long, String)] =
+      MergeOnRead.liveView(SnapshotTable.load(spark, root))
+        .select(col("doc_id"), concat_ws(",", col("tokens")).as("t"),
+          col("n_tok"), col("source"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .toSet
+    def version(): Long = SnapshotTable.load(spark, root).currentVersion.get
+
+    runStream()
+    assert(state() == Set(("d-a", "9", 1L, "s2"), ("d-b", "2", 1L, "s")),
+      s"streamed state drifted: ${state()}")
+    val v1 = version()
+
+    // restart, no new data: nothing re-delivered, no new commits
+    runStream()
+    assert(version() == v1, "empty restart must not commit")
+
+    // wave 2: an out-of-order LOWER-lsn update must NOT win (cross-batch
+    // LWW by lsn, the engine's core CDC semantic), and a delete lands
+    events((0L, "U", "d-b", Some(Seq(7)), Some(1L), "old"),
+           (4L, "D", "d-a", None, None, "s"))
+      .write.parquet(s"$base/in/w3")
+    runStream()
+    assert(state() == Set(("d-b", "2", 1L, "s")),
+      s"cross-batch LWW drifted: ${state()}")
+
+    // ledger: a replayed batchId through a FRESH sink instance (= restart
+    // re-offering the last batch) applies exactly once
+    val params = Map("path" -> root, "checkpointLocation" -> s"$base/ckpt")
+    def mkSink(mode: OutputMode = OutputMode.Append()) =
+      new graft.sources.GraftDataSource().createSink(spark.sqlContext, params, Nil, mode)
+    val replay = events((99L, "I", "d-z", Some(Seq(5)), Some(1L), "s"))
+    val v2 = version()
+    val s1 = mkSink(); s1.addBatch(1000L, replay)
+    assert(version() == v2 + 1)
+    s1.addBatch(1000L, replay)               // within-run duplicate
+    mkSink().addBatch(1000L, replay)         // cross-run replay → ledger skip
+    assert(version() == v2 + 1, "replayed batch must be ledger-skipped")
+    assert(state().contains(("d-z", "5", 1L, "s")))
+
+    // outside the dialect fails typed
+    intercept[IllegalArgumentException] { mkSink(OutputMode.Complete()) }
+    intercept[IllegalArgumentException] {
+      new graft.sources.GraftDataSource().createSink(
+        spark.sqlContext, params, Seq("source"), OutputMode.Append())
+    }
+  }
 }
