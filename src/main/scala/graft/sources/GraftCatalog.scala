@@ -40,8 +40,10 @@ import graft.table.SnapshotTable
   * layout). INSERT resolves through the V2 write capability to the same
   * [[GraftDataSource.insertInto]] LWW-upsert path as
   * `df.write.format("graft")` — never a bare file append; an exactly-once
-  * commit id can ride the session conf `graft.sql.commitId`. Unsupported
-  * DDL (partition transforms, ALTER/DROP/RENAME) keeps failing typed. */
+  * commit id can ride the session conf `graft.sql.commitId`.
+  * `ALTER TABLE ... ADD COLUMN` commits a schema-only evolution (see
+  * [[alterTable]]). Everything else (partition transforms, other ALTER
+  * forms, DROP/RENAME) keeps failing typed. */
 class GraftCatalog extends TableCatalog {
 
   private var catalogName: String = "graft"
@@ -158,9 +160,61 @@ class GraftCatalog extends TableCatalog {
     GraftTable(root, None, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolves through the merge path")
+  /** `ALTER TABLE graft.`/root`` ADD COLUMN name TYPE` — the explicit
+    * DDL spelling of the schema evolution the write path performs
+    * implicitly (an added nullable column is exactly the union-lattice
+    * AddColumn case). Compiles onto a SCHEMA-ONLY commit: the child
+    * manifest carries the same files/watermark/rowCount under the
+    * widened schema, and every reader null-fills files predating the
+    * change (the documented readFiles contract). The commit publishes
+    * through the same hard-link CAS as data commits — a racing writer
+    * surfaces as a typed CommitConflict, never a clobber. Only
+    * top-level nullable ADD COLUMN (default position, no DEFAULT
+    * value) is in dialect; everything else keeps failing typed. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.types.StructField
+    val root = rootOf(ident)
+    val t    = SnapshotTable.load(SparkSession.active, root)
+    val cur  = t.current.getOrElse(throw new NoSuchTableException(ident))
+    val adds: Seq[(String, org.apache.spark.sql.types.DataType)] = changes.map {
+      case a: TableChange.AddColumn
+          if a.fieldNames().length == 1 && a.isNullable &&
+            a.position() == null && a.defaultValue() == null =>
+        a.fieldNames()(0) -> a.dataType()
+      case c => throw new UnsupportedOperationException(
+        "graft ALTER TABLE supports only top-level nullable ADD COLUMN " +
+          s"at the default position with no DEFAULT value; got $c")
+    }
+    val reserved = graft.operators.Merge.InternalCols ++
+      Seq("lsn", "op", "_bucket", "ingest_ts")
+    adds.foreach { case (n, _) =>
+      if (reserved.exists(_.equalsIgnoreCase(n)))
+        throw new IllegalArgumentException(
+          s"column name $n is reserved (engine state / change-batch metadata)")
+      if (cur.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+        throw new IllegalArgumentException(s"column $n already exists in $root")
+    }
+    if (adds.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.size != adds.size)
+      throw new IllegalArgumentException(
+        s"duplicate column in ALTER TABLE: ${adds.map(_._1).mkString(", ")}")
+    // payload columns first, engine internals stay at the end
+    val internals = cur.schema.fields.filter(f =>
+      graft.operators.Merge.InternalCols.contains(f.name))
+    val payload = cur.schema.fields.filterNot(f =>
+      graft.operators.Merge.InternalCols.contains(f.name))
+    val evolved = StructType(payload ++
+      adds.map { case (n, dt) => StructField(n, dt, nullable = true) } ++ internals)
+    val m = cur.copy(version = cur.version + 1, parent = cur.version,
+      commitId = "alter-" + graft.table.Fs.nonce, batchId = -5L,
+      schemaJson = evolved.json)
+    try t.commit(m) catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw graft.operators.Merge.CommitConflict(m.commitId, Set.empty,
+          s"concurrent commit while altering $root; re-run ALTER TABLE against the new head")
+    }
+    GraftTable(root, None, StructType(evolved.fields.filterNot(f =>
+      graft.operators.Merge.InternalCols.contains(f.name))))
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

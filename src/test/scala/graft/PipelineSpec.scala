@@ -1134,6 +1134,52 @@ class PipelineSpec extends SparkSpec {
     assert(ePart.getMessage.contains("hash-bucketed"), ePart.getMessage)
   }
 
+  test("SQL ALTER TABLE ADD COLUMN: schema-only commit, null-filled reads, typed edges") {
+    import spark.implicits._
+    val root = s"${tmpDir("sqlalter")}/table"
+    spark.sql(
+      s"""CREATE TABLE graft.`$root`
+          (doc_id STRING, tokens ARRAY<INT>, n_tok BIGINT, source STRING)
+          TBLPROPERTIES ('numBuckets' = '4')""")
+    spark.sql(s"INSERT INTO graft.`$root` VALUES ('d-a', array(1), 1L, 's')")
+    val t = graft.table.SnapshotTable.load(spark, root)
+    val vBefore = t.currentVersion.get
+
+    spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN tier STRING")
+    // a schema-only commit: one version, same files, same row count
+    assert(t.currentVersion.contains(vBefore + 1), "ALTER must commit exactly one version")
+    assert(t.manifest(vBefore + 1).files == t.manifest(vBefore).files,
+      "ALTER must not rewrite data files")
+    // pre-alter rows read back with the new column null-filled
+    val row = spark.sql(s"SELECT doc_id, tier FROM graft.`$root`")
+      .as[(String, Option[String])].head()
+    assert(row == (("d-a", None)), s"old row must null-fill the added column: $row")
+    // the old version still reads under the OLD schema
+    assert(!spark.sql(s"SELECT * FROM graft.`$root` VERSION AS OF $vBefore")
+      .columns.contains("tier"))
+
+    // a write can now populate it (implicit evolution and explicit DDL
+    // land in the same lattice)
+    spark.sql(s"INSERT INTO graft.`$root` VALUES ('d-b', array(2), 1L, 's', 'gold')")
+    val got = spark.sql(s"SELECT doc_id, tier FROM graft.`$root` ORDER BY doc_id")
+      .as[(String, Option[String])].collect().toSeq
+    assert(got == Seq(("d-a", None), ("d-b", Some("gold"))), s"got $got")
+
+    // typed edges: existing column, reserved name, non-ADD DDL
+    val eDup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN tier STRING") }
+    assert(eDup.getMessage.contains("already exists"), eDup.getMessage)
+    val eRes = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN _lsn BIGINT") }
+    assert(eRes.getMessage.contains("reserved"), eRes.getMessage)
+    val eDrop = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN tier") }
+    assert(eDrop.getMessage.contains("ADD COLUMN"), eDrop.getMessage)
+    val ePos = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN lead STRING FIRST") }
+    assert(ePos.getMessage.contains("ADD COLUMN"), ePos.getMessage)
+  }
+
   test("catalog rejects relative / multi-part identifiers instead of resolving CWD-dependently") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft.data.docs").collect()
