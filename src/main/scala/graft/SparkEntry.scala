@@ -449,6 +449,31 @@ object SparkEntry {
             WHEN NOT MATCHED BY SOURCE THEN DELETE""").collect()
       stateProjection(liveView(t))
     }),
+    "q_sql_merge_tgt" -> ((s, dir) => {
+      // Target-referencing MERGE (round-4 second widening): the
+      // canonical LWW-if-newer upsert — the MATCHED condition compares
+      // the target's n_tok against the source's version, the assignment
+      // computes from BOTH sides, and NOT MATCHED BY SOURCE retracts
+      // conditionally on a TARGET predicate. Source-only expressions
+      // pre-evaluate over the source; target-referencing ones defer to
+      // the classification join where the matched payload is in scope.
+      val t = forkTable(s, dir, mode = "mor")
+      docs(s, dir).filter(col("doc_id") % 6 === 0).select(
+        Tokenize.docId(col("doc_id")).as("doc_id"),
+        array((col("doc_id") % 5).cast("int")).as("tokens"),
+        lit(1L).as("n_tok"), lit("tgt").as("source"),
+        (col("doc_id") % 7).cast("long").as("ver"),
+        (col("doc_id") % 11).cast("long").as("delta"))
+        .createOrReplaceTempView("graft_merge_tgt_src")
+      s.sql(
+        s"""MERGE INTO graft.`${t.root}` t USING graft_merge_tgt_src s
+            ON t.doc_id = s.doc_id
+            WHEN MATCHED AND t.n_tok < s.ver THEN UPDATE
+              SET n_tok = t.n_tok + s.delta, source = concat('m', s.ver)
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.n_tok > 4 THEN DELETE""").collect()
+      stateProjection(liveView(t))
+    }),
     "q_sql_insert" -> ((s, dir) => {
       // SQL DDL + INSERT (round-4): CREATE TABLE through the catalog,
       // two INSERT INTO ... SELECT statements (the second upserts a
@@ -1132,6 +1157,45 @@ object SparkEntry {
                    cast(doc_id % 5 AS varchar) AS tokens_csv,
                    cast(1 AS bigint) AS n_tok, 'sync' AS source
             FROM documents WHERE doc_id % 3 = 0 ORDER BY $docId""",
+      "q_sql_merge_tgt" ->
+        // LWW-if-newer: matched rows update only when l.n_tok < s.ver
+        // (n_tok += delta, source = 'm'||ver); unmatched source rows
+        // insert; live rows absent from the source retract iff n_tok > 4
+        s"""WITH evs AS ($ev),
+            valid AS (
+              SELECT * FROM evs
+              WHERE doc_id IS NOT NULL
+                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+            last AS (
+              SELECT doc_id,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens,
+                     max_by(n_tok, lsn) AS n_tok,
+                     max_by(source, lsn) AS source
+              FROM valid GROUP BY doc_id),
+            live AS (SELECT * FROM last WHERE op <> 'D'),
+            src AS (
+              SELECT 'doc' || cast(doc_id AS varchar) AS doc_id,
+                     [cast(doc_id % 5 AS int)] AS tokens,
+                     cast(1 AS bigint) AS n_tok, 'tgt' AS source,
+                     cast(doc_id % 7 AS bigint) AS ver,
+                     cast(doc_id % 11 AS bigint) AS delta
+              FROM documents WHERE doc_id % 6 = 0)
+            SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                   CASE WHEN l.doc_id IS NULL
+                        THEN array_to_string(s.tokens, ',')
+                        ELSE array_to_string(l.tokens, ',') END AS tokens_csv,
+                   CASE WHEN l.doc_id IS NULL THEN s.n_tok
+                        WHEN s.doc_id IS NOT NULL AND l.n_tok < s.ver
+                        THEN cast(l.n_tok AS bigint) + s.delta
+                        ELSE cast(l.n_tok AS bigint) END AS n_tok,
+                   CASE WHEN l.doc_id IS NULL THEN s.source
+                        WHEN s.doc_id IS NOT NULL AND l.n_tok < s.ver
+                        THEN 'm' || cast(s.ver AS varchar)
+                        ELSE l.source END AS source
+            FROM live l FULL JOIN src s ON l.doc_id = s.doc_id
+            WHERE NOT (s.doc_id IS NULL AND l.n_tok > 4)
+            ORDER BY doc_id""",
       "q_sql_insert" ->
         // CREATE + 2× INSERT INTO: every doc carries the tokenized text
         // from the first insert except the %10 keys the second insert

@@ -160,50 +160,101 @@ class GraftCatalog extends TableCatalog {
     GraftTable(root, None, schema)
   }
 
-  /** `ALTER TABLE graft.`/root`` ADD COLUMN name TYPE` — the explicit
-    * DDL spelling of the schema evolution the write path performs
-    * implicitly (an added nullable column is exactly the union-lattice
-    * AddColumn case). Compiles onto a SCHEMA-ONLY commit: the child
-    * manifest carries the same files/watermark/rowCount under the
-    * widened schema, and every reader null-fills files predating the
-    * change (the documented readFiles contract). The commit publishes
-    * through the same hard-link CAS as data commits — a racing writer
-    * surfaces as a typed CommitConflict, never a clobber. Only
-    * top-level nullable ADD COLUMN (default position, no DEFAULT
-    * value) is in dialect; everything else keeps failing typed. */
+  /** `ALTER TABLE graft.`/root`` ADD COLUMN name TYPE` and
+    * `ALTER COLUMN name TYPE wider` — the explicit DDL spellings of the
+    * two evolutions the write path performs implicitly (the
+    * union-lattice AddColumn and WidenColumn cases; the north-star's
+    * "widened n_tok" is exactly the latter). Both compile onto a
+    * SCHEMA-ONLY commit: the child manifest carries the same
+    * files/watermark/rowCount under the evolved schema, and every
+    * reader null-fills added columns in (and upcasts narrower columns
+    * of) files predating the change — the documented readFiles
+    * contract, exercised by the write-path evolution since round 1.
+    * The commit publishes through the same hard-link CAS as data
+    * commits — a racing writer surfaces as a typed CommitConflict,
+    * never a clobber. In dialect: top-level nullable ADD COLUMN
+    * (default position, no DEFAULT value) and top-level lossless type
+    * widening per [[graft.operators.SchemaEvolution.canWiden]];
+    * everything else keeps failing typed. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import org.apache.spark.sql.types.StructField
     val root = rootOf(ident)
     val t    = SnapshotTable.load(SparkSession.active, root)
     val cur  = t.current.getOrElse(throw new NoSuchTableException(ident))
-    val adds: Seq[(String, org.apache.spark.sql.types.DataType)] = changes.map {
+    val adds   = Seq.newBuilder[(String, org.apache.spark.sql.types.DataType)]
+    val widens = Seq.newBuilder[(String, org.apache.spark.sql.types.DataType)]
+    changes.foreach {
       case a: TableChange.AddColumn
           if a.fieldNames().length == 1 && a.isNullable &&
             a.position() == null && a.defaultValue() == null =>
-        a.fieldNames()(0) -> a.dataType()
+        adds += a.fieldNames()(0) -> a.dataType()
+      case w: TableChange.UpdateColumnType if w.fieldNames().length == 1 =>
+        widens += w.fieldNames()(0) -> w.newDataType()
+      // Spark spells array-element evolution `ALTER COLUMN col.element
+      // TYPE t` (CheckAnalysis rejects the whole-array spelling); it is
+      // the same WidenColumn case — normalize to a whole-array widen of
+      // the parent so one gate covers both spellings
+      case w: TableChange.UpdateColumnType
+          if w.fieldNames().length == 2 && w.fieldNames()(1) == "element" =>
+        widens += w.fieldNames()(0) ->
+          org.apache.spark.sql.types.ArrayType(w.newDataType())
       case c => throw new UnsupportedOperationException(
         "graft ALTER TABLE supports only top-level nullable ADD COLUMN " +
-          s"at the default position with no DEFAULT value; got $c")
+          "at the default position with no DEFAULT value, and top-level " +
+          s"ALTER COLUMN ... TYPE lossless widening; got $c")
     }
+    val addList   = adds.result()
+    val widenList = widens.result()
     val reserved = graft.operators.Merge.InternalCols ++
       Seq("lsn", "op", "_bucket", "ingest_ts")
-    adds.foreach { case (n, _) =>
+    addList.foreach { case (n, _) =>
       if (reserved.exists(_.equalsIgnoreCase(n)))
         throw new IllegalArgumentException(
           s"column name $n is reserved (engine state / change-batch metadata)")
       if (cur.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
         throw new IllegalArgumentException(s"column $n already exists in $root")
     }
-    if (adds.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.size != adds.size)
+    if (addList.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.size != addList.size)
       throw new IllegalArgumentException(
-        s"duplicate column in ALTER TABLE: ${adds.map(_._1).mkString(", ")}")
-    // payload columns first, engine internals stay at the end
+        s"duplicate column in ALTER TABLE: ${addList.map(_._1).mkString(", ")}")
+    // widen targets: existing PAYLOAD columns only (the merge key and the
+    // engine's state columns have fixed types), and the cast must be
+    // lossless — the same gate the write path's union lattice applies
+    val widenByName = widenList.map { case (n, to0) =>
+      val f = cur.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in $root to widen"))
+      if (f.name.equalsIgnoreCase("doc_id") ||
+          reserved.exists(_.equalsIgnoreCase(f.name)))
+        throw new IllegalArgumentException(
+          s"cannot alter the type of ${f.name} (merge key / engine state)")
+      // an element widen only changes the element type — keep the
+      // existing array's containsNull
+      val to = (f.dataType, to0) match {
+        case (org.apache.spark.sql.types.ArrayType(_, cn),
+              org.apache.spark.sql.types.ArrayType(e, _)) =>
+          org.apache.spark.sql.types.ArrayType(e, cn)
+        case _ => to0
+      }
+      if (!graft.operators.SchemaEvolution.canWiden(f.dataType, to))
+        throw new IllegalArgumentException(
+          s"ALTER COLUMN ${f.name} TYPE ${to.sql} is not a lossless widening " +
+            s"of ${f.dataType.sql}; only widening casts evolve a graft schema")
+      f.name.toLowerCase(java.util.Locale.ROOT) -> to
+    }.toMap
+    if (widenByName.size != widenList.size)
+      throw new IllegalArgumentException(
+        s"duplicate column in ALTER COLUMN: ${widenList.map(_._1).mkString(", ")}")
+    // payload columns first (widened in place), engine internals at the end
     val internals = cur.schema.fields.filter(f =>
       graft.operators.Merge.InternalCols.contains(f.name))
-    val payload = cur.schema.fields.filterNot(f =>
-      graft.operators.Merge.InternalCols.contains(f.name))
+    val payload = cur.schema.fields
+      .filterNot(f => graft.operators.Merge.InternalCols.contains(f.name))
+      .map { f =>
+        widenByName.get(f.name.toLowerCase(java.util.Locale.ROOT))
+          .fold(f)(to => f.copy(dataType = to))
+      }
     val evolved = StructType(payload ++
-      adds.map { case (n, dt) => StructField(n, dt, nullable = true) } ++ internals)
+      addList.map { case (n, dt) => StructField(n, dt, nullable = true) } ++ internals)
     val m = cur.copy(version = cur.version + 1, parent = cur.version,
       commitId = "alter-" + graft.table.Fs.nonce, batchId = -5L,
       schemaJson = evolved.json)

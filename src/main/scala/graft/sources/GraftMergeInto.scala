@@ -21,21 +21,30 @@ import graft.table.SnapshotTable
   *  - `ON target.doc_id = source.<column>` (single key equality);
   *  - `WHEN MATCHED [AND cond] THEN UPDATE SET *` / `THEN DELETE`;
   *  - `WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, …` —
-  *    expression assignments over SOURCE columns (round-4 widening);
-  *    unassigned payload columns keep their target values, so the
-  *    classification join carries the matched target payload for these;
-  *  - `WHEN NOT MATCHED [AND cond] THEN INSERT *`;
-  *  - `WHEN NOT MATCHED BY SOURCE THEN DELETE` (unconditional —
-  *    full-snapshot-sync retraction; round-4 widening);
-  *  - action conditions over SOURCE columns only; first matching
-  *    action wins, in declaration order;
-  *  - duplicate source keys raise the ANSI cardinality violation.
+  *    expression assignments (round-4 widening); unassigned payload
+  *    columns keep their target values, so the classification join
+  *    carries the matched target payload for these;
+  *  - MATCHED-side conditions and assignment values may reference BOTH
+  *    source and target columns (`AND t.n_tok < s.n_tok`,
+  *    `SET n_tok = t.n_tok + s.delta` — the LWW-if-newer upsert);
+  *    source-only expressions pre-evaluate in a Project over the
+  *    source, target-referencing ones defer to AFTER the
+  *    classification join, where the matched target payload rides as
+  *    `_graft_t_<col>` columns;
+  *  - `WHEN NOT MATCHED [AND cond] THEN INSERT *` — conditions over
+  *    SOURCE columns only (ANSI: the target side of an unmatched source
+  *    row is all-null);
+  *  - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE` —
+  *    full-snapshot-sync retraction; the condition (round-4 second
+  *    widening) may reference TARGET columns only;
+  *  - first matching action wins, in declaration order;
+  *  - duplicate source keys raise the ANSI cardinality violation,
+  *    duplicate SET columns the ANSI duplicate-assignment error.
   * Anything else fails with a typed [[GraftMergeInto.MergeUnsupported]]
-  * naming the construct — never a silently-wrong merge:
-  * target-referencing conditions/values, assignment to the merge key,
-  * nested-field assignment, and CONDITIONAL or non-DELETE NOT MATCHED
-  * BY SOURCE actions stay rejected (the library change-batch API
-  * expresses those with explicit LSNs).
+  * naming the construct — never a silently-wrong merge: assignment to
+  * the merge key, nested-field assignment, and NOT MATCHED BY SOURCE
+  * UPDATE stay rejected (the library change-batch API expresses those
+  * with explicit LSNs).
   */
 object GraftMergeInto {
 
@@ -76,20 +85,31 @@ object GraftMergeInto {
     val (rel, t) = graftTargetOf(m.targetTable).get
     if (t.pinnedVersion.nonEmpty || t.changesFrom.nonEmpty)
       throw MergeUnsupported("cannot merge into a version-pinned or changelog read")
-    // NOT MATCHED BY SOURCE: the unconditional DELETE (full-snapshot-sync
-    // semantics — the source IS the desired state, target rows absent
-    // from it retract). Conditioned/UPDATE variants need target-side
-    // expression evaluation and stay out of dialect (typed).
-    val deleteUnmatchedTarget = m.notMatchedBySourceActions match {
-      case Seq()                  => false
-      case Seq(DeleteAction(None)) => true
-      case other => throw MergeUnsupported(
-        "WHEN NOT MATCHED BY SOURCE supports only the unconditional DELETE; " +
-          s"got ${other.mkString(", ")}")
-    }
 
     val srcOut = m.sourceTable.outputSet
     val tgtOut = rel.outputSet
+
+    // NOT MATCHED BY SOURCE: DELETE, optionally conditioned on TARGET
+    // columns (those rows have no source match, so source refs are
+    // meaningless — ANSI agrees). The condition is rewritten to plain
+    // names and evaluated over the live view in the retraction leg.
+    // UPDATE variants stay out of dialect (typed).
+    val (deleteUnmatchedTarget, unmatchedTargetCond) =
+      m.notMatchedBySourceActions match {
+        case Seq()                   => (false, None)
+        case Seq(DeleteAction(None)) => (true, None)
+        case Seq(DeleteAction(Some(c))) =>
+          if (!c.references.subsetOf(tgtOut)) throw MergeUnsupported(
+            "WHEN NOT MATCHED BY SOURCE conditions may reference only " +
+              s"target columns; got ${c.sql}")
+          (true, Some(c.transform {
+            case a: AttributeReference if tgtOut.contains(a) =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+          }))
+        case other => throw MergeUnsupported(
+          "WHEN NOT MATCHED BY SOURCE supports only DELETE; " +
+            s"got ${other.mkString(", ")}")
+      }
 
     val key: Attribute = m.mergeCondition match {
       case EqualTo(l: AttributeReference, r: AttributeReference)
@@ -101,12 +121,21 @@ object GraftMergeInto {
           s"ON must be a single equality target.doc_id = source.<column>; got ${other.sql}")
     }
 
-    def checkCond(c: Expression): Expression =
-      if (c.references.subsetOf(srcOut)) c
-      else throw MergeUnsupported(
-        s"action conditions may reference only source columns; got ${c.sql}")
-
     def strip(e: Expression): Expression = stripWraps(e)
+
+    // target refs rewrite to the joined frame's carried-payload columns
+    // (`_graft_t_<col>`; the merge key itself to the joined live key),
+    // source refs to their plain names — the joined frame is rebuilt
+    // with fresh exprIds at run time, so resolution is by NAME, which
+    // the `_graft_` prefix keeps unambiguous
+    def rewriteRefs(e: Expression): Expression = e.transform {
+      case a: AttributeReference if tgtOut.contains(a) =>
+        val n = if (a.name.equalsIgnoreCase("doc_id")) "_graft_tgt"
+                else s"_graft_t_${a.name}"
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n))
+      case a: AttributeReference if srcOut.contains(a) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+    }
     // a resolved star action arrives as by-name assignments (possibly
     // cast/aliased) COVERING every target payload column; shape alone is
     // not enough — a partial by-name list like `SET n_tok = s.n_tok`
@@ -129,17 +158,37 @@ object GraftMergeInto {
         }.toSet)
     }
 
-    val conds = scala.collection.mutable.ArrayBuffer[Expression]()
-    def condIdx(c: Option[Expression]): Option[Int] =
-      c.map { e => conds += checkCond(e); conds.size - 1 }
+    // source-only expressions pre-evaluate in a Project over the source
+    // (resolved, no run-time bridge needed); target-referencing
+    // MATCHED-side expressions defer to after the classification join,
+    // where the carried target payload is in scope. Both kinds share
+    // one `_graft_c<i>` / `_graft_v<j>` index space so the downstream
+    // column plumbing never cares which path computed a column.
+    val conds    = scala.collection.mutable.ArrayBuffer[(Int, Expression)]()
+    val values   = scala.collection.mutable.ArrayBuffer[(Int, Expression)]()
+    val deferred = scala.collection.mutable.ArrayBuffer[(String, Expression)]()
+    var nCond = 0
+    var nVal  = 0
+
+    def condIdx(c: Option[Expression], matchedSide: Boolean): Option[Int] =
+      c.map { e =>
+        val i = nCond; nCond += 1
+        if (e.references.subsetOf(srcOut)) conds += (i -> e)
+        else if (matchedSide && e.references.subsetOf(srcOut ++ tgtOut))
+          deferred += (s"_graft_c$i" -> rewriteRefs(e))
+        else if (!matchedSide) throw MergeUnsupported(
+          "WHEN NOT MATCHED conditions may reference only source columns " +
+            s"(the target side of an unmatched row is all-null); got ${e.sql}")
+        else throw MergeUnsupported(
+          s"action conditions may reference only the source and target tables; got ${e.sql}")
+        i
+      }
 
     // expression assignments: key must be a plain target payload column
     // (never the merge key; nested fields are out of dialect), the value
-    // any expression over SOURCE columns — evaluated in the projected
-    // source as `_graft_v<j>` (same trick as the condition columns)
-    val values = scala.collection.mutable.ArrayBuffer[Expression]()
-    def exprAssigns(assignments: Seq[Assignment]): Seq[(String, Int)] =
-      assignments.map { a =>
+    // any expression over source and/or target columns
+    def exprAssigns(assignments: Seq[Assignment]): Seq[(String, Int)] = {
+      val out = assignments.map { a =>
         val name = strip(a.key) match {
           case k: AttributeReference if tgtOut.contains(k) => k.name
           case other => throw MergeUnsupported(
@@ -147,46 +196,62 @@ object GraftMergeInto {
         }
         if (name.equalsIgnoreCase("doc_id"))
           throw MergeUnsupported("cannot assign to the merge key doc_id")
-        if (!a.value.references.subsetOf(srcOut))
-          throw MergeUnsupported(
-            s"assignment values may reference only source columns; got ${a.value.sql}")
-        values += a.value
-        name -> (values.size - 1)
+        val j = nVal; nVal += 1
+        if (a.value.references.subsetOf(srcOut)) values += (j -> a.value)
+        else if (a.value.references.subsetOf(srcOut ++ tgtOut))
+          deferred += (s"_graft_v$j" -> rewriteRefs(a.value))
+        else throw MergeUnsupported(
+          s"assignment values may reference only the source and target tables; got ${a.value.sql}")
+        name -> j
       }
+      // ANSI rejects duplicate assignments; a silent first-wins lookup
+      // would violate the never-silently-wrong bar (same rule as DML
+      // UPDATE)
+      out.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
+        .collect { case (n, as) if as.size > 1 => n }
+        .headOption.foreach(n =>
+          throw MergeUnsupported(s"duplicate UPDATE SET assignment to column $n"))
+      out
+    }
 
     val specs = scala.collection.mutable.ArrayBuffer[ActionSpec]()
     m.matchedActions.foreach {
-      case DeleteAction(c)     => specs += ActionSpec("D", matchedSide = true, condIdx(c))
-      case UpdateStarAction(c) => specs += ActionSpec("U", matchedSide = true, condIdx(c))
+      case DeleteAction(c) =>
+        specs += ActionSpec("D", matchedSide = true, condIdx(c, matchedSide = true))
+      case UpdateStarAction(c) =>
+        specs += ActionSpec("U", matchedSide = true, condIdx(c, matchedSide = true))
       case UpdateAction(c, as, fromStar) =>
         val assigns =
           if (fromStar || isStarShaped(as)) None else Some(exprAssigns(as))
-        specs += ActionSpec("U", matchedSide = true, condIdx(c), assigns)
+        specs += ActionSpec("U", matchedSide = true, condIdx(c, matchedSide = true), assigns)
       case other => throw MergeUnsupported(s"unsupported WHEN MATCHED action: $other")
     }
     m.notMatchedActions.foreach {
-      case InsertStarAction(c) => specs += ActionSpec("I", matchedSide = false, condIdx(c))
+      case InsertStarAction(c) =>
+        specs += ActionSpec("I", matchedSide = false, condIdx(c, matchedSide = false))
       case InsertAction(c, as) =>
         if (!isStarShaped(as))
           throw MergeUnsupported(
             s"INSERT supports only star (by-name) assignments; got ${as.map(_.sql).mkString(", ")}")
-        specs += ActionSpec("I", matchedSide = false, condIdx(c))
+        specs += ActionSpec("I", matchedSide = false, condIdx(c, matchedSide = false))
       case other => throw MergeUnsupported(s"unsupported WHEN NOT MATCHED action: $other")
     }
     if (specs.isEmpty && !deleteUnmatchedTarget)
       throw MergeUnsupported("no merge actions given")
 
-    // evaluate every action condition and assignment value as a named
-    // column over the source NOW (resolved expressions in a Project) so
-    // the command needs no Expression→Column bridge at run time
+    // evaluate the source-only action conditions and assignment values
+    // as named columns over the source NOW (resolved expressions in a
+    // Project); the deferred (target-referencing) ones ride the command
+    // and evaluate after the classification join
     val projected = Project(
       m.sourceTable.output ++
-        conds.zipWithIndex.map { case (c, i) => Alias(c, s"_graft_c$i")() } ++
-        values.zipWithIndex.map { case (v, j) => Alias(v, s"_graft_v$j")() },
+        conds.map { case (i, c) => Alias(c, s"_graft_c$i")() } ++
+        values.map { case (j, v) => Alias(v, s"_graft_v$j")() },
       m.sourceTable)
 
     GraftMergeIntoCommand(t.root, projected, key.name, specs.toSeq,
-      deleteUnmatchedTarget)
+      deleteUnmatchedTarget, deferred.toSeq,
+      unmatchedTargetCond.map("_graft_nms" -> _))
   }
 }
 
@@ -199,7 +264,19 @@ case class GraftMergeIntoCommand(
     source: LogicalPlan, // Project carrying _graft_c<i> condition columns; resolved
     sourceKey: String,
     specs: Seq[GraftMergeInto.ActionSpec],
-    deleteUnmatchedTarget: Boolean = false) extends LeafRunnableCommand {
+    deleteUnmatchedTarget: Boolean = false,
+    /** Target-referencing `_graft_c<i>`/`_graft_v<j>` columns, rewritten
+      * to resolve by name against the classification join's frame. */
+    deferredCols: Seq[(String, Expression)] = Seq.empty,
+    /** NOT MATCHED BY SOURCE delete condition (target columns, rewritten
+      * to plain names for the live-view retraction leg). Tupled with a
+      * label for the same reason deferredCols is: `TreeNode.expressions`
+      * collects bare/`Some`-wrapped Expression fields and CheckAnalysis
+      * would then demand these deliberately-unresolved by-name
+      * expressions resolve against THIS plan — but they resolve against
+      * frames the command builds at run time. A non-Expression tuple is
+      * invisible to that walk. */
+    unmatchedTargetCond: Option[(String, Expression)] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -262,7 +339,8 @@ case class GraftMergeIntoCommand(
     // pruned join only when such an action exists.
     // lazy: a pure NOT-MATCHED-BY-SOURCE statement (specs.isEmpty) never
     // consults matched-ness, so it must not pay the probe's source scan
-    val needTargetPayload = specs.exists(_.assigns.isDefined)
+    val needTargetPayload =
+      specs.exists(_.assigns.isDefined) || deferredCols.nonEmpty
     lazy val touched = src
       .select(MergeOnRead.bucketOf(col("_graft_key"), cur.numBuckets).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet
@@ -273,7 +351,14 @@ case class GraftMergeIntoCommand(
           (if (needTargetPayload)
              payload.toSeq.map(f => col(f.name).as(s"_graft_t_${f.name}"))
            else Seq.empty): _*)
-    lazy val joined = src.join(live, col("_graft_key") === col("_graft_tgt"), "left")
+    // deferred target-referencing conditions/values evaluate here, with
+    // the matched payload in scope; unmatched rows see them as null
+    // (never armed / never selected — their action can't be matched-side)
+    lazy val joined = deferredCols.foldLeft(
+      src.join(live, col("_graft_key") === col("_graft_tgt"), "left")) {
+        case (df, (n, e)) =>
+          df.withColumn(n, org.apache.spark.sql.classic.GraftSqlBridge.column(e))
+      }
     val matched = coalesce(col("_graft_matched"), lit(false))
     def armed(s: GraftMergeInto.ActionSpec) = {
       val side = if (s.matchedSide) matched else !matched
@@ -338,7 +423,10 @@ case class GraftMergeIntoCommand(
     val allEvents =
       if (!deleteUnmatchedTarget) events
       else events.unionByName(
-        MergeOnRead.liveView(table).select(col("doc_id"))
+        unmatchedTargetCond.foldLeft(MergeOnRead.liveView(table)) {
+          case (df, (_, c)) =>
+            df.filter(org.apache.spark.sql.classic.GraftSqlBridge.column(c))
+        }.select(col("doc_id"))
           .join(src.select(col("_graft_key").as("doc_id")), Seq("doc_id"), "left_anti")
           .select(
             col("doc_id") +:

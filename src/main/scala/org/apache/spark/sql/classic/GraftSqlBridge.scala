@@ -29,6 +29,16 @@ object GraftSqlBridge {
         ds.queryExecution.toRdd, ds, isStreaming = true))
   }
 
+  /** Wrap a catalyst Expression as a user-facing Column (the classic
+    * `ExpressionUtils.column` is `private[sql]`). graft's MERGE/DML
+    * compilers use it to evaluate TARGET-referencing action expressions
+    * AFTER the classification join: the analyzed expression's target
+    * attributes are rewritten to `UnresolvedAttribute`s naming the
+    * joined frame's `_graft_t_<col>` columns, and the analyzer resolves
+    * them against that frame like any user column. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    ExpressionUtils.column(e)
+
   /** The inverse, for a V1 streaming Sink's `addBatch`: rebind the
     * micro-batch frame to its compiled RDD with the streaming flag OFF —
     * the `ForeachBatchSink` idiom. The sink's write path runs several

@@ -774,14 +774,14 @@ class PipelineSpec extends SparkSpec {
     }
     assert(eDup.getMessage.contains("cardinality"), eDup.getMessage)
 
-    // out-of-dialect constructs fail typed, never silently wrong:
-    // a condition referencing the TARGET needs target values
-    val eTgt = intercept[Exception] {
-      spark.sql(
-        s"""MERGE INTO graft.`$root` t USING merge_src s ON t.doc_id = s.doc_id
-            WHEN MATCHED AND t.n_tok > 1 THEN DELETE""").collect()
-    }
-    assert(eTgt.getMessage.contains("graft MERGE INTO"), eTgt.getMessage)
+    // target-referencing MATCHED conditions are in dialect (round-4
+    // second widening): delete exactly the live rows whose TARGET
+    // n_tok exceeds 1 — m-b (updated to n_tok=2 above), not m-c
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING merge_src s ON t.doc_id = s.doc_id
+          WHEN MATCHED AND t.n_tok > 1 THEN DELETE""").collect()
+    assert(p.readTable().select("doc_id").as[String].collect().toSet == Set("m-c"),
+      "only m-b had target n_tok > 1")
 
     // a null source key would smuggle a null doc_id past validation
     // (ANSI routes it to INSERT) — typed rejection instead
@@ -963,15 +963,72 @@ class PipelineSpec extends SparkSpec {
     assert(st("x-b") == (Seq(3), 1L, "s"), "unmatched target row untouched")
     assert(!st.contains("x-c"), "no NOT MATCHED action → source-only row dropped")
 
-    // still typed: assignment to the merge key / target-referencing value
+    // still typed: assignment to the merge key / duplicate assignment
     val eKey = intercept[Exception] { spark.sql(
       s"""MERGE INTO graft.`$root` t USING merge_expr_src s ON t.doc_id = s.doc_id
           WHEN MATCHED THEN UPDATE SET doc_id = s.tag""").collect() }
     assert(eKey.getMessage.contains("merge key"), eKey.getMessage)
-    val eTgt = intercept[Exception] { spark.sql(
+    val eDup = intercept[Exception] { spark.sql(
       s"""MERGE INTO graft.`$root` t USING merge_expr_src s ON t.doc_id = s.doc_id
-          WHEN MATCHED THEN UPDATE SET n_tok = t.n_tok + 1""").collect() }
-    assert(eTgt.getMessage.contains("source columns"), eTgt.getMessage)
+          WHEN MATCHED THEN UPDATE SET n_tok = 1, n_tok = 2""").collect() }
+    assert(eDup.getMessage.contains("duplicate"), eDup.getMessage)
+  }
+
+  test("MERGE conditions and assignments may reference target columns") {
+    import spark.implicits._
+    val base = tmpDir("sqlmergetgt")
+    val p    = mkPipeline(base, mode = "mor")
+    p.applyBatch(Seq(
+      (1L, "I", "t-a", Some(Seq(1)), Some(1L), "old"),      // stale: src newer
+      (2L, "I", "t-b", Some(Seq(1, 2, 3)), Some(3L), "old"), // fresh: src older
+      (3L, "I", "t-c", Some(Seq(9)), Some(1L), "keep"),      // no src match, kept
+      (4L, "I", "t-d", Some(Seq(8)), Some(1L), "old"))       // no src match, swept
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    val root = p.table.root
+    Seq(
+      ("t-a", Seq(7), 5L, "ins", 10L),
+      ("t-b", Seq(7), 1L, "ins", 20L),
+      ("t-e", Seq(7), 4L, "ins", 30L))
+      .toDF("doc_id", "tokens", "ver", "source", "delta")
+      .withColumn("n_tok", col("ver"))
+      .createOrReplaceTempView("merge_tgt_src")
+    // the LWW-if-newer upsert: update only when the source version beats
+    // the target's n_tok, with the new value computed from BOTH sides;
+    // target rows with no source match retract only when stale ('old')
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING merge_tgt_src s ON t.doc_id = s.doc_id
+          WHEN MATCHED AND t.n_tok < s.ver THEN UPDATE
+            SET n_tok = t.n_tok + s.delta, source = concat('v', s.ver)
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE AND t.source = 'old' THEN DELETE""")
+      .collect()
+    val st = p.readTable().collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[String]("source"))).toMap
+    assert(st.get("t-a").contains((11L, "v5")),
+      s"matched+armed: n_tok = t.n_tok + s.delta = 1+10: ${st.get("t-a")}")
+    assert(st.get("t-b").contains((3L, "old")),
+      s"matched but condition false (3 < 1): untouched: ${st.get("t-b")}")
+    assert(st.get("t-c").contains((1L, "keep")), "NMS condition false: kept")
+    assert(!st.contains("t-d"), "NMS condition true: retracted")
+    assert(st.get("t-e").contains((4L, "ins")), "unmatched source row inserted")
+
+    // typed edges: NOT MATCHED conditions can't see the (all-null)
+    // target; NMS conditions can't see the (absent) source. Spark's
+    // analyzer enforces both scopes itself (UNRESOLVED_COLUMN) before
+    // graft's rule runs — graft's own message covers any path that
+    // slips through resolution; either way the statement fails typed.
+    def scopeError(e: Exception, graftMsg: String): Unit = assert(
+      e.getMessage.contains(graftMsg) ||
+        e.getMessage.contains("cannot be resolved"), e.getMessage)
+    val eNm = intercept[Exception] { spark.sql(
+      s"""MERGE INTO graft.`$root` t USING merge_tgt_src s ON t.doc_id = s.doc_id
+          WHEN NOT MATCHED AND t.n_tok > 0 THEN INSERT *""").collect() }
+    scopeError(eNm, "source columns")
+    val eNms = intercept[Exception] { spark.sql(
+      s"""MERGE INTO graft.`$root` t USING merge_tgt_src s ON t.doc_id = s.doc_id
+          WHEN NOT MATCHED BY SOURCE AND s.ver > 0 THEN DELETE""").collect() }
+    scopeError(eNms, "target columns")
   }
 
   test("MERGE partial by-name assignment takes expression semantics, not star") {
@@ -1178,6 +1235,65 @@ class PipelineSpec extends SparkSpec {
     val ePos = intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN lead STRING FIRST") }
     assert(ePos.getMessage.contains("ADD COLUMN"), ePos.getMessage)
+  }
+
+  test("SQL ALTER COLUMN TYPE: lossless widening commit, upcast reads, typed edges") {
+    import spark.implicits._
+    val root = s"${tmpDir("sqlwiden")}/table"
+    spark.sql(
+      s"""CREATE TABLE graft.`$root`
+          (doc_id STRING, tokens ARRAY<INT>, n_tok INT, source STRING)
+          TBLPROPERTIES ('numBuckets' = '4')""")
+    spark.sql(s"INSERT INTO graft.`$root` VALUES ('d-a', array(1, 2), 2, 's')")
+    val t = graft.table.SnapshotTable.load(spark, root)
+    val vBefore = t.currentVersion.get
+
+    // the north-star's "widened n_tok" evolution, spelled as DDL
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN n_tok TYPE BIGINT")
+    assert(t.currentVersion.contains(vBefore + 1), "widen must commit exactly one version")
+    assert(t.manifest(vBefore + 1).files == t.manifest(vBefore).files,
+      "widen must not rewrite data files")
+    // pre-widen int32 files read back upcast under the bigint schema
+    val head = spark.sql(s"SELECT doc_id, n_tok FROM graft.`$root`")
+    assert(head.schema("n_tok").dataType == org.apache.spark.sql.types.LongType)
+    assert(head.as[(String, Long)].head() == (("d-a", 2L)))
+    // the old version still reads under the original int schema
+    assert(spark.sql(s"SELECT * FROM graft.`$root` VERSION AS OF $vBefore")
+      .schema("n_tok").dataType == org.apache.spark.sql.types.IntegerType)
+    // a write can now exceed int range
+    spark.sql(
+      s"INSERT INTO graft.`$root` VALUES ('d-b', array(3), ${1L + Int.MaxValue}L, 's')")
+    val got = spark.sql(s"SELECT doc_id, n_tok FROM graft.`$root` ORDER BY doc_id")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("d-a", 2L), ("d-b", 1L + Int.MaxValue)), s"got $got")
+
+    // typed edges: narrowing, non-widen change, merge key, unknown
+    // column. Spark's analyzer pre-rejects non-upcast changes
+    // (NOT_SUPPORTED_CHANGE_COLUMN) and unknown fields before the
+    // catalog runs; graft's own gate covers whatever reaches it —
+    // either way the statement fails typed, never a silent commit.
+    def alterError(e: Exception, graftMsg: String): Unit = assert(
+      e.getMessage.contains(graftMsg) ||
+        e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+        e.getMessage.contains("FIELD_NOT_FOUND") ||
+        e.getMessage.contains("cannot be resolved"), e.getMessage)
+    val eNarrow = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN n_tok TYPE INT") }
+    alterError(eNarrow, "lossless widening")
+    val eKind = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN source TYPE INT") }
+    alterError(eKind, "lossless widening")
+    val eKey = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN doc_id TYPE BINARY") }
+    alterError(eKey, "merge key")
+    val eGone = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN ghost TYPE BIGINT") }
+    alterError(eGone, "no column")
+    // array element widening rides the same lattice (Spark spells it
+    // col.element; whole-array is rejected by its own CheckAnalysis)
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN tokens.element TYPE BIGINT")
+    assert(spark.sql(s"SELECT tokens FROM graft.`$root` WHERE doc_id = 'd-a'")
+      .as[Seq[Long]].head() == Seq(1L, 2L))
   }
 
   test("catalog rejects relative / multi-part identifiers instead of resolving CWD-dependently") {
