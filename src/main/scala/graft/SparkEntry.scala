@@ -471,7 +471,9 @@ object SparkEntry {
             WHEN MATCHED AND t.n_tok < s.ver THEN UPDATE
               SET n_tok = t.n_tok + s.delta, source = concat('m', s.ver)
             WHEN NOT MATCHED THEN INSERT *
-            WHEN NOT MATCHED BY SOURCE AND t.n_tok > 4 THEN DELETE""").collect()
+            WHEN NOT MATCHED BY SOURCE AND t.n_tok > 4 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE
+              SET source = concat(t.source, '!')""").collect()
       stateProjection(liveView(t))
     }),
     "q_sql_insert" -> ((s, dir) => {
@@ -1160,7 +1162,8 @@ object SparkEntry {
       "q_sql_merge_tgt" ->
         // LWW-if-newer: matched rows update only when l.n_tok < s.ver
         // (n_tok += delta, source = 'm'||ver); unmatched source rows
-        // insert; live rows absent from the source retract iff n_tok > 4
+        // insert; live rows absent from the source retract iff n_tok > 4,
+        // else take the second NMS action (source ||= '!')
         s"""WITH evs AS ($ev),
             valid AS (
               SELECT * FROM evs
@@ -1192,6 +1195,7 @@ object SparkEntry {
                    CASE WHEN l.doc_id IS NULL THEN s.source
                         WHEN s.doc_id IS NOT NULL AND l.n_tok < s.ver
                         THEN 'm' || cast(s.ver AS varchar)
+                        WHEN s.doc_id IS NULL THEN l.source || '!'
                         ELSE l.source END AS source
             FROM live l FULL JOIN src s ON l.doc_id = s.doc_id
             WHERE NOT (s.doc_id IS NULL AND l.n_tok > 4)

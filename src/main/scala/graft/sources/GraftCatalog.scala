@@ -41,9 +41,14 @@ import graft.table.SnapshotTable
   * [[GraftDataSource.insertInto]] LWW-upsert path as
   * `df.write.format("graft")` — never a bare file append; an exactly-once
   * commit id can ride the session conf `graft.sql.commitId`.
-  * `ALTER TABLE ... ADD COLUMN` commits a schema-only evolution (see
-  * [[alterTable]]). Everything else (partition transforms, other ALTER
-  * forms, DROP/RENAME) keeps failing typed. */
+  * `ALTER TABLE ... ADD COLUMN` / `ALTER COLUMN ... TYPE wider` commit
+  * schema-only evolutions (see [[alterTable]]); `CREATE TABLE ... AS
+  * SELECT` composes [[createTable]] with the same insert write path;
+  * `TRUNCATE TABLE` is an empty-state commit
+  * ([[GraftTable.truncateTable]]); `DROP TABLE` deletes the tree with
+  * clone-safety in both directions (see [[dropTable]]). Everything
+  * else (partition transforms, other ALTER forms, RENAME) keeps
+  * failing typed. */
 class GraftCatalog extends TableCatalog {
 
   private var catalogName: String = "graft"
@@ -267,9 +272,47 @@ class GraftCatalog extends TableCatalog {
       graft.operators.Merge.InternalCols.contains(f.name))))
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "DROP TABLE is not supported; delete the table root directory")
+  /** `DROP TABLE graft.`/root`` — deletes the whole table tree
+    * (manifests, data, side tables). Clone safety, both directions:
+    *  - a table with REGISTERED clones refuses typed — live clones
+    *    share its data files, and deleting them would break every
+    *    clone's reads (release or drop the clones first);
+    *  - a table that IS a clone releases its claim on every source
+    *    root its manifests reference, so the sources' vacuums stop
+    *    retaining files on its behalf.
+    * `DROP TABLE IF EXISTS` on a missing table is a no-op (false). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    val t    = SnapshotTable.load(SparkSession.active, root)
+    if (t.currentVersion.isEmpty) return false
+    val claims = t.registeredClones
+    if (claims.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot DROP $root: ${claims.size} registered clone(s) share its data " +
+          s"files (${claims.map(_._1).mkString(", ")}); drop the clones or " +
+          "releaseClone them first")
+    // any referenced data file OUTSIDE this root marks a clone source;
+    // match claims by normalized path so a spelling difference between
+    // the clone-time dstRoot and this identifier cannot strand a claim
+    val selfData = java.nio.file.Paths.get(root, "data").toString + "/"
+    val norm     = java.nio.file.Paths.get(root).normalize()
+    t.versions.iterator
+      .flatMap { v => val m = t.manifest(v); m.files ++ m.deltaFiles }
+      .map(_.path).filterNot(_.startsWith(selfData))
+      .flatMap { p =>
+        val i = p.lastIndexOf("/data/")
+        if (i <= 0) None else Some(p.substring(0, i))
+      }.toSet[String]
+      .foreach { srcRoot =>
+        val src = SnapshotTable.load(SparkSession.active, srcRoot)
+        src.registeredClones
+          .collect { case (d, _)
+            if java.nio.file.Paths.get(d).normalize() == norm => d }
+          .foreach(src.releaseClone)
+      }
+    graft.table.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    true
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")

@@ -232,7 +232,25 @@ object GraftDataSource {
 case class GraftTable(
     root: String, pinnedVersion: Option[Long], tableSchema: StructType,
     changesFrom: Option[Long] = None, changesTo: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE` — an empty-state COMMIT, not a file purge:
+    * every live doc tombstones at watermark+1 through the same
+    * delete-by-predicate path the library exposes, so history and time
+    * travel to the pre-truncate state survive (the engine's
+    * never-truncate-always-commit posture; vacuum reclaims the old
+    * files on its own schedule). */
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty && changesFrom.isEmpty,
+      s"cannot truncate a pinned/changelog graft read ($name); load without options")
+    val spark = SparkSession.active
+    val t     = SnapshotTable.load(spark, root)
+    require(t.current.isDefined, s"no graft table at $root")
+    TableMaintenance.deleteWhere(t, org.apache.spark.sql.functions.lit(true),
+      "truncate-" + graft.table.Fs.nonce, mode = "mor")
+    true
+  }
 
   override def name(): String = s"graft.`$root`" + pinnedVersion.fold("")(v => s"@v$v") +
     changesFrom.fold("")(v => s"@changes($v,${changesTo.getOrElse(-1L)})")

@@ -34,17 +34,20 @@ import graft.table.SnapshotTable
   *  - `WHEN NOT MATCHED [AND cond] THEN INSERT *` — conditions over
   *    SOURCE columns only (ANSI: the target side of an unmatched source
   *    row is all-null);
-  *  - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE` —
-  *    full-snapshot-sync retraction; the condition (round-4 second
-  *    widening) may reference TARGET columns only;
+  *  - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE /
+  *    UPDATE SET col = expr, …` — any number of actions, first match
+  *    wins; conditions and assignment values may reference TARGET
+  *    columns only (those rows have no source match, so source refs
+  *    are meaningless — ANSI agrees); DELETE alone is the
+  *    full-snapshot-sync retraction, UPDATE the bulk target-side
+  *    touch-up (evaluated over the live view, O(unmatched live rows));
   *  - first matching action wins, in declaration order;
   *  - duplicate source keys raise the ANSI cardinality violation,
   *    duplicate SET columns the ANSI duplicate-assignment error.
   * Anything else fails with a typed [[GraftMergeInto.MergeUnsupported]]
   * naming the construct — never a silently-wrong merge: assignment to
-  * the merge key, nested-field assignment, and NOT MATCHED BY SOURCE
-  * UPDATE stay rejected (the library change-batch API expresses those
-  * with explicit LSNs).
+  * the merge key and nested-field assignment stay rejected (the
+  * library change-batch API expresses those with explicit LSNs).
   */
 object GraftMergeInto {
 
@@ -60,6 +63,17 @@ object GraftMergeInto {
   final case class ActionSpec(
       kind: String, matchedSide: Boolean, condIdx: Option[Int],
       assigns: Option[Seq[(String, Int)]] = None)
+
+  /** One NOT MATCHED BY SOURCE action ('D' | 'U'). Its condition and
+    * assignment values reference TARGET columns only, rewritten to
+    * plain names that resolve against the live-view retraction frame
+    * the command builds at run time. Expressions ride inside tuples so
+    * `TreeNode.expressions` cannot collect them (see
+    * [[GraftMergeIntoCommand.deferredCols]] for why). */
+  final case class NmsAction(
+      kind: String,
+      cond: Option[(String, Expression)],
+      assigns: Seq[(String, Expression)] = Seq.empty)
 
   private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, child) => stripAlias(child)
@@ -89,27 +103,42 @@ object GraftMergeInto {
     val srcOut = m.sourceTable.outputSet
     val tgtOut = rel.outputSet
 
-    // NOT MATCHED BY SOURCE: DELETE, optionally conditioned on TARGET
-    // columns (those rows have no source match, so source refs are
-    // meaningless — ANSI agrees). The condition is rewritten to plain
-    // names and evaluated over the live view in the retraction leg.
-    // UPDATE variants stay out of dialect (typed).
-    val (deleteUnmatchedTarget, unmatchedTargetCond) =
-      m.notMatchedBySourceActions match {
-        case Seq()                   => (false, None)
-        case Seq(DeleteAction(None)) => (true, None)
-        case Seq(DeleteAction(Some(c))) =>
-          if (!c.references.subsetOf(tgtOut)) throw MergeUnsupported(
-            "WHEN NOT MATCHED BY SOURCE conditions may reference only " +
-              s"target columns; got ${c.sql}")
-          (true, Some(c.transform {
-            case a: AttributeReference if tgtOut.contains(a) =>
-              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
-          }))
-        case other => throw MergeUnsupported(
-          "WHEN NOT MATCHED BY SOURCE supports only DELETE; " +
-            s"got ${other.mkString(", ")}")
+    // NOT MATCHED BY SOURCE: any ordered mix of DELETE and
+    // UPDATE SET actions, first match wins. These rows have no source
+    // match, so conditions and assignment values may reference TARGET
+    // columns only (ANSI agrees); everything is rewritten to plain
+    // names and evaluated over the live-view retraction leg at run time.
+    def toNmsExpr(e: Expression, what: String): Expression = {
+      if (!e.references.subsetOf(tgtOut)) throw MergeUnsupported(
+        s"WHEN NOT MATCHED BY SOURCE $what may reference only " +
+          s"target columns; got ${e.sql}")
+      e.transform {
+        case a: AttributeReference if tgtOut.contains(a) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
       }
+    }
+    val nmsActions: Seq[NmsAction] = m.notMatchedBySourceActions.map {
+      case DeleteAction(c) =>
+        NmsAction("D", c.map(e => "_graft_nms" -> toNmsExpr(e, "conditions")))
+      case UpdateAction(c, as, _) =>
+        val assigns = as.map { a =>
+          val name = stripWraps(a.key) match {
+            case k: AttributeReference if tgtOut.contains(k) => k.name
+            case other => throw MergeUnsupported(
+              s"assignment keys must be plain target columns; got ${other.sql}")
+          }
+          if (name.equalsIgnoreCase("doc_id"))
+            throw MergeUnsupported("cannot assign to the merge key doc_id")
+          name -> toNmsExpr(a.value, "assignment values")
+        }
+        assigns.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
+          .collect { case (n, dups) if dups.size > 1 => n }
+          .headOption.foreach(n =>
+            throw MergeUnsupported(s"duplicate UPDATE SET assignment to column $n"))
+        NmsAction("U", c.map(e => "_graft_nms" -> toNmsExpr(e, "conditions")), assigns)
+      case other => throw MergeUnsupported(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
 
     val key: Attribute = m.mergeCondition match {
       case EqualTo(l: AttributeReference, r: AttributeReference)
@@ -236,7 +265,7 @@ object GraftMergeInto {
         specs += ActionSpec("I", matchedSide = false, condIdx(c, matchedSide = false))
       case other => throw MergeUnsupported(s"unsupported WHEN NOT MATCHED action: $other")
     }
-    if (specs.isEmpty && !deleteUnmatchedTarget)
+    if (specs.isEmpty && nmsActions.isEmpty)
       throw MergeUnsupported("no merge actions given")
 
     // evaluate the source-only action conditions and assignment values
@@ -250,8 +279,7 @@ object GraftMergeInto {
       m.sourceTable)
 
     GraftMergeIntoCommand(t.root, projected, key.name, specs.toSeq,
-      deleteUnmatchedTarget, deferred.toSeq,
-      unmatchedTargetCond.map("_graft_nms" -> _))
+      nmsActions, deferred.toSeq)
   }
 }
 
@@ -264,19 +292,20 @@ case class GraftMergeIntoCommand(
     source: LogicalPlan, // Project carrying _graft_c<i> condition columns; resolved
     sourceKey: String,
     specs: Seq[GraftMergeInto.ActionSpec],
-    deleteUnmatchedTarget: Boolean = false,
+    /** NOT MATCHED BY SOURCE actions, first match wins; their
+      * conditions/assignments are target-only expressions rewritten to
+      * plain names for the live-view retraction leg. */
+    nmsActions: Seq[GraftMergeInto.NmsAction] = Seq.empty,
     /** Target-referencing `_graft_c<i>`/`_graft_v<j>` columns, rewritten
-      * to resolve by name against the classification join's frame. */
-    deferredCols: Seq[(String, Expression)] = Seq.empty,
-    /** NOT MATCHED BY SOURCE delete condition (target columns, rewritten
-      * to plain names for the live-view retraction leg). Tupled with a
-      * label for the same reason deferredCols is: `TreeNode.expressions`
+      * to resolve by name against the classification join's frame.
+      * Expressions ride inside tuples deliberately: `TreeNode.expressions`
       * collects bare/`Some`-wrapped Expression fields and CheckAnalysis
       * would then demand these deliberately-unresolved by-name
       * expressions resolve against THIS plan — but they resolve against
       * frames the command builds at run time. A non-Expression tuple is
-      * invisible to that walk. */
-    unmatchedTargetCond: Option[(String, Expression)] = None) extends LeafRunnableCommand {
+      * invisible to that walk (same for [[GraftMergeInto.NmsAction]]'s
+      * fields). */
+    deferredCols: Seq[(String, Expression)] = Seq.empty) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -413,25 +442,48 @@ case class GraftMergeIntoCommand(
               element_at(kinds, col("_graft_act") + 1).as("op"): _*)
       }
 
-    // NOT MATCHED BY SOURCE DELETE (full-snapshot sync): every LIVE
-    // target doc absent from the source keys retracts. The construct
-    // inspects every target row by definition, so this leg reads the
-    // full live key set — the ONLY unpruned read in the command, paid
-    // only when the clause is present. Its keys are anti-joined against
-    // the source's, so the two legs never stamp the same doc at the
-    // shared LSN.
+    // NOT MATCHED BY SOURCE actions: every LIVE target doc absent from
+    // the source keys is classified by the first armed action (D →
+    // retraction tombstone, U → target-side rewrite with unassigned
+    // columns keeping their values); unclaimed rows stay untouched.
+    // The construct inspects every target row by definition, so this
+    // leg reads the full live view — the ONLY unpruned read in the
+    // command, paid only when the clause is present. Its keys are
+    // anti-joined against the source's, so the two legs never stamp
+    // the same doc at the shared LSN.
     val allEvents =
-      if (!deleteUnmatchedTarget) events
-      else events.unionByName(
-        unmatchedTargetCond.foldLeft(MergeOnRead.liveView(table)) {
-          case (df, (_, c)) =>
-            df.filter(org.apache.spark.sql.classic.GraftSqlBridge.column(c))
-        }.select(col("doc_id"))
+      if (nmsActions.isEmpty) events
+      else {
+        val bridge = org.apache.spark.sql.classic.GraftSqlBridge
+        val unmatchedLive = MergeOnRead.liveView(table)
           .join(src.select(col("_graft_key").as("doc_id")), Seq("doc_id"), "left_anti")
-          .select(
-            col("doc_id") +:
-              payload.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)) :+
-              lit(cur.watermarkLsn + 1).as("lsn") :+ lit("D").as("op"): _*))
+        def nmsArmed(a: GraftMergeInto.NmsAction) =
+          a.cond.map { case (_, c) => bridge.column(c) }.getOrElse(lit(true))
+        val nmsAct = nmsActions.indices.tail
+          .foldLeft(when(nmsArmed(nmsActions.head), lit(0))) {
+            (acc, i) => acc.when(nmsArmed(nmsActions(i)), lit(i))
+          }
+        val nmsKinds = typedLit(nmsActions.map(_.kind))
+        def nmsValue(a: GraftMergeInto.NmsAction, f: org.apache.spark.sql.types.StructField) =
+          if (a.kind == "D") lit(null).cast(f.dataType)
+          else a.assigns.find(_._1 == f.name)
+            .map { case (_, e) => bridge.column(e).cast(f.dataType) }
+            .getOrElse(col(f.name))
+        def nmsPayloadCol(f: org.apache.spark.sql.types.StructField) =
+          nmsActions.indices.tail
+            .foldLeft(when(col("_graft_act") === 0, nmsValue(nmsActions.head, f))) {
+              (acc, i) => acc.when(col("_graft_act") === i, nmsValue(nmsActions(i), f))
+            }.as(f.name)
+        events.unionByName(
+          unmatchedLive
+            .withColumn("_graft_act", nmsAct)
+            .filter(col("_graft_act").isNotNull)
+            .select(
+              col("doc_id") +:
+                payload.toSeq.map(nmsPayloadCol) :+
+                lit(cur.watermarkLsn + 1).as("lsn") :+
+                element_at(nmsKinds, col("_graft_act") + 1).as("op"): _*))
+      }
 
     // the stamped LSN is read BEFORE the commit loop; the guard makes a
     // concurrent commit reaching it a typed retryable CommitConflict

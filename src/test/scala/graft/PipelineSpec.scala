@@ -1031,6 +1031,48 @@ class PipelineSpec extends SparkSpec {
     scopeError(eNms, "target columns")
   }
 
+  test("MERGE NOT MATCHED BY SOURCE: ordered conditional DELETE/UPDATE actions") {
+    import spark.implicits._
+    val base = tmpDir("sqlmergenms")
+    val p    = mkPipeline(base, mode = "mor")
+    p.applyBatch(Seq(
+      (1L, "I", "n-a", Some(Seq(1)), Some(1L), "old"),              // 1st NMS action: deleted
+      (2L, "I", "n-b", Some(Seq(2, 4)), Some(2L), "s"),             // 2nd NMS action: updated
+      (3L, "I", "n-c", Some(Seq(3, 3, 3, 3, 3, 3, 3)), Some(7L), "s")) // no NMS action: untouched
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    val root = p.table.root
+    Seq(("n-z", Seq(9), 1L, "ins"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .createOrReplaceTempView("merge_nms_src")
+    // first armed NMS action wins in declaration order: 'old' rows
+    // retract even though they also satisfy the UPDATE's condition;
+    // the UPDATE computes from target columns with unassigned columns
+    // keeping their values
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING merge_nms_src s ON t.doc_id = s.doc_id
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE AND t.source = 'old' THEN DELETE
+          WHEN NOT MATCHED BY SOURCE AND t.n_tok < 5 THEN UPDATE
+            SET source = 'touched', n_tok = t.n_tok * 10""").collect()
+    val st = p.readTable().collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[scala.collection.Seq[Int]]("tokens").toSeq, r.getAs[Long]("n_tok"),
+          r.getAs[String]("source"))).toMap
+    assert(!st.contains("n-a"), "first NMS action (DELETE) wins for 'old' rows")
+    assert(st.get("n-b").contains((Seq(2, 4), 20L, "touched")),
+      s"second NMS action rewrites from target columns: ${st.get("n-b")}")
+    assert(st.get("n-c").contains((Seq(3, 3, 3, 3, 3, 3, 3), 7L, "s")),
+      "unclaimed row untouched")
+    assert(st.get("n-z").contains((Seq(9), 1L, "ins")), "source row inserted")
+
+    // typed: NMS assignment values can't reference the (absent) source
+    val eSrc = intercept[Exception] { spark.sql(
+      s"""MERGE INTO graft.`$root` t USING merge_nms_src s ON t.doc_id = s.doc_id
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n_tok = s.n_tok""").collect() }
+    assert(eSrc.getMessage.contains("target columns") ||
+      eSrc.getMessage.contains("cannot be resolved"), eSrc.getMessage)
+  }
+
   test("MERGE partial by-name assignment takes expression semantics, not star") {
     import spark.implicits._
     val base = tmpDir("sqlmergepartial")
@@ -1099,11 +1141,13 @@ class PipelineSpec extends SparkSpec {
     // the retractions are real tombstones (time travel still sees y-a)
     assert(p.lookup("y-a").isEmpty)
 
-    // conditioned / UPDATE NMS variants stay out of dialect, typed
-    val e = intercept[Exception] { spark.sql(
+    // NMS UPDATE is in dialect (see the ordered-actions test); after the
+    // sync every live row IS in the source, so it must claim zero rows
+    spark.sql(
       s"""MERGE INTO graft.`$root` t USING merge_sync_src s ON t.doc_id = s.doc_id
-          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET source = 'gone'""").collect() }
-    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"), e.getMessage)
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET source = 'gone'""").collect()
+    assert(p.readTable().filter(col("source") === "gone").count() == 0)
+    assert(p.readTable().count() == 2, "zero-claim NMS UPDATE must not change state")
   }
 
   test("stamped-LSN writes fail typed when a concurrent commit reaches the stamp") {
@@ -1189,6 +1233,48 @@ class PipelineSpec extends SparkSpec {
     val ePart = intercept[Exception] { spark.sql(
       s"CREATE TABLE graft.`${root}4` (doc_id STRING, source STRING) PARTITIONED BY (source)") }
     assert(ePart.getMessage.contains("hash-bucketed"), ePart.getMessage)
+  }
+
+  test("SQL CTAS, TRUNCATE, and clone-safe DROP TABLE") {
+    import spark.implicits._
+    val base = tmpDir("sqldrop")
+    val src  = s"$base/src"
+    // CTAS: the query's schema becomes the payload schema
+    Seq(("c-a", Seq(1), 1L, "s"), ("c-b", Seq(2, 3), 2L, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(
+      s"""CREATE TABLE graft.`$src` TBLPROPERTIES ('numBuckets' = '4')
+          AS SELECT * FROM ctas_src""")
+    assert(spark.sql(s"SELECT * FROM graft.`$src`").count() == 2)
+    val t = graft.table.SnapshotTable.load(spark, src)
+    assert(t.current.get.numBuckets == 4)
+
+    // TRUNCATE is an empty-state COMMIT, not a purge: history survives
+    val vPre = t.currentVersion.get
+    spark.sql(s"TRUNCATE TABLE graft.`$src`")
+    assert(spark.sql(s"SELECT * FROM graft.`$src`").count() == 0)
+    assert(spark.sql(s"SELECT * FROM graft.`$src` VERSION AS OF $vPre").count() == 2)
+    spark.sql(s"INSERT INTO graft.`$src` VALUES ('c-c', array(4), 1L, 's')")
+
+    // a registered clone blocks DROP of its source (shared data files)...
+    val clone = s"$base/clone"
+    t.shallowClone(clone)
+    val eClone = intercept[Exception] { spark.sql(s"DROP TABLE graft.`$src`") }
+    assert(eClone.getMessage.contains("clone"), eClone.getMessage)
+    assert(t.currentVersion.isDefined, "refused drop must not delete anything")
+    assert(spark.sql(s"SELECT * FROM graft.`$clone`").count() == 1)
+
+    // ...dropping the CLONE releases its claim, then the source drops
+    spark.sql(s"DROP TABLE graft.`$clone`")
+    assert(!new java.io.File(clone).exists, "dropped clone tree must be gone")
+    assert(t.registeredClones.isEmpty, "dropping a clone must release its claim")
+    spark.sql(s"DROP TABLE graft.`$src`")
+    assert(!new java.io.File(src).exists, "dropped table tree must be gone")
+
+    // IF EXISTS on a missing table is a no-op; plain DROP fails typed
+    spark.sql(s"DROP TABLE IF EXISTS graft.`$src`")
+    intercept[Exception] { spark.sql(s"DROP TABLE graft.`$src`") }
   }
 
   test("SQL ALTER TABLE ADD COLUMN: schema-only commit, null-filled reads, typed edges") {
