@@ -1277,6 +1277,43 @@ class PipelineSpec extends SparkSpec {
     intercept[Exception] { spark.sql(s"DROP TABLE graft.`$src`") }
   }
 
+  test("SQL DESCRIBE, SHOW CREATE, partial-column INSERT, CREATE OR REPLACE") {
+    import spark.implicits._
+    val root = s"${tmpDir("sqlmisc")}/t"
+    spark.sql(
+      s"""CREATE TABLE graft.`$root`
+          (doc_id STRING, tokens ARRAY<INT>, n_tok BIGINT, source STRING)
+          TBLPROPERTIES ('numBuckets' = '4')""")
+    spark.sql(s"INSERT INTO graft.`$root` VALUES ('p-a', array(1), 1L, 's')")
+
+    // introspection reads the catalog's payload schema
+    val desc = spark.sql(s"DESCRIBE TABLE graft.`$root`")
+      .select("col_name").as[String].collect().toSet
+    assert(Set("doc_id", "tokens", "n_tok", "source").subsetOf(desc), desc)
+    assert(spark.sql(s"SHOW CREATE TABLE graft.`$root`")
+      .head().getString(0).contains("doc_id"))
+
+    // an INSERT column list null-fills the unnamed payload columns
+    spark.sql(s"INSERT INTO graft.`$root` (doc_id, n_tok) VALUES ('p-b', 0L)")
+    val b = spark.sql(s"SELECT tokens, n_tok, source FROM graft.`$root` WHERE doc_id = 'p-b'")
+      .collect().head
+    assert(b.isNullAt(0) && b.getLong(1) == 0L && b.isNullAt(2), b.toString)
+
+    // CREATE OR REPLACE ... AS SELECT = drop + create + insert (the
+    // plain-TableCatalog fallback, NON-atomic by contract — a crash
+    // between drop and the write loses the table, same as Spark's
+    // documented non-staging behavior); new TBLPROPERTIES take effect,
+    // and clone-safety still guards the drop half
+    Seq(("p-z", Seq(9), 1L, "r")).toDF("doc_id", "tokens", "n_tok", "source")
+      .createOrReplaceTempView("replace_src")
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE graft.`$root`
+          TBLPROPERTIES ('numBuckets' = '2') AS SELECT * FROM replace_src""")
+    assert(spark.sql(s"SELECT doc_id FROM graft.`$root`").as[String].collect().toSeq
+      == Seq("p-z"))
+    assert(graft.table.SnapshotTable.load(spark, root).current.get.numBuckets == 2)
+  }
+
   test("SQL ALTER TABLE ADD COLUMN: schema-only commit, null-filled reads, typed edges") {
     import spark.implicits._
     val root = s"${tmpDir("sqlalter")}/table"
