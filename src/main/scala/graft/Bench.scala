@@ -382,6 +382,34 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** (total, steal) jiffies from /proc/stat's aggregate cpu line.
+    * Deltas across a timed phase expose HYPERVISOR STEAL — CPU time the
+    * host reclaimed from this VM — turning "the box was noisy" from
+    * after-the-fact folklore into a recorded per-phase number: a run
+    * whose steal_pct is ≳10 was not measuring this code (round-3/4
+    * finding: official runs degraded 2-3× with no code or visible-load
+    * change; /proc/stat showed hours of accumulated steal). Linux-only
+    * by design (the bench runs on the driver's Linux box); an absent or
+    * unparseable /proc/stat reads as (0, 0) → steal 0. */
+  private def cpuStat(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (f.sum, if (f.length > 7) f(7) else 0L)
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+
+  /** Run `body`, returning (result, steal% of the machine's total CPU
+    * time over the interval). */
+  private def stealPctOver[A](body: => A): (A, Double) = {
+    val (t0, s0) = cpuStat()
+    val a = body
+    val (t1, s1) = cpuStat()
+    val dt = t1 - t0
+    (a, if (dt <= 0) 0.0 else 100.0 * (s1 - s0) / dt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir     = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val maxCpus   = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -413,17 +441,23 @@ object Bench {
     stage.stop()
 
     // ---- same job, same input: N cores, 4N cores, then max cores ----
-    def runAt(cores: Int): Map[String, Double] = {
+    // each phase carries its measured hypervisor-steal% so a degraded
+    // number is visibly an environment artifact, not a code regression
+    def runAt(cores: Int): (Map[String, Double], Double) = {
       val s = newSession(cores)
-      val r = modeNames.map(m => m -> runCdc(s, changeLog, batches, buckets, m)).toMap
-      s.stop(); r
+      val (r, steal) = stealPctOver(
+        modeNames.map(m => m -> runCdc(s, changeLog, batches, buckets, m)).toMap)
+      s.stop(); (r, steal)
     }
-    val lo  = runAt(loCpus)
-    val hi  = runAt(hiCpus)
-    val maxRuns: Seq[Map[String, Double]] =
+    val (lo, loSteal) = runAt(loCpus)
+    val (hi, hiSteal) = runAt(hiCpus)
+    val maxRunsS: Seq[(Map[String, Double], Double)] =
       if (maxCpus > hiCpus) (1 to math.max(1, maxSamples)).map(_ => runAt(maxCpus))
-      else Seq(hi)
+      else Seq((hi, hiSteal))
+    val maxRuns = maxRunsS.map(_._1)
     val max = modeNames.map(m => m -> median(maxRuns.map(_(m)))).toMap
+    val stealJson =
+      f""""steal_pct":{"n":$loSteal%.1f,"4n":$hiSteal%.1f,"max":${maxRunsS.map(x => f"${x._2}%.1f").mkString("[", ",", "]")}}"""
 
     case class ModeResult(mode: String) {
       def epsLo: Double  = nEvents / lo(mode)
@@ -462,7 +496,7 @@ object Bench {
     val mhJson  = if (runQueries) minhashStudy(sQ, sfDir) else "{}"
 
     println(
-      f"""{"metric":"change-events/sec applied (end-to-end MERGE throughput)","value":$headline%.1f,"unit":"events/sec","sf":"$sfDir","queries":$qJson,"cdc":{"events":$nEvents,"batches":$batches,"buckets":$buckets,"replicate":$replicate,"cores_n":$loCpus,"cores_4n":$hiCpus,"cores_max":$maxCpus,"max_samples":${maxRuns.size},"best_mode":"${best.mode}","scaling_mode":"${scalingBest.mode}","scaling_efficiency":${scalingBest.eff}%.3f,${modes.map(_.json).mkString(",")}},"ann_lsh_study":$annJson,"ivf_study":$ivfJson,"minhash_study":$mhJson,"query_total_sec":${queries.map(_._2).sum}%.2f}""")
+      f"""{"metric":"change-events/sec applied (end-to-end MERGE throughput)","value":$headline%.1f,"unit":"events/sec","sf":"$sfDir","queries":$qJson,"cdc":{"events":$nEvents,"batches":$batches,"buckets":$buckets,"replicate":$replicate,"cores_n":$loCpus,"cores_4n":$hiCpus,"cores_max":$maxCpus,"max_samples":${maxRuns.size},$stealJson,"best_mode":"${best.mode}","scaling_mode":"${scalingBest.mode}","scaling_efficiency":${scalingBest.eff}%.3f,${modes.map(_.json).mkString(",")}},"ann_lsh_study":$annJson,"ivf_study":$ivfJson,"minhash_study":$mhJson,"query_total_sec":${queries.map(_._2).sum}%.2f}""")
     sQ.stop()
     } finally graft.table.Fs.deleteRecursively(java.nio.file.Paths.get(changeLog))
   }
