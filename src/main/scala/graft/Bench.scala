@@ -395,19 +395,45 @@ object Bench {
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
+        // user nice system idle iowait irq softirq steal …
         val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        (f.sum, if (f.length > 7) f(7) else 0L)
+        val idle  = (if (f.length > 3) f(3) else 0L) + (if (f.length > 4) f(4) else 0L)
+        (f.sum - idle, if (f.length > 7) f(7) else 0L)
       } finally src.close()
     } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
 
-  /** Run `body`, returning (result, steal% of the machine's total CPU
-    * time over the interval). */
+  /** Run `body`, returning (result, steal% of the CPU time the VM
+    * actually DEMANDED over the interval — busy incl. steal, idle and
+    * iowait excluded). Normalizing against total machine jiffies would
+    * dilute the signal ~16× at the 2-core phase (30 idle cores accrue
+    * no steal): a 2-busy-core run stolen half the time reads as ~3% of
+    * total but ~50% of demand, and only the latter explains a 2×
+    * wall-clock inflation. */
   private def stealPctOver[A](body: => A): (A, Double) = {
-    val (t0, s0) = cpuStat()
+    val (b0, s0) = cpuStat()
     val a = body
-    val (t1, s1) = cpuStat()
-    val dt = t1 - t0
-    (a, if (dt <= 0) 0.0 else 100.0 * (s1 - s0) / dt)
+    val (b1, s1) = cpuStat()
+    val demanded = b1 - b0
+    (a, if (demanded <= 0) 0.0 else 100.0 * (s1 - s0) / demanded)
+  }
+
+  /** Fixed single-thread ALU workload (~0.5 s on a healthy core), timed
+    * before each phase. Its wall time directly witnesses effective
+    * per-core speed: hypervisor frequency throttling or co-tenant
+    * memory-bandwidth pressure inflates it 1:1, while steal accounting
+    * misses both. A phase whose calib_ms is 2× the run's best was
+    * measured on a machine running at half speed. */
+  private def calibMs(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 300000000) {
+      x = java.lang.Long.rotateLeft(x * 0x100000001b3L, 31) ^ i
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) System.err.println("calib sentinel") // defeat DCE
+    dt
   }
 
   def main(args: Array[String]): Unit = {
@@ -443,21 +469,23 @@ object Bench {
     // ---- same job, same input: N cores, 4N cores, then max cores ----
     // each phase carries its measured hypervisor-steal% so a degraded
     // number is visibly an environment artifact, not a code regression
-    def runAt(cores: Int): (Map[String, Double], Double) = {
+    def runAt(cores: Int): (Map[String, Double], Double, Double) = {
+      val calib = calibMs()
       val s = newSession(cores)
       val (r, steal) = stealPctOver(
         modeNames.map(m => m -> runCdc(s, changeLog, batches, buckets, m)).toMap)
-      s.stop(); (r, steal)
+      s.stop(); (r, steal, calib)
     }
-    val (lo, loSteal) = runAt(loCpus)
-    val (hi, hiSteal) = runAt(hiCpus)
-    val maxRunsS: Seq[(Map[String, Double], Double)] =
+    val (lo, loSteal, loCalib) = runAt(loCpus)
+    val (hi, hiSteal, hiCalib) = runAt(hiCpus)
+    val maxRunsS: Seq[(Map[String, Double], Double, Double)] =
       if (maxCpus > hiCpus) (1 to math.max(1, maxSamples)).map(_ => runAt(maxCpus))
-      else Seq((hi, hiSteal))
+      else Seq((hi, hiSteal, hiCalib))
     val maxRuns = maxRunsS.map(_._1)
     val max = modeNames.map(m => m -> median(maxRuns.map(_(m)))).toMap
     val stealJson =
-      f""""steal_pct":{"n":$loSteal%.1f,"4n":$hiSteal%.1f,"max":${maxRunsS.map(x => f"${x._2}%.1f").mkString("[", ",", "]")}}"""
+      f""""steal_pct":{"n":$loSteal%.1f,"4n":$hiSteal%.1f,"max":${maxRunsS.map(x => f"${x._2}%.1f").mkString("[", ",", "]")}},""" +
+        f""""calib_ms":{"n":$loCalib%.0f,"4n":$hiCalib%.0f,"max":${maxRunsS.map(x => f"${x._3}%.0f").mkString("[", ",", "]")}}"""
 
     case class ModeResult(mode: String) {
       def epsLo: Double  = nEvents / lo(mode)
