@@ -524,6 +524,25 @@ object SparkEntry {
       s.sql(s"DELETE FROM graft.`${t.root}` WHERE doc_id LIKE '%0'").collect()
       stateProjection(liveView(t))
     }),
+    "q_sql_call" -> ((s, dir) => {
+      // SQL maintenance procedures (round-4 ProcedureCatalog): a
+      // mutate-then-restore round trip driven entirely by CALL verbs.
+      // UPDATE perturbs the fork; CALL graft.history discovers the
+      // pre-update version; rollback restores it; compact folds the MOR
+      // deltas; rebucket rewrites the layout; vacuum reclaims expired
+      // versions. Every verb is state-transparent or state-restoring,
+      // so the final read must equal the untouched merged state.
+      val root = forkTable(s, dir, mode = "mor").root
+      val v0 = s.sql(s"CALL graft.history('$root')")
+        .agg(max(col("version"))).head().getLong(0)
+      s.sql(s"UPDATE graft.`$root` SET n_tok = n_tok + 7 WHERE n_tok >= 1").collect()
+      s.sql(s"CALL graft.rollback('$root', $v0)").collect()
+      s.sql(s"CALL graft.compact('$root')").collect()
+      s.sql(s"CALL graft.rebucket('$root', 16)").collect()
+      s.sql(s"CALL graft.vacuum('$root', retain_last => 1, orphan_grace_ms => 0)")
+        .collect()
+      stateProjection(liveView(graft.table.SnapshotTable.load(s, root)))
+    }),
     "q_cdc_errors" -> ((s, dir) => {
       val conformed = Conform(CdcGenerator.events(s, dir))
       Validate(conformed, "oracle-run").errors
@@ -1072,7 +1091,9 @@ object SparkEntry {
     val toks  = Tokenize.tokensSql("text")
     val docId = Tokenize.docIdSql("doc_id")
     // the LWW-folded final state over all valid events — shared by the
-    // library-path merge-state queries and the V2 SQL-surface read
+    // library-path merge-state queries, the V2 SQL-surface read, the
+    // streaming sink, and the maintenance round trips (library-call and
+    // SQL CALL spellings), all of which must be state-transparent
     val mergedStateOracle =
       s"""WITH evs AS ($ev),
           valid AS (
@@ -1269,75 +1290,18 @@ object SparkEntry {
             SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
                    cast(n_tok AS bigint) AS n_tok, source
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
-      "q_cdc_merge_state" ->
-        s"""WITH evs AS ($ev),
-            valid AS (
-              SELECT * FROM evs
-              WHERE doc_id IS NOT NULL
-                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
-            last AS (
-              SELECT doc_id,
-                     max_by(op, lsn) AS op,
-                     max_by(tokens, lsn) AS tokens,
-                     max_by(n_tok, lsn) AS n_tok,
-                     max_by(source, lsn) AS source
-              FROM valid GROUP BY doc_id)
-            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
-                   cast(n_tok AS bigint) AS n_tok, source
-            FROM last WHERE op <> 'D' ORDER BY doc_id""",
-      "q_cdc_merge_state_mor" ->
-        s"""WITH evs AS ($ev),
-            valid AS (
-              SELECT * FROM evs
-              WHERE doc_id IS NOT NULL
-                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
-            last AS (
-              SELECT doc_id,
-                     max_by(op, lsn) AS op,
-                     max_by(tokens, lsn) AS tokens,
-                     max_by(n_tok, lsn) AS n_tok,
-                     max_by(source, lsn) AS source
-              FROM valid GROUP BY doc_id)
-            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
-                   cast(n_tok AS bigint) AS n_tok, source
-            FROM last WHERE op <> 'D' ORDER BY doc_id""",
+      "q_cdc_merge_state" -> mergedStateOracle,
+      "q_cdc_merge_state_mor" -> mergedStateOracle,
       // the streaming sink applies the same change stream through
       // writeStream.format("graft") — the final state contract is
       // identical to the batch pipeline's
-      "q_stream_sink" ->
-        s"""WITH evs AS ($ev),
-            valid AS (
-              SELECT * FROM evs
-              WHERE doc_id IS NOT NULL
-                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
-            last AS (
-              SELECT doc_id,
-                     max_by(op, lsn) AS op,
-                     max_by(tokens, lsn) AS tokens,
-                     max_by(n_tok, lsn) AS n_tok,
-                     max_by(source, lsn) AS source
-              FROM valid GROUP BY doc_id)
-            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
-                   cast(n_tok AS bigint) AS n_tok, source
-            FROM last WHERE op <> 'D' ORDER BY doc_id""",
-      "q_maintenance_roundtrip" ->
-        // rollback + replay + rebucket must be state-transparent: the
-        // oracle is the straight-through merged state
-        s"""WITH evs AS ($ev),
-            valid AS (
-              SELECT * FROM evs
-              WHERE doc_id IS NOT NULL
-                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
-            last AS (
-              SELECT doc_id,
-                     max_by(op, lsn) AS op,
-                     max_by(tokens, lsn) AS tokens,
-                     max_by(n_tok, lsn) AS n_tok,
-                     max_by(source, lsn) AS source
-              FROM valid GROUP BY doc_id)
-            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
-                   cast(n_tok AS bigint) AS n_tok, source
-            FROM last WHERE op <> 'D' ORDER BY doc_id""",
+      "q_stream_sink" -> mergedStateOracle,
+      // rollback + replay + rebucket must be state-transparent: the
+      // oracle is the straight-through merged state
+      "q_maintenance_roundtrip" -> mergedStateOracle,
+      // the CALL-procedure round trip (UPDATE → history → rollback →
+      // compact → rebucket → vacuum) must restore exactly that state
+      "q_sql_call" -> mergedStateOracle,
       "q_cdc_time_travel" ->
         // state at the version committed after batch 0 = the LWW fold of
         // every valid event below the stride boundary (all rep-0 events)

@@ -4,7 +4,8 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,8 +49,12 @@ import graft.table.SnapshotTable
   * ([[GraftTable.truncateTable]]); `DROP TABLE` deletes the tree with
   * clone-safety in both directions (see [[dropTable]]). Everything
   * else (partition transforms, other ALTER forms, RENAME) keeps
-  * failing typed. */
-class GraftCatalog extends TableCatalog {
+  * failing typed.
+  *
+  * Maintenance is SQL-callable too: `CALL graft.compact('/root')`,
+  * `vacuum`, `rollback`, `rebucket`, `clone`, `release_clone`, and
+  * `history` — see [[GraftProcedures]]. */
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft"
 
@@ -313,6 +318,25 @@ class GraftCatalog extends TableCatalog {
     graft.table.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     true
   }
+
+  /** `CALL graft.<name>(...)` — the maintenance procedures. Unlike
+    * tables (whose identifier is a path), procedures are plain
+    * single-part names in the catalog's root namespace. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val key = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (ident.namespace().nonEmpty)
+      throw new IllegalArgumentException(
+        s"graft procedures live in the catalog root: CALL $catalogName.${ident.name()}(...)")
+    GraftProcedures.byName.getOrElse(key,
+      throw new IllegalArgumentException(
+        s"no graft procedure '${ident.name()}'; available: " +
+          GraftProcedures.byName.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else GraftProcedures.byName.keys.toSeq.sorted
+      .map(n => Identifier.of(Array.empty, n)).toArray
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")
