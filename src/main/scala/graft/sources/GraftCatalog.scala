@@ -58,6 +58,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft"
 
+  // reserved payload names, shared by CREATE TABLE and ALTER TABLE ADD
+  // COLUMN (one list — a name added to only one site would let ALTER
+  // smuggle in a column CREATE rejects): the engine's internal state
+  // columns AND the change-batch metadata names — a payload column named
+  // lsn/op would make every INSERT look like an explicit change batch to
+  // the write path (hasMeta detection), silently reinterpreting rows as
+  // events; _bucket/ingest_ts collide with merge internals the same way
+  private val reservedCols = graft.operators.Merge.InternalCols ++
+    Seq("lsn", "op", "_bucket", "ingest_ts")
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
   }
@@ -143,15 +153,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         f.name == "doc_id" && f.dataType == org.apache.spark.sql.types.StringType))
       throw new IllegalArgumentException(
         "graft tables require a `doc_id STRING` column (the merge key)")
-    // reserved: the engine's internal state columns AND the change-batch
-    // metadata names — a payload column named lsn/op would make every
-    // INSERT look like an explicit change batch to the write path
-    // (hasMeta detection), silently reinterpreting rows as events
-    // (round-4 review finding); _bucket/ingest_ts collide with merge
-    // internals the same way
-    val reserved = graft.operators.Merge.InternalCols ++
-      Seq("lsn", "op", "_bucket", "ingest_ts")
-    schema.fieldNames.find(n => reserved.exists(_.equalsIgnoreCase(n))).foreach(c =>
+    schema.fieldNames.find(n => reservedCols.exists(_.equalsIgnoreCase(n))).foreach(c =>
       throw new IllegalArgumentException(
         s"column name $c is reserved (engine state / change-batch metadata); " +
           "rename the payload column"))
@@ -215,10 +217,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
     val addList   = adds.result()
     val widenList = widens.result()
-    val reserved = graft.operators.Merge.InternalCols ++
-      Seq("lsn", "op", "_bucket", "ingest_ts")
     addList.foreach { case (n, _) =>
-      if (reserved.exists(_.equalsIgnoreCase(n)))
+      if (reservedCols.exists(_.equalsIgnoreCase(n)))
         throw new IllegalArgumentException(
           s"column name $n is reserved (engine state / change-batch metadata)")
       if (cur.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
@@ -234,7 +234,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       val f = cur.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(s"no column $n in $root to widen"))
       if (f.name.equalsIgnoreCase("doc_id") ||
-          reserved.exists(_.equalsIgnoreCase(f.name)))
+          reservedCols.exists(_.equalsIgnoreCase(f.name)))
         throw new IllegalArgumentException(
           s"cannot alter the type of ${f.name} (merge key / engine state)")
       // an element widen only changes the element type — keep the
@@ -267,7 +267,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       addList.map { case (n, dt) => StructField(n, dt, nullable = true) } ++ internals)
     val m = cur.copy(version = cur.version + 1, parent = cur.version,
       commitId = "alter-" + graft.table.Fs.nonce, batchId = -5L,
-      schemaJson = evolved.json)
+      schemaJson = evolved.json,
+      // schema-only: provably applied NO events. Inheriting the parent's
+      // real minEventLsn would make changesSince classify this commit as
+      // maybe-carrying-events forever, demoting every window that spans
+      // an ALTER from the pure delta replay to the O(table) snapshotDiff
+      minEventLsn = Long.MaxValue)
     try t.commit(m) catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw graft.operators.Merge.CommitConflict(m.commitId, Set.empty,

@@ -179,9 +179,21 @@ object GraftDataSource {
     * merge-on-read (O(frame) commit cost). */
   def insertInto(
       root: String, data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean, commitId: Option[String]): Unit =
+    insertInto(SnapshotTable.load(data.sparkSession, root), data, overwrite, commitId)
+
+  /** [[insertInto]] against a caller-held table handle. Long-lived
+    * writers (the streaming sink) MUST use this: a fresh
+    * `SnapshotTable.load` per micro-batch starts with an empty manifest
+    * cache, so the ledger's `appliedCommitIds` re-parses every manifest
+    * JSON each trigger — O(versions²) cumulative driver IO over a
+    * standing query. Manifests are immutable once committed, so holding
+    * one instance across batches is always safe. */
+  def insertInto(
+      table: SnapshotTable, data: org.apache.spark.sql.DataFrame,
       overwrite: Boolean, commitId: Option[String]): Unit = {
     val spark = data.sparkSession
-    val table = SnapshotTable.load(spark, root)
+    val root  = table.root
     val cur = table.current.getOrElse(throw new IllegalStateException(
       s"no graft table at $root — create it (SnapshotTable.create) first"))
     require(data.columns.contains("doc_id"), "graft writes require a doc_id column")

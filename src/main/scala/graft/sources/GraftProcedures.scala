@@ -100,6 +100,19 @@ object GraftProcedures {
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
+  /** Typed non-null numeric read: `getLong`/`getInt` on a null slot
+    * silently unboxes to 0 — which for rollback would mean "wipe back to
+    * the empty v0" and for vacuum's grace "disable the in-flight-writer
+    * window". An explicit NULL argument is always a caller bug here. */
+  private def requiredLong(args: InternalRow, i: Int, name: String): Long = {
+    require(!args.isNullAt(i), s"$name must not be NULL")
+    args.getLong(i)
+  }
+  private def requiredInt(args: InternalRow, i: Int, name: String): Int = {
+    require(!args.isNullAt(i), s"$name must not be NULL")
+    args.getInt(i)
+  }
+
   /** `CALL graft.history('/root')` — one row per commit, oldest first:
     * the time-travel / rollback / changesSince discovery surface ("which
     * version do I pin? where did the bad batch land?"). Pure manifest
@@ -162,10 +175,10 @@ object GraftProcedures {
     override protected def run(
         spark: SparkSession, args: InternalRow): Seq[InternalRow] = {
       val t = tableAt(spark, args)
-      val grace = args.getLong(3)
+      val grace = requiredLong(args, 3, "orphan_grace_ms")
       val (deleted, kept) = t.vacuum(
-        retainVersions = args.getInt(1),
-        retainMillis = args.getLong(2),
+        retainVersions = requiredInt(args, 1, "retain_last"),
+        retainMillis = requiredLong(args, 2, "retain_ms"),
         orphanGraceMillis =
           if (grace < 0) SnapshotTable.OrphanGraceMillis else grace)
       Seq(InternalRow(deleted, kept))
@@ -212,7 +225,7 @@ object GraftProcedures {
     override protected def run(
         spark: SparkSession, args: InternalRow): Seq[InternalRow] = {
       val t  = tableAt(spark, args)
-      val to = args.getLong(1)
+      val to = requiredLong(args, 1, "version")
       val s  = TableMaintenance.rollbackTo(t, to)
       Seq(InternalRow(s.version, to, s.rowsAfter))
     }
@@ -234,7 +247,7 @@ object GraftProcedures {
     override protected def run(
         spark: SparkSession, args: InternalRow): Seq[InternalRow] = {
       val t = tableAt(spark, args)
-      val n = args.getInt(1)
+      val n = requiredInt(args, 1, "num_buckets")
       val s = TableMaintenance.rebucket(t, n, "sql-rebucket-" + graft.table.Fs.nonce)
       Seq(InternalRow(s.version, n, s.rowsAfter, s.wallMs))
     }

@@ -50,10 +50,16 @@ class GraftStreamSink(
   // the cross-run authority
   @volatile private var latestBatchId = -1L
 
+  // ONE table handle for the sink's lifetime: manifests are immutable,
+  // and a fresh load per micro-batch would re-parse the whole manifest
+  // chain for the ledger check every trigger (O(versions²) cumulative
+  // driver IO over a standing query)
+  private lazy val table = graft.table.SnapshotTable.load(spark, root)
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     if (batchId <= latestBatchId) return
     val batchDf = org.apache.spark.sql.classic.GraftSqlBridge.asBatch(data)
-    GraftDataSource.insertInto(root, batchDf, overwrite = false,
+    GraftDataSource.insertInto(table, batchDf, overwrite = false,
       commitId = Some(s"stream-$streamKey-$batchId"))
     latestBatchId = batchId
   }

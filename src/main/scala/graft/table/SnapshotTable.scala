@@ -347,6 +347,13 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     * source reader. Reference analog: the archive's "will not be
     * overwritten" guarantee, CountyAddressPointETL.py:242-250. */
   def shallowClone(dstRoot: String): SnapshotTable = {
+    // typed guard, not a FileAlreadyExistsException from mid-copy: a
+    // clone never lands on an existing table (half-merged snapshot dirs
+    // would interleave two unrelated version chains)
+    if (new SnapshotTable(spark, dstRoot).currentVersion.isDefined)
+      throw new IllegalArgumentException(
+        s"clone target $dstRoot is already a graft table; " +
+          "choose an empty path (or DROP it first)")
     val dstSnaps = Paths.get(dstRoot, "snapshots")
     Files.createDirectories(dstSnaps)
     versions.foreach { v =>

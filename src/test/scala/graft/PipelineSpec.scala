@@ -1330,6 +1330,11 @@ class PipelineSpec extends SparkSpec {
     assert(t.currentVersion.contains(vBefore + 1), "ALTER must commit exactly one version")
     assert(t.manifest(vBefore + 1).files == t.manifest(vBefore).files,
       "ALTER must not rewrite data files")
+    // …and provably event-free: inheriting the parent's real minEventLsn
+    // would demote every changesSince window spanning the ALTER from
+    // delta replay to the O(table) snapshotDiff forever
+    assert(t.manifest(vBefore + 1).minEventLsn == Long.MaxValue,
+      "ALTER commit must record minEventLsn = MaxValue (applied no events)")
     // pre-alter rows read back with the new column null-filled
     val row = spark.sql(s"SELECT doc_id, tier FROM graft.`$root`")
       .as[(String, Option[String])].head()

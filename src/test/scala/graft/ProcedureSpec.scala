@@ -138,5 +138,29 @@ class ProcedureSpec extends SparkSpec {
     val eMissing = intercept[Exception] {
       spark.sql(s"CALL graft.history('${tmpDir("sqlprocnone")}/none')").collect() }
     assert(eMissing.getMessage.contains("no graft table"), eMissing.getMessage)
+
+    // NULL numeric args must fail typed, never unbox to 0 — rollback(0)
+    // would silently wipe the table back to the empty create snapshot,
+    // and vacuum grace 0 would disable the in-flight-writer window
+    val eNullV = intercept[Exception] {
+      spark.sql(s"CALL graft.rollback('$root', NULL)").collect() }
+    assert(eNullV.getMessage.contains("must not be NULL"), eNullV.getMessage)
+    assert(spark.sql(s"SELECT * FROM graft.`$root`").count() == 1,
+      "NULL rollback must not have touched the table")
+    val eNullG = intercept[Exception] {
+      spark.sql(s"CALL graft.vacuum('$root', orphan_grace_ms => NULL)").collect() }
+    assert(eNullG.getMessage.contains("must not be NULL"), eNullG.getMessage)
+    val eNullB = intercept[Exception] {
+      spark.sql(s"CALL graft.rebucket('$root', NULL)").collect() }
+    assert(eNullB.getMessage.contains("must not be NULL"), eNullB.getMessage)
+
+    // clone onto an existing table: typed guard, not a raw
+    // FileAlreadyExistsException from mid-copy
+    val other = mkPipeline(tmpDir("sqlprocother"))
+    other.applyBatch(Seq((1L, "I", "o-a", Some(Seq(1)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    val eExists = intercept[Exception] {
+      spark.sql(s"CALL graft.clone('$root', '${other.table.root}')").collect() }
+    assert(eExists.getMessage.contains("already a graft table"), eExists.getMessage)
   }
 }
