@@ -478,9 +478,30 @@ object Bench {
     }
     val (lo, loSteal, loCalib) = runAt(loCpus)
     val (hi, hiSteal, hiCalib) = runAt(hiCpus)
-    val maxRunsS: Seq[(Map[String, Double], Double, Double)] =
+    var maxRunsS: Seq[(Map[String, Double], Double, Double)] =
       if (maxCpus > hiCpus) (1 to math.max(1, maxSamples)).map(_ => runAt(maxCpus))
       else Seq((hi, hiSteal, hiCalib))
+    // Adaptive outlier defense for the max-cores point: a single noisy
+    // sample is absorbed by the median, but a degraded-host window long
+    // enough to poison 2 of 3 samples poisons the median too (observed:
+    // same-code 32-core MOR samples of 28 s, 30 s, 138 s in one run). If
+    // any mode's samples spread beyond 1.5×, buy up to
+    // SPARK_GRAFT_MAX_EXTRA (default 2) more samples — the median over
+    // 5 then needs 3 poisoned runs to lie. Healthy runs never pay this.
+    if (maxCpus > hiCpus) {
+      val maxExtra = sys.env.getOrElse("SPARK_GRAFT_MAX_EXTRA", "2").toInt
+      def spreadTooWide: Boolean = modeNames.exists { m =>
+        val xs = maxRunsS.map(_._1(m))
+        xs.max / math.max(xs.min, 1e-9) > 1.5
+      }
+      var extra = 0
+      while (extra < maxExtra && spreadTooWide) {
+        System.err.println(
+          s"[bench] max-core sample spread > 1.5x — taking extra sample ${extra + 1}/$maxExtra")
+        maxRunsS = maxRunsS :+ runAt(maxCpus)
+        extra += 1
+      }
+    }
     val maxRuns = maxRunsS.map(_._1)
     val max = modeNames.map(m => m -> median(maxRuns.map(_(m)))).toMap
     val stealJson =

@@ -354,6 +354,59 @@ object SparkEntry {
             .otherwise(col("source")).as("source"))
         .orderBy(col("lsn"))
     }),
+    "q_cdc_bootstrap" -> ((s, dir) => {
+      // Snapshot + binlog bootstrap (round-4): seed an empty table from
+      // the upstream state at the stride boundary via the join-free
+      // bucketed-write path (operators.Bootstrap), then tail only the
+      // above-boundary events. Final state must equal a full replay of
+      // the entire log — oracle shared with q_cdc_merge_state.
+      val base = tempRoot("graft-boot")
+      val p = new CdcPipeline(s, PipelineConfig(
+        tableRoot = s"$base/table",
+        changeLogDir = s"$base/changelog-unused",
+        checkpointDir = s"$base/checkpoint",
+        errorDir = s"$base/errors",
+        lineageDir = s"$base/lineage",
+        numBuckets = 16,
+        mode = "mor"))
+      val ev = CdcGenerator.events(s, dir)
+      // the "upstream snapshot": the below-boundary slice, payload-shaped
+      // (all rep-0 inserts — at most one row per doc_id by construction);
+      // its invalid rows quarantine during bootstrap exactly as the
+      // oracle's valid-filter drops them
+      val snap = ev.filter(col("lsn") < CdcGenerator.LsnStride)
+        .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+      p.bootstrap(snap, asOfLsn = CdcGenerator.LsnStride - 1)
+      p.applyBatch(ev.filter(col("lsn") >= CdcGenerator.LsnStride), batchId = 1L)
+      finalState(p)
+    }),
+    "q_cdc_replay" -> ((s, dir) => {
+      // Quarantine replay (round-4): fork the staged MOR table, parse the
+      // quarantined rows' raw JSON back to event shape, fix both injected
+      // error classes (doc_id restored from the lsn — rep-0 events have
+      // lsn == id — and n_tok recomputed), and re-ingest at the ORIGINAL
+      // lsns. Final state = LWW over the log with those events corrected.
+      val src  = stagedPipeline(s, dir, "mor")
+      val base = tempRoot("graft-replay")
+      src.table.shallowClone(s"$base/table")
+      val p = new CdcPipeline(s, PipelineConfig(
+        tableRoot = s"$base/table",
+        changeLogDir = s"$base/changelog-unused",
+        checkpointDir = s"$base/checkpoint",
+        errorDir = s"$base/errors",
+        lineageDir = s"$base/lineage",
+        numBuckets = 16,
+        mode = "mor"))
+      val corrected = src.readErrors().filter(col("lsn") >= 0)
+        .select(from_json(col("raw"), Conform.EventSchema).as("e")).select("e.*")
+        .withColumn("doc_id",
+          coalesce(col("doc_id"), concat(lit("doc"), col("lsn"))))
+        .withColumn("n_tok",
+          when(col("op") === "D", col("n_tok"))
+            .otherwise(size(col("tokens")).cast("long")))
+      p.replayErrors(corrected, "fix1")
+      finalState(p)
+    }),
     "q_maintenance_roundtrip" -> ((s, dir) => {
       // Bad-batch recovery drill (S16+S17): apply both batches, roll the
       // second back, re-land its events under a fresh commit id (the
@@ -1292,6 +1345,33 @@ object SparkEntry {
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
       "q_cdc_merge_state" -> mergedStateOracle,
       "q_cdc_merge_state_mor" -> mergedStateOracle,
+      // bootstrap-at-boundary + tail-above-boundary must be
+      // state-equivalent to replaying the entire log
+      "q_cdc_bootstrap" -> mergedStateOracle,
+      // replay with corrections applied: every event made valid (the two
+      // injected error classes fixed — doc_id restored from the rep-0
+      // lsn, n_tok recomputed; for already-valid rows both fixes are
+      // identities), then the ordinary LWW fold
+      "q_cdc_replay" ->
+        s"""WITH evs AS ($ev),
+            fixed AS (
+              SELECT lsn, op,
+                     coalesce(doc_id, 'doc' || cast(lsn AS varchar)) AS doc_id,
+                     tokens,
+                     CASE WHEN op = 'D' THEN NULL
+                          ELSE cast(len(tokens) AS bigint) END AS n_tok,
+                     source
+              FROM evs),
+            last AS (
+              SELECT doc_id,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens,
+                     max_by(n_tok, lsn) AS n_tok,
+                     max_by(source, lsn) AS source
+              FROM fixed GROUP BY doc_id)
+            SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
+                   cast(n_tok AS bigint) AS n_tok, source
+            FROM last WHERE op <> 'D' ORDER BY doc_id""",
       // the streaming sink applies the same change stream through
       // writeStream.format("graft") — the final state contract is
       // identical to the batch pipeline's

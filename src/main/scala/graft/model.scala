@@ -44,6 +44,14 @@ case class ErrorRecord(
     reason: String,
     raw: String)
 
+/** A quarantined error row that later re-validated through
+  * [[graft.streaming.CdcPipeline.replayErrors]]: `lsn` identifies the
+  * failed event (globally unique in the log), `resolved_by` the replay
+  * commit whose corrected copy passed validation. */
+case class ResolutionRecord(
+    lsn: Long,
+    resolved_by: String)
+
 /** Per-batch, per-partition lineage emitted to the metrics table.
   * Reference analog: old/new count reconciliation prints
   * (CountyAddressPointETL.py:384,503-504; UpdateAddressPointsSDE.py:33-63). */

@@ -68,8 +68,10 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
   def commitIdFor(batchId: Long): String = s"b$batchId"
 
   /** Apply one raw change batch (batch API — also the foreachBatch body). */
-  def applyBatch(raw: DataFrame, batchId: Long): MergeStats = {
-    val commitId = commitIdFor(batchId)
+  def applyBatch(raw: DataFrame, batchId: Long): MergeStats =
+    applyRaw(raw, commitIdFor(batchId), batchId)
+
+  private def applyRaw(raw: DataFrame, commitId: String, batchId: Long): MergeStats = {
     if (table.appliedCommitIds.contains(commitId)) {
       // exactly-once for the SIDE tables too: a crash between the
       // manifest commit and side-table publication leaves a staged error
@@ -211,26 +213,34 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         deleteRecursively(staged) // raced: the target landed anyway
     }
 
-  /** Stage this commit's error rows (pre-commit). Empty error sets stage
-    * nothing: a clean stream must not pay a fixed parquet job per batch —
-    * the isEmpty probe early-terminates at the first error row. */
-  private def stageErrors(errors: DataFrame, commitId: String): Option[java.nio.file.Path] =
-    if (errors.isEmpty) None
+  /** Stage one commit's side-table rows under `root` (pre-commit). Empty
+    * sets stage nothing: a clean stream must not pay a fixed parquet job
+    * per batch — the isEmpty probe early-terminates at the first row. */
+  private def stageSide(
+      rows: DataFrame, root: String, commitId: String): Option[java.nio.file.Path] =
+    if (rows.isEmpty) None
     else {
-      val dir = Paths.get(cfg.errorDir, s".staged-c-$commitId-${graft.table.Fs.nonce}")
-      errors.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      val dir = Paths.get(root, s".staged-c-$commitId-${graft.table.Fs.nonce}")
+      rows.write.mode(SaveMode.Overwrite).parquet(dir.toString)
       Some(dir)
     }
 
-  /** Publish this commit's staged errors (post-commit) and sweep any
-    * orphan staged dirs left by crashed or superseded attempts. */
-  private def publishErrors(staged: Option[java.nio.file.Path], commitId: String): Unit = {
-    val target = publishedDir(cfg.errorDir, commitId)
+  /** Publish a commit's staged side rows under `root` (post-commit) and
+    * sweep any orphan staged dirs left by crashed or superseded attempts. */
+  private def publishSide(
+      staged: Option[java.nio.file.Path], root: String, commitId: String): Unit = {
+    val target = publishedDir(root, commitId)
     staged.foreach { dir =>
       if (Files.exists(target)) deleteRecursively(dir) else promote(dir, target)
     }
-    stagedDirsFor(cfg.errorDir, commitId).foreach(deleteRecursively)
+    stagedDirsFor(root, commitId).foreach(deleteRecursively)
   }
+
+  private def stageErrors(errors: DataFrame, commitId: String): Option[java.nio.file.Path] =
+    stageSide(errors, cfg.errorDir, commitId)
+
+  private def publishErrors(staged: Option[java.nio.file.Path], commitId: String): Unit =
+    publishSide(staged, cfg.errorDir, commitId)
 
   /** Ledger-skip path: finish whatever the crashed run left undone.
     * Errors: promote a surviving complete staged dir (its _SUCCESS
@@ -268,6 +278,136 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
   /** The lineage/metrics table (published commits only). */
   def readLineage(): DataFrame = CdcPipeline.readSideTable(
     spark, cfg.lineageDir, org.apache.spark.sql.Encoders.product[graft.LineageRecord].schema)
+
+  // ---- bootstrap (snapshot + binlog) ----
+
+  /** Initial snapshot load: seed the empty table with the upstream
+    * table's full state, stamped at LSN floor `asOfLsn`, then tail the
+    * change stream from there — `bootstrap(state_at_w, w) ⊕
+    * applyBatch(events > w)` is state-equivalent to replaying the entire
+    * log (events above the floor win LWW over snapshot rows; stragglers
+    * at or below it read as stale). PipelineSpec proves the equivalence;
+    * driver query `q_cdc_bootstrap` shares `q_cdc_merge_state`'s oracle.
+    *
+    * The write path is [[graft.operators.Bootstrap]]: one bucket-key
+    * shuffle → bucketed parquet write → manifest commit. No join — the
+    * plan a 100-TB initial load needs (MERGE into an empty table pays a
+    * full-outer join against nothing).
+    *
+    * Snapshot contract: payload-shaped (`doc_id`, `tokens`[, `n_tok`,
+    * `source`, extras]). `lsn`/`op` columns are REJECTED — a snapshot is
+    * state, not a change stream; per-row LSNs belong in [[applyBatch]].
+    * Rows failing row validation route to the error table under this
+    * commit. Duplicate doc_ids: identical copies collapse; CONFLICTING
+    * copies all route to errors (reason `ambiguous_doc_id`) — a snapshot
+    * must be keyed, and guessing a winner is silent corruption. Pass
+    * `assumeUnique = true` to skip both dedup passes when the source
+    * enforces a primary key (the 100-TB fast path: conform → validate →
+    * write, nothing else).
+    *
+    * Exactly-once: ledgered under `commitId`; a replayed call is a no-op
+    * that completes side-table publication. A malformed snapshot (missing
+    * required column, un-castable type) THROWS instead of quarantining —
+    * unlike a mid-stream batch there is no stream to keep alive, and
+    * ledgering a failed bootstrap as "applied, empty" would silently
+    * start the tail from a wrong-empty base. */
+  def bootstrap(
+      snapshot: DataFrame,
+      asOfLsn: Long,
+      commitId: String = "bootstrap",
+      assumeUnique: Boolean = false): MergeStats = {
+    if (table.appliedCommitIds.contains(commitId)) {
+      recoverSideTables(commitId, batchId = -1L)
+      val cur = table.current.get
+      return MergeStats(commitId, cur.version, skipped = true, 0, cur.rowCount,
+        cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1, 0, Seq.empty)
+    }
+    val lowered = snapshot.columns.map(_.toLowerCase)
+    val banned  = Seq("lsn", "op", "ingest_ts").filter(lowered.contains)
+    if (banned.nonEmpty)
+      throw new IllegalArgumentException(
+        s"bootstrap snapshot must be payload-shaped; found change-stream column(s) " +
+          s"${banned.mkString(",")} — apply event-shaped data via applyBatch")
+    val stamped = snapshot
+      .withColumn("lsn", lit(asOfLsn))
+      .withColumn("op", lit("I"))
+    val conformed = Conform(stamped)
+    val split     = Validate(conformed, commitId)
+    val (clean, errors) =
+      if (assumeUnique) (split.valid, split.errors)
+      else {
+        // identical copies collapse; doc_ids still duplicated after that
+        // carry CONFLICTING payloads — route every copy to quarantine.
+        // One window pass on the doc_id hash (the same key the bucketed
+        // write shuffles on); assumeUnique skips it for trusted sources.
+        val distinctRows = split.valid.dropDuplicates()
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        val tagged = distinctRows.withColumn("_dup", count(lit(1)).over(w) > 1)
+        val amb = tagged.filter(col("_dup")).drop("_dup")
+        val ambErrors = amb.select(
+          lit(commitId).as("commit_id"),
+          col("lsn"),
+          col("doc_id"),
+          lit("ambiguous_doc_id").as("reason"),
+          to_json(struct(amb.columns.filterNot(_ == "commit_id").toIndexedSeq.map(col): _*)).as("raw"))
+        (tagged.filter(!col("_dup")).drop("_dup"),
+          split.errors.unionByName(ambErrors))
+      }
+    val stagedErrors = stageErrors(errors, commitId)
+    val stats = graft.operators.Bootstrap(table, clean, asOfLsn, commitId)
+    publishErrors(stagedErrors, commitId)
+    writeLineage(stats, batchId = -1L)
+    stats
+  }
+
+  // ---- quarantine replay ----
+
+  /** Re-ingest corrected error rows through the full pipeline and mark
+    * the LSNs that now validated as RESOLVED. `corrected` is
+    * event-shaped — typically `readErrors()`'s `raw` column parsed back
+    * (`from_json(raw, Conform.EventSchema)`) with the failing fields
+    * fixed. Rows keep their ORIGINAL lsn, so LWW places each correction
+    * exactly where the failed event sat in the log: a fix that a later
+    * valid event already superseded stays superseded (stale), never
+    * resurrected. Reference analog: the error-points table exists to be
+    * fixed and re-loaded (CreateErrorPts.py:4-33).
+    *
+    * Exactly-once: the merge ledgers under `replay-<replayId>`; a re-run
+    * is a no-op that completes side-table AND resolution publication.
+    * A corrected row that STILL fails validation routes to the error
+    * table again (under the replay commit) and is NOT marked resolved —
+    * [[outstandingErrors]] keeps showing it. */
+  def replayErrors(corrected: DataFrame, replayId: String): MergeStats = {
+    val commitId = s"replay-$replayId"
+    val stats    = applyRaw(corrected, commitId, batchId = -2L)
+    // resolutions publish AFTER (and independently of) the merge commit,
+    // idempotently: recompute from the immutable inputs and promote; a
+    // crash between commit and this point is healed by re-running.
+    val resolvedRoot = Paths.get(cfg.errorDir, CdcPipeline.ResolvedSubdir).toString
+    if (!Files.exists(publishedDir(resolvedRoot, commitId))) {
+      val validLsns = Validate(Conform(corrected), commitId).valid
+        .select(col("lsn")).distinct()
+      // lsn < 0 = whole-batch reject samples, not row errors; a sample
+      // row's lsn identifies nothing, so those never resolve by lsn
+      val resolutions = readErrors()
+        .filter(col("lsn") >= 0).select(col("lsn")).distinct()
+        .join(validLsns, Seq("lsn"), "left_semi")
+        .select(col("lsn"), lit(commitId).as("resolved_by"))
+      publishSide(stageSide(resolutions, resolvedRoot, commitId), resolvedRoot, commitId)
+    }
+    stats
+  }
+
+  /** Error-lsn → replay-commit resolutions (published replays only). */
+  def readResolutions(): DataFrame = CdcPipeline.readSideTable(
+    spark, Paths.get(cfg.errorDir, CdcPipeline.ResolvedSubdir).toString,
+    org.apache.spark.sql.Encoders.product[graft.ResolutionRecord].schema)
+
+  /** Quarantined rows not yet resolved by any replay. Whole-batch reject
+    * samples (lsn = -1) stay outstanding until the batch is re-ingested
+    * through the normal stream path. */
+  def outstandingErrors(): DataFrame =
+    readErrors().join(readResolutions(), Seq("lsn"), "left_anti")
 
   /** Per-batch AND per-partition lineage to the metrics table: one row
     * per bucket this commit wrote (partition_id = bucket, rows from the
@@ -407,6 +547,11 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
 }
 
 object CdcPipeline {
+  /** Resolutions live in a subdirectory of the error dir whose name does
+    * NOT match the `c-*` published-commit pattern, so [[readSideTable]]
+    * over the error root never globs them in. */
+  private[streaming] val ResolvedSubdir = "resolved"
+
   /** Read a per-commit-published side table: only `c-<commitId>` dirs
     * count (staged dot-dirs are invisible to Spark's listing anyway; the
     * explicit enumeration also keeps stray root files out). Empty table

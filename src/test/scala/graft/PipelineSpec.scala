@@ -1881,4 +1881,107 @@ class PipelineSpec extends SparkSpec {
     assert(row.getAs[String]("upstream") == "up1")
     assert(row.getAs[scala.collection.Seq[Int]]("tokens") == Seq(9))
   }
+
+  test("bootstrap + tail ≡ full replay (snapshot + binlog pattern)") {
+    import spark.implicits._
+    val w  = CdcGenerator.LsnStride // boundary: r=0 events sit below it
+    val ev = CdcGenerator.events(spark, sf0001)
+
+    // reference side: full replay of the entire log
+    val oracle = OracleFold.fold(collectEvents(sf0001))
+
+    // bootstrap side: the upstream state at the boundary (LWW fold of the
+    // below-boundary events — here all r=0 inserts) as a payload-shaped
+    // snapshot, then ONLY the above-boundary events through the stream path
+    val base = tmpDir("boot")
+    val p    = mkPipeline(base, mode = "mor")
+    val snap = ev.filter(col("lsn") < w)
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+    val s = p.bootstrap(snap, asOfLsn = w - 1)
+    assert(!s.skipped && s.inserted > 0 && s.rowsAfter == s.inserted)
+    assert(p.table.current.get.watermarkLsn == w - 1)
+    // invalid snapshot rows (null doc_id, n_tok off-by-one) quarantined
+    assert(p.readErrors().filter(col("commit_id") === "bootstrap").count() > 0)
+
+    p.applyBatch(ev.filter(col("lsn") >= w), batchId = 1L)
+    assertStateMatches(tableState(p), oracle)
+
+    // exactly-once: a replayed bootstrap is a ledger no-op
+    assert(p.bootstrap(snap, asOfLsn = w - 1).skipped)
+
+    // typed edges: non-empty table, event-shaped snapshot
+    intercept[graft.operators.Bootstrap.NonEmptyTable] {
+      p.bootstrap(snap, asOfLsn = w - 1, commitId = "again")
+    }
+    val base2 = tmpDir("boot2")
+    val p2    = mkPipeline(base2)
+    intercept[IllegalArgumentException] {
+      p2.bootstrap(ev.limit(1), asOfLsn = 0L) // carries lsn/op
+    }
+
+    // duplicate handling: identical copies collapse; conflicting copies
+    // all quarantine as ambiguous_doc_id and neither lands in the table
+    val dup = Seq(
+      ("a", Seq(1, 2), 2L, "s"),
+      ("a", Seq(1, 2), 2L, "s"),  // identical → collapses
+      ("b", Seq(3), 1L, "s"),
+      ("b", Seq(4), 1L, "s"))     // conflicting → quarantined
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val s2 = p2.bootstrap(dup, asOfLsn = 0L)
+    assert(s2.inserted == 1)
+    assert(p2.readTable().select("doc_id").as[String].collect().toSeq == Seq("a"))
+    assert(p2.readErrors().filter(col("reason") === "ambiguous_doc_id").count() == 2)
+  }
+
+  test("replayErrors re-ingests corrected quarantine rows and resolves them exactly-once") {
+    import graft.operators.Conform
+    val base = tmpDir("replay")
+    val p    = mkPipeline(base, mode = "mor")
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 2)
+    p.runAvailableNow()
+
+    val events = collectEvents(sf0001)
+    val bad    = OracleFold.invalid(events)
+    assert(bad.nonEmpty, "fixture must generate quarantined events")
+    assert(p.readResolutions().count() == 0)
+    assert(p.outstandingErrors().count() == bad.size)
+
+    // corrections: parse the quarantined raw back to event shape, restore
+    // the doc_id from the lsn (r=0 events have lsn == id) and recompute
+    // n_tok — EXCEPT one lsn left broken to prove partial resolution
+    val leftBroken = bad.head.lsn
+    val corrected = p.readErrors().filter(col("lsn") >= 0)
+      .select(from_json(col("raw"), Conform.EventSchema).as("e")).select("e.*")
+      .withColumn("doc_id",
+        coalesce(col("doc_id"), concat(lit("doc"), col("lsn"))))
+      .withColumn("n_tok",
+        when(col("lsn") === leftBroken, col("n_tok"))
+          .otherwise(size(col("tokens")).cast("long")))
+    val s = p.replayErrors(corrected, "fix1")
+    assert(!s.skipped)
+
+    // state: equivalent to replaying the log with those events corrected
+    val fixedEvents = events.map { e =>
+      if (e.lsn == leftBroken || OracleFold.valid(e)) e
+      else e.copy(
+        docId = if (e.docId == null) s"doc${e.lsn}" else e.docId,
+        nTok = Some(e.tokens.length.toLong))
+    }
+    assertStateMatches(tableState(p), OracleFold.fold(fixedEvents))
+
+    // resolution bookkeeping: everything but the still-broken lsn resolved
+    val resolved = p.readResolutions().select("lsn").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(resolved == bad.map(_.lsn).toSet - leftBroken)
+    // the still-broken row re-quarantined under the replay commit AND outstanding
+    assert(p.readErrors()
+      .filter(col("commit_id") === "replay-fix1" && col("lsn") === leftBroken).count() == 1)
+    val outstanding = p.outstandingErrors().select("lsn")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(outstanding == Set(leftBroken))
+
+    // exactly-once: the same replayId is a ledger no-op, resolutions stable
+    assert(p.replayErrors(corrected, "fix1").skipped)
+    assert(p.readResolutions().count() == resolved.size)
+  }
 }
