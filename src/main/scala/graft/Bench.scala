@@ -484,20 +484,24 @@ object Bench {
     // Adaptive outlier defense for the max-cores point: a single noisy
     // sample is absorbed by the median, but a degraded-host window long
     // enough to poison 2 of 3 samples poisons the median too (observed:
-    // same-code 32-core MOR samples of 28 s, 30 s, 138 s in one run). If
-    // any mode's samples spread beyond 1.5×, buy up to
-    // SPARK_GRAFT_MAX_EXTRA (default 2) more samples — the median over
-    // 5 then needs 3 poisoned runs to lie. Healthy runs never pay this.
+    // same-code 32-core MOR samples of 28 s, 30 s, 138 s in one run).
+    // Buy up to SPARK_GRAFT_MAX_EXTRA (default 2) extra samples until
+    // every mode shows a 3-sample CLUSTER agreeing within 1.5× — a
+    // stable neighborhood the median can sit in. (The first cut of this
+    // re-checked max/min over ALL samples, which is monotone
+    // non-decreasing once an outlier exists: the "adaptive" stop was
+    // dead and the loop always bought every extra sample.) Healthy runs
+    // never pay this.
     if (maxCpus > hiCpus) {
       val maxExtra = sys.env.getOrElse("SPARK_GRAFT_MAX_EXTRA", "2").toInt
-      def spreadTooWide: Boolean = modeNames.exists { m =>
-        val xs = maxRunsS.map(_._1(m))
-        xs.max / math.max(xs.min, 1e-9) > 1.5
-      }
+      def stable(xs: Seq[Double]): Boolean =
+        if (xs.size < 3) xs.max / math.max(xs.min, 1e-9) <= 1.5
+        else xs.sorted.sliding(3)
+          .exists(w => w.last / math.max(w.head, 1e-9) <= 1.5)
       var extra = 0
-      while (extra < maxExtra && spreadTooWide) {
+      while (extra < maxExtra && modeNames.exists(m => !stable(maxRunsS.map(_._1(m))))) {
         System.err.println(
-          s"[bench] max-core sample spread > 1.5x — taking extra sample ${extra + 1}/$maxExtra")
+          s"[bench] no 3-sample max-core cluster within 1.5x — taking extra sample ${extra + 1}/$maxExtra")
         maxRunsS = maxRunsS :+ runAt(maxCpus)
         extra += 1
       }

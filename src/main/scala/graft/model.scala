@@ -45,11 +45,15 @@ case class ErrorRecord(
     raw: String)
 
 /** A quarantined error row that later re-validated through
-  * [[graft.streaming.CdcPipeline.replayErrors]]: `lsn` identifies the
-  * failed event (globally unique in the log), `resolved_by` the replay
-  * commit whose corrected copy passed validation. */
+  * [[graft.streaming.CdcPipeline.replayErrors]]: (`lsn`, `doc_id`)
+  * identify the error row — stream errors carry unique lsns, but
+  * bootstrap quarantine rows all share the snapshot's floor lsn, so the
+  * lsn alone is NOT a key (round-4 review finding); `doc_id` is null for
+  * the quarantine class whose correction supplies it. `resolved_by` is
+  * the replay commit whose corrected copy passed validation. */
 case class ResolutionRecord(
     lsn: Long,
+    doc_id: String,
     resolved_by: String)
 
 /** Per-batch, per-partition lineage emitted to the metrics table.

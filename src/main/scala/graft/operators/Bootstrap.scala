@@ -44,6 +44,46 @@ object Bootstrap {
         s"bootstrap requires an empty table; $root already holds $rows row(s) " +
           "(truncate explicitly, or apply the snapshot as a MERGE batch)")
 
+  /** Duplicate sweep over validated snapshot rows: identical copies
+    * collapse to one; doc_ids still duplicated after that carry
+    * CONFLICTING payloads — every distinct conflicting variant routes to
+    * quarantine (`ambiguous_doc_id`), because a snapshot must be keyed
+    * and guessing a winner is silent corruption.
+    *
+    * ONE doc_id shuffle serves both sweeps: two window passes over the
+    * same partitioning (the sorted `lag` tags each doc's first row per
+    * distinct payload; the unordered `sum` totals the variants), so
+    * Catalyst plans one Exchange + one sort — vs a
+    * dropDuplicates-then-window shape, which shuffles the full snapshot
+    * twice (once on ALL columns, once on doc_id). Plan-gated in
+    * PlanSpec. Complex-type equality in Spark is ordering-based (nulls
+    * inside the struct compare equal), matching dropDuplicates. */
+  def sweepDuplicates(valid: DataFrame, commitId: String): (DataFrame, DataFrame) = {
+    val payloadStruct = struct(
+      valid.columns.filterNot(Merge.EventMetaCols.contains)
+        .toIndexedSeq.map(col): _*)
+    val byDoc  = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val sorted = byDoc.orderBy(col("_payload"))
+    val tagged = valid
+      .withColumn("_payload", payloadStruct)
+      .withColumn("_first_of_variant",
+        lag(col("_payload"), 1).over(sorted).isNull ||
+          lag(col("_payload"), 1).over(sorted) =!= col("_payload"))
+      .withColumn("_variants",
+        sum(when(col("_first_of_variant"), 1L).otherwise(0L)).over(byDoc))
+    def strip(df: DataFrame) =
+      df.drop("_payload", "_first_of_variant", "_variants")
+    val amb = strip(tagged.filter(col("_variants") > 1 && col("_first_of_variant")))
+    val ambErrors = amb.select(
+      lit(commitId).as("commit_id"),
+      col("lsn"),
+      col("doc_id"),
+      lit("ambiguous_doc_id").as("reason"),
+      to_json(struct(amb.columns.filterNot(_ == "commit_id").toIndexedSeq.map(col): _*)).as("raw"))
+    (strip(tagged.filter(col("_variants") === 1 && col("_first_of_variant"))),
+      ambErrors)
+  }
+
   def apply(
       table: SnapshotTable,
       cleanEvents: DataFrame,
@@ -59,7 +99,7 @@ object Bootstrap {
     val targetPayload = StructType(
       cur.schema.fields.filterNot(f => Merge.InternalCols.contains(f.name)))
     val batchPayload = StructType(cleanEvents.schema.fields.filterNot(f =>
-      Seq("lsn", "op", "ingest_ts").contains(f.name)))
+      Merge.EventMetaCols.contains(f.name)))
     val (evolvedPayload, changes) = SchemaEvolution.evolve(targetPayload, batchPayload)
     val physicalSchema = StructType(evolvedPayload.fields ++ Seq(
       StructField(Merge.LsnCol, LongType, nullable = false),

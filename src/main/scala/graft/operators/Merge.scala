@@ -72,10 +72,16 @@ object Merge {
 
   val InternalCols: Seq[String] = Seq(LsnCol, TombCol)
 
+  /** Change-stream metadata columns — everything an event carries that is
+    * NOT payload. The single source of truth for every surface that
+    * splits event shape from payload shape (merge, bootstrap, the
+    * pipeline's table-create filter, the bootstrap banned-column check):
+    * adding a new event-level column here keeps all of them agreeing. */
+  val EventMetaCols: Seq[String] = Seq("lsn", "op", "ingest_ts")
+
   /** Payload columns = everything that persists in the target table. */
   private def payloadSchemaOf(batch: DataFrame): StructType =
-    StructType(batch.schema.fields.filterNot(f =>
-      Seq("lsn", "op", "ingest_ts").contains(f.name)))
+    StructType(batch.schema.fields.filterNot(f => EventMetaCols.contains(f.name)))
 
   def apply(
       table: SnapshotTable,

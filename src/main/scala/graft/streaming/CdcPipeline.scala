@@ -59,7 +59,7 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     else SnapshotTable.create(
       spark, cfg.tableRoot,
       StructType(Conform.EventSchema.fields.filterNot(f =>
-        Seq("lsn", "op", "ingest_ts").contains(f.name)))
+        Merge.EventMetaCols.contains(f.name)))
         .add(Merge.LsnCol, "long", nullable = false)
         .add(Merge.TombCol, "boolean", nullable = true),
       cfg.numBuckets)
@@ -322,8 +322,15 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
       return MergeStats(commitId, cur.version, skipped = true, 0, cur.rowCount,
         cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1, 0, Seq.empty)
     }
+    // the operator re-checks under the commit CAS; checking here too means
+    // a mis-aimed call fails BEFORE paying conform/validate/dedup Spark
+    // jobs over the (potentially 100-TB) snapshot and before staging
+    // error files that nothing would ever sweep (round-4 review finding)
+    table.current.filter(c => c.rowCount > 0 || c.deltaRows > 0).foreach { c =>
+      throw graft.operators.Bootstrap.NonEmptyTable(table.root, c.rowCount + c.deltaRows)
+    }
     val lowered = snapshot.columns.map(_.toLowerCase)
-    val banned  = Seq("lsn", "op", "ingest_ts").filter(lowered.contains)
+    val banned  = Merge.EventMetaCols.filter(lowered.contains)
     if (banned.nonEmpty)
       throw new IllegalArgumentException(
         s"bootstrap snapshot must be payload-shaped; found change-stream column(s) " +
@@ -336,25 +343,23 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     val (clean, errors) =
       if (assumeUnique) (split.valid, split.errors)
       else {
-        // identical copies collapse; doc_ids still duplicated after that
-        // carry CONFLICTING payloads — route every copy to quarantine.
-        // One window pass on the doc_id hash (the same key the bucketed
-        // write shuffles on); assumeUnique skips it for trusted sources.
-        val distinctRows = split.valid.dropDuplicates()
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-        val tagged = distinctRows.withColumn("_dup", count(lit(1)).over(w) > 1)
-        val amb = tagged.filter(col("_dup")).drop("_dup")
-        val ambErrors = amb.select(
-          lit(commitId).as("commit_id"),
-          col("lsn"),
-          col("doc_id"),
-          lit("ambiguous_doc_id").as("reason"),
-          to_json(struct(amb.columns.filterNot(_ == "commit_id").toIndexedSeq.map(col): _*)).as("raw"))
-        (tagged.filter(!col("_dup")).drop("_dup"),
-          split.errors.unionByName(ambErrors))
+        // identical copies collapse; conflicting copies quarantine — one
+        // doc_id-shuffle window pass ([[graft.operators.Bootstrap
+        // .sweepDuplicates]], plan-gated). assumeUnique skips it for
+        // sources with an enforced key (the 100-TB fast path).
+        val (keyed, ambErrors) =
+          graft.operators.Bootstrap.sweepDuplicates(split.valid, commitId)
+        (keyed, split.errors.unionByName(ambErrors))
       }
     val stagedErrors = stageErrors(errors, commitId)
-    val stats = graft.operators.Bootstrap(table, clean, asOfLsn, commitId)
+    val stats =
+      try graft.operators.Bootstrap(table, clean, asOfLsn, commitId)
+      catch { case e: Throwable =>
+        // no commit landed → nothing will ever publish or sweep the
+        // staged error dir; reclaim it before surfacing the failure
+        stagedErrors.foreach(deleteRecursively)
+        throw e
+      }
     publishErrors(stagedErrors, commitId)
     writeLineage(stats, batchId = -1L)
     stats
@@ -363,7 +368,7 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
   // ---- quarantine replay ----
 
   /** Re-ingest corrected error rows through the full pipeline and mark
-    * the LSNs that now validated as RESOLVED. `corrected` is
+    * the ones that now validated as RESOLVED. `corrected` is
     * event-shaped — typically `readErrors()`'s `raw` column parsed back
     * (`from_json(raw, Conform.EventSchema)`) with the failing fields
     * fixed. Rows keep their ORIGINAL lsn, so LWW places each correction
@@ -372,11 +377,26 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     * resurrected. Reference analog: the error-points table exists to be
     * fixed and re-loaded (CreateErrorPts.py:4-33).
     *
+    * Resolution identity is the error row's (lsn, doc_id) pair: a valid
+    * corrected row resolves its exact (lsn, doc_id) error row when one
+    * exists; a correction matching no keyed error row resolves the
+    * NULL-doc_id quarantine rows at its lsn (the class whose correction
+    * supplies the doc_id). Stream errors carry unique lsns, so both arms
+    * are exact there; [[bootstrap]] quarantine rows share the floor lsn,
+    * where the doc_id arm still separates docs and same-lsn null-doc
+    * rows — genuinely keyless — resolve together on the first unclaimed
+    * correction at that lsn. `corrected` must be immutable across calls
+    * with the same replayId — the crash-recovery recompute assumes it.
+    *
     * Exactly-once: the merge ledgers under `replay-<replayId>`; a re-run
-    * is a no-op that completes side-table AND resolution publication.
-    * A corrected row that STILL fails validation routes to the error
-    * table again (under the replay commit) and is NOT marked resolved —
-    * [[outstandingErrors]] keeps showing it. */
+    * is a no-op that completes side-table AND resolution publication (a
+    * resolution marker publishes even when empty, so repeats after a
+    * fully-failed replay are metadata-only). A corrected row that STILL
+    * fails validation routes to the error table again (under the replay
+    * commit) and is NOT marked resolved — [[outstandingErrors]] keeps
+    * showing it. A corrected frame that whole-batch REJECTS (missing
+    * column, un-castable type) ledgers the reject exactly like a stream
+    * batch and resolves NOTHING — nothing was ingested. */
   def replayErrors(corrected: DataFrame, replayId: String): MergeStats = {
     val commitId = s"replay-$replayId"
     val stats    = applyRaw(corrected, commitId, batchId = -2L)
@@ -384,30 +404,75 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     // idempotently: recompute from the immutable inputs and promote; a
     // crash between commit and this point is healed by re-running.
     val resolvedRoot = Paths.get(cfg.errorDir, CdcPipeline.ResolvedSubdir).toString
-    if (!Files.exists(publishedDir(resolvedRoot, commitId))) {
-      val validLsns = Validate(Conform(corrected), commitId).valid
-        .select(col("lsn")).distinct()
-      // lsn < 0 = whole-batch reject samples, not row errors; a sample
-      // row's lsn identifies nothing, so those never resolve by lsn
-      val resolutions = readErrors()
-        .filter(col("lsn") >= 0).select(col("lsn")).distinct()
-        .join(validLsns, Seq("lsn"), "left_semi")
-        .select(col("lsn"), lit(commitId).as("resolved_by"))
-      publishSide(stageSide(resolutions, resolvedRoot, commitId), resolvedRoot, commitId)
+    val target       = publishedDir(resolvedRoot, commitId)
+    if (!Files.exists(target)) {
+      // Did this replay actually ingest anything? A whole-batch reject
+      // (or an all-invalid frame) records minEventLsn = MaxValue in its
+      // manifest — the durable signal that survives crash-recovery
+      // replays, where `stats` is just the ledger-skip stub. Recomputing
+      // Validate(Conform(...)) on a reject frame would also THROW the
+      // conform error post-commit on every call (round-4 review finding).
+      val appliedAny = table.versions
+        .find(v => table.manifest(v).commitId == commitId)
+        .exists(v => table.manifest(v).minEventLsn != Long.MaxValue)
+      val staged =
+        if (!appliedAny) None
+        else {
+          val validPairs = Validate(Conform(corrected), commitId).valid
+            .select(col("lsn").as("_v_lsn"), col("doc_id").as("_v_doc")).distinct()
+          // lsn < 0 = whole-batch reject samples, not row errors; a
+          // sample row's lsn identifies nothing, so those never resolve
+          val errPairs = readErrors()
+            .filter(col("lsn") >= 0).select(col("lsn"), col("doc_id")).distinct()
+          // exact matches first: a correction resolves ITS (lsn, doc_id)
+          // error row when one exists...
+          val keyed    = errPairs.filter(col("doc_id").isNotNull)
+          val exactRes = keyed.join(validPairs,
+            col("lsn") === col("_v_lsn") && col("doc_id") === col("_v_doc"),
+            "left_semi")
+          // ...and only a correction matching NO keyed error row can be
+          // the fix of a null-doc_id quarantine row at its lsn (the class
+          // whose correction SUPPLIES the doc_id). Without this guard a
+          // fix for doc X at a shared bootstrap lsn would wrongly resolve
+          // the never-corrected null-doc rows there too.
+          val unclaimed = validPairs.join(keyed,
+            col("_v_lsn") === col("lsn") && col("_v_doc") === col("doc_id"),
+            "left_anti")
+          val nullRes = errPairs.filter(col("doc_id").isNull)
+            .join(unclaimed, col("lsn") === col("_v_lsn"), "left_semi")
+          val resolutions = exactRes.unionByName(nullRes)
+            .select(col("lsn"), col("doc_id"), lit(commitId).as("resolved_by"))
+          stageSide(resolutions, resolvedRoot, commitId)
+        }
+      staged match {
+        case Some(dir) => publishSide(Some(dir), resolvedRoot, commitId)
+        // zero resolutions: publish an EMPTY marker so every later call
+        // with this replayId is a pure metadata no-op instead of
+        // re-running the conform/validate/join jobs each time
+        case None => Files.createDirectories(target)
+      }
     }
     stats
   }
 
-  /** Error-lsn → replay-commit resolutions (published replays only). */
+  /** Error (lsn, doc_id) → replay-commit resolutions (published replays
+    * only; empty markers from zero-resolution replays contribute no rows). */
   def readResolutions(): DataFrame = CdcPipeline.readSideTable(
     spark, Paths.get(cfg.errorDir, CdcPipeline.ResolvedSubdir).toString,
     org.apache.spark.sql.Encoders.product[graft.ResolutionRecord].schema)
 
-  /** Quarantined rows not yet resolved by any replay. Whole-batch reject
-    * samples (lsn = -1) stay outstanding until the batch is re-ingested
-    * through the normal stream path. */
-  def outstandingErrors(): DataFrame =
-    readErrors().join(readResolutions(), Seq("lsn"), "left_anti")
+  /** Quarantined rows not yet resolved by any replay, matched on the
+    * exact (lsn, doc_id) pair each resolution recorded (null-safe —
+    * null-doc_id quarantine rows match their null-doc_id resolutions).
+    * Whole-batch reject samples (lsn = -1) stay outstanding until the
+    * batch is re-ingested through the normal stream path. */
+  def outstandingErrors(): DataFrame = {
+    val res = readResolutions()
+      .select(col("lsn").as("_r_lsn"), col("doc_id").as("_r_doc"))
+    readErrors().join(res,
+      col("lsn") === col("_r_lsn") && col("doc_id") <=> col("_r_doc"),
+      "left_anti")
+  }
 
   /** Per-batch AND per-partition lineage to the metrics table: one row
     * per bucket this commit wrote (partition_id = bucket, rows from the

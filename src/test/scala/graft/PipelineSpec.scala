@@ -1984,4 +1984,76 @@ class PipelineSpec extends SparkSpec {
     assert(p.replayErrors(corrected, "fix1").skipped)
     assert(p.readResolutions().count() == resolved.size)
   }
+
+  test("resolution identity is (lsn, doc_id): shared-lsn bootstrap errors resolve independently") {
+    import spark.implicits._
+    val base = tmpDir("bootres")
+    val p    = mkPipeline(base, mode = "mor")
+    // bootstrap quarantine rows ALL share the floor lsn (10): conflicting
+    // 'b' (2 variants), invalid 'c' (n_tok off), and a null-doc row —
+    // an lsn-keyed resolution would resolve all four together
+    val snap = Seq(
+      ("a", Seq(1, 2), 2L, "s"),
+      ("b", Seq(3), 1L, "s"),
+      ("b", Seq(4), 1L, "s"),
+      ("c", Seq(5, 6), 99L, "s"),
+      (null.asInstanceOf[String], Seq(7), 1L, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    p.bootstrap(snap, asOfLsn = 10L)
+    assert(p.outstandingErrors().count() == 4)
+
+    // fix ONLY 'b' (authoritative variant [3]): both 'b' quarantine rows
+    // resolve (the ambiguity got its answer); 'c' and the null-doc row
+    // must STAY outstanding
+    val fix = Seq((10L, "U", "b", Seq(3), 1L, "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    assert(!p.replayErrors(fix, "fix-b").skipped)
+    val out = p.outstandingErrors().select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(out.size == 2 && out.contains("c") && out.contains(null))
+    assert(p.readResolutions().select("doc_id").as[String].collect().toSet == Set("b"))
+    assert(p.readTable().select("doc_id").as[String].collect().toSet == Set("a", "b"))
+  }
+
+  test("a whole-batch-rejected replay resolves nothing and repeat calls are pure no-ops") {
+    import spark.implicits._
+    val base = tmpDir("rejreplay")
+    val p    = mkPipeline(base, mode = "mor")
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 2)
+    p.runAvailableNow()
+    val before = p.outstandingErrors().count()
+    assert(before > 0)
+
+    // corrected frame missing the required tokens column → whole-batch
+    // reject: ledgered like a stream batch, NOTHING marked resolved (the
+    // first cut published resolutions for every lsn that would have
+    // validated, hiding quarantine rows no correction ever ingested)
+    val badFix = Seq((1L, "U", "d")).toDF("lsn", "op", "doc_id")
+    val s1 = p.replayErrors(badFix, "oops")
+    assert(s1.schemaChanges.exists(_.startsWith("batch_rejected:")))
+    assert(p.readResolutions().count() == 0)
+    // the reject sample row (lsn = -1) quarantines under the replay commit
+    assert(p.outstandingErrors().count() == before + 1)
+
+    // the repeat is a ledger no-op that must NOT re-throw the conform
+    // error post-commit (the first cut re-ran Validate(Conform(...))
+    // unguarded, wedging the replayId in a throwing state) and must not
+    // resolve anything retroactively
+    val s2 = p.replayErrors(badFix, "oops")
+    assert(s2.skipped)
+    assert(p.readResolutions().count() == 0)
+    assert(p.outstandingErrors().count() == before + 1)
+
+    // a later GOOD replay still works with the empty reject marker dir
+    // sitting alongside its parquet dir in resolved/
+    val goodFix = p.readErrors().filter(col("lsn") >= 0)
+      .select(from_json(col("raw"), graft.operators.Conform.EventSchema).as("e")).select("e.*")
+      .withColumn("doc_id",
+        coalesce(col("doc_id"), concat(lit("doc"), col("lsn"))))
+      .withColumn("n_tok",
+        when(col("op") === "D", col("n_tok"))
+          .otherwise(size(col("tokens")).cast("long")))
+    assert(!p.replayErrors(goodFix, "fix2").skipped)
+    assert(p.readResolutions().count() == before)
+    assert(p.outstandingErrors().count() == 1) // only the lsn=-1 reject sample
+  }
 }

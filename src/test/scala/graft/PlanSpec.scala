@@ -442,4 +442,24 @@ class PlanSpec extends SparkSpec {
     }
     assert(t.current.get.commitId == "w1")
   }
+
+  test("bootstrap duplicate sweep plans ONE doc_id exchange for both variant passes") {
+    import spark.implicits._
+    val valid = Seq(
+      (1L, "I", "a", Seq(1, 2), 2L, "s"),
+      (1L, "I", "a", Seq(1, 2), 2L, "s"),
+      (1L, "I", "b", Seq(3), 1L, "s"),
+      (1L, "I", "b", Seq(4), 1L, "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    val (clean, amb) = graft.operators.Bootstrap.sweepDuplicates(valid, "c1")
+    // semantics: identical copies collapse, conflicting variants quarantine
+    assert(clean.select("doc_id").as[String].collect().toSeq == Seq("a"))
+    assert(amb.count() == 2)
+    // plan: both window passes (sorted lag + full-frame sum) ride ONE
+    // hash exchange on doc_id — the claim sweepDuplicates' scaladoc makes
+    val plan = clean.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(plan.contains("hashpartitioning(doc_id"), s"not partitioned by doc_id:\n$plan")
+  }
 }
