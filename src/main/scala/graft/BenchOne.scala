@@ -57,6 +57,52 @@ object BenchOne {
       spark.stop()
       return
     }
+
+    if (mode == "bootstrap" || mode == "bootmerge") {
+      // A/B for the initial-load claim (Bootstrap scaladoc): the same
+      // rep-0 insert slice applied through bootstrap's join-free bucketed
+      // write vs through the ordinary MERGE path into the empty table
+      // (full-outer join against nothing). Same rows, same validation
+      // work, same bucketed output — only the write plan differs.
+      // GRAFT_BOOT_SWEEP=1 adds bootstrap's duplicate sweep to the timed
+      // path (off by default: the slice is unique-keyed by construction,
+      // which is exactly the assumeUnique contract).
+      import org.apache.spark.sql.functions.col
+      val sfDir     = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "90").toInt
+      val stride    = CdcGenerator.LsnStride * replicate
+      val dir = java.nio.file.Files.createTempDirectory("graft-benchone-boot")
+      try {
+        // stage once: the timed run reads parquet, not the generator chain
+        CdcGenerator.events(spark, sfDir, replicate)
+          .filter(col("lsn") < stride)
+          .write.parquet(s"$dir/snap")
+        val rows = spark.read.parquet(s"$dir/snap")
+        val n    = rows.count()
+        def runBoot(base: String, input: org.apache.spark.sql.DataFrame, asOf: Long): Double = {
+          val p = new CdcPipeline(spark, PipelineConfig(
+            tableRoot = s"$base/table", changeLogDir = s"$base/unused",
+            checkpointDir = s"$base/ckpt", errorDir = s"$base/errors",
+            lineageDir = s"$base/lineage", numBuckets = buckets, mode = "cow",
+            compactThreshold = Double.PositiveInfinity))
+          val t0 = System.nanoTime()
+          if (mode == "bootstrap")
+            p.bootstrap(input.drop("lsn", "op", "ingest_ts"), asOfLsn = asOf,
+              assumeUnique = !sys.env.contains("GRAFT_BOOT_SWEEP"))
+          else p.applyBatch(input, 0L)
+          (System.nanoTime() - t0) / 1e9
+        }
+        // warmup sliver (JIT + codegen), then the timed run
+        runBoot(s"$dir/warm",
+          CdcGenerator.events(spark, "/root/testdata/sf0.001")
+            .filter(col("lsn") < CdcGenerator.LsnStride),
+          CdcGenerator.LsnStride - 1)
+        val sec = runBoot(s"$dir/run", rows, stride - 1)
+        println(f"BENCHONE mode=$mode cores=$cores events=$n sec=$sec%.2f eps=${n / sec}%.1f")
+      } finally graft.table.Fs.deleteRecursively(dir)
+      spark.stop()
+      return
+    }
     val ownedLog = if (args(2) != "-") None else
       Some(java.nio.file.Files.createTempDirectory("graft-benchone-log"))
     try {
