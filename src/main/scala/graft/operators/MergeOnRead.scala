@@ -539,6 +539,21 @@ object MergeOnRead {
     * op='D' at the deleting event's LSN when `to` holds a tombstone, else
     * at the retracted row's own `_lsn`. Pinned by PipelineSpec
     * "changesSince across a rollback emits the retraction diff". */
+  /** Does any commit in `range` roll the table back? Detection contract
+    * documented at the changesSince call site (explicit batchId -3
+    * marker + watermark-decrease backstop). Exposed for the streaming
+    * changelog source's `onRollback=fail` policy. */
+  private[graft] def rangeContainsRollback(
+      table: SnapshotTable, range: Seq[Long]): Boolean =
+    range.exists { v =>
+      val m = table.manifest(v)
+      m.batchId == -3L || m.watermarkLsn < table.manifest(m.parent).watermarkLsn
+    }
+
+  private[graft] def rangeContainsRollback(
+      table: SnapshotTable, fromVersion: Long, to: Long): Boolean =
+    rangeContainsRollback(table, table.versions.filter(v => v > fromVersion && v <= to))
+
   def changesSince(
       table: SnapshotTable, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
@@ -561,11 +576,8 @@ object MergeOnRead {
     // classify the retraction as event-free and replay it as empty.
     // The watermark-decrease check stays as a backstop for manifests
     // predating the marker.
-    val hasRollback = range.exists { v =>
-      val m = table.manifest(v)
-      m.batchId == -3L || m.watermarkLsn < table.manifest(m.parent).watermarkLsn
-    }
-    if (hasRollback) return snapshotDiff(table, fromVersion, to, payloadCols)
+    if (rangeContainsRollback(table, range))
+      return snapshotDiff(table, fromVersion, to, payloadCols)
 
     // delta files INTRODUCED by each commit in the range (newer manifests
     // carry older delta files forward until compaction — diff per step),

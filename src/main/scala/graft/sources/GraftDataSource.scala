@@ -78,7 +78,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       parameters("path"),
       metadataPath,
       parameters.get("startingVersion").map(_.toLong),
-      parameters.get("maxVersionsPerTrigger").map(_.toInt))
+      parameters.get("maxVersionsPerTrigger").map(_.toInt),
+      parameters.getOrElse("onRollback", "retract"))
 
   // ---- streaming upsert sink (df.writeStream.format("graft")) ----
   // V1 StreamSinkProvider (the DataStreamWriter falls back to it when

@@ -40,6 +40,13 @@ import graft.table.SnapshotTable
   *    moves.
   *  - `maxVersionsPerTrigger`: cap how many table versions one
   *    micro-batch may cover (rate limiting; default unbounded).
+  *  - `onRollback`: `retract` (default) delivers a rollback window as an
+  *    exact retraction state diff — right for state consumers (sync to
+  *    a warehouse, rebuild an index). `fail` throws typed
+  *    ([[GraftChangelogSource.RollbackInWindow]]) instead — REQUIRED for
+  *    LWW-keyed consumers such as the graft upsert sink: retraction rows
+  *    carry their original (older) lsns, which last-writer-wins drops as
+  *    stale, silently diverging the replica.
   *
   * Exactly-once: `changesSince` is a pure function of the immutable
   * manifest chain, so a checkpoint-replayed (start, end] re-delivers
@@ -58,9 +65,13 @@ final class GraftChangelogSource(
     root: String,
     metadataPath: String,
     startingVersion: Option[Long],
-    maxVersionsPerTrigger: Option[Int])
+    maxVersionsPerTrigger: Option[Int],
+    onRollback: String = "retract")
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  require(Seq("retract", "fail").contains(onRollback),
+    s"onRollback must be 'retract' or 'fail', got '$onRollback'")
 
   private val table = SnapshotTable.load(spark, root)
 
@@ -163,6 +174,15 @@ final class GraftChangelogSource(
     val from = start.map(versionOf).getOrElse(initialVersion)
     val to   = versionOf(end)
     lastEnd = math.max(lastEnd, to)
+    // onRollback=fail: a rollback window emits retraction STATE-DIFF rows
+    // whose lsn is the retracted row's own (older) lsn — correct for
+    // state consumers, but an LWW-keyed consumer (e.g. the graft upsert
+    // sink replicating this table) drops them as stale and silently
+    // diverges. Consumers that apply by LWW must opt into failing loudly
+    // here, fix the replica (roll it back / re-bootstrap), and restart
+    // past the rollback with a fresh checkpoint.
+    if (onRollback == "fail" && MergeOnRead.rangeContainsRollback(table, from, to))
+      throw GraftChangelogSource.RollbackInWindow(root, from, to)
     val changes = MergeOnRead.changesSince(table, from, Some(to))
     // align to the pinned schema: evolution-added columns are dropped
     // until restart, and a pinned column MISSING from the window is
@@ -186,4 +206,21 @@ final class GraftChangelogSource(
 
   override def toString: String =
     s"GraftChangelogSource[$root, from=$initialVersion]"
+}
+
+object GraftChangelogSource {
+  /** `option("onRollback", "fail")` tripped: the stream's next window
+    * contains a rollback commit, whose retraction diff an LWW-keyed
+    * consumer cannot apply (retracted rows carry their original, OLDER
+    * lsns and lose last-writer-wins against the already-replicated
+    * state). Fix the downstream replica to the source's rolled-back
+    * state (roll it back too, or re-bootstrap it), then restart the
+    * stream past the rollback with a fresh checkpoint/startingVersion. */
+  case class RollbackInWindow(root: String, from: Long, to: Long)
+      extends RuntimeException(
+        s"changelog window ($from, $to] of $root contains a rollback and " +
+          "onRollback=fail is set: retraction diffs carry pre-rollback lsns " +
+          "that LWW consumers drop as stale (silent replica divergence). " +
+          "Re-point the replica at the rolled-back state, then restart the " +
+          "stream past the rollback with a fresh checkpoint.")
 }

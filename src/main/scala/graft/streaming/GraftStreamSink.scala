@@ -39,6 +39,13 @@ import graft.sources.GraftDataSource
   * between the stamp and the commit fails typed (CommitConflict), same
   * as the batch write path.
   *
+  * Replication caveat: when the upstream of this sink is a graft
+  * CHANGELOG stream, set `option("onRollback", "fail")` on the source —
+  * a source-table rollback surfaces as retraction rows at their
+  * original (older) lsns, which this sink's LWW merge drops as stale;
+  * failing loudly there is the only non-divergent option
+  * ([[GraftChangelogSource]] scaladoc has the recovery steps).
+  *
   * Reference analog: the scheduled loader applying each night's change
   * extract into the authoritative table exactly once
   * (UpdateAddressPointsSDE.py:24-48) — here as a standing query.

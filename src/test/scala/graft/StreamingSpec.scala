@@ -487,5 +487,96 @@ class StreamingSpec extends SparkSpec {
     assert(live(rootB) == live(s"$base/a"),
       s"catch-up drifted: ${live(rootB)} vs ${live(s"$base/a")}")
     assert(live(rootB).map(_._1) == Set("x-c"))
+
+    // source-side maintenance that applies NO events (compaction +
+    // rebucket) must pass through the stream as empty windows — the
+    // replica converges across them without drama
+    MergeOnRead.compact(p.table, "repl-rebucket", rebucketTo = Some(16))
+    p.applyBatch(batch((7L, "U", "x-c", Some(Seq(8)), Some(1L), "s")), 3L)
+    replicate()
+    assert(live(rootB) == live(s"$base/a"),
+      s"rebucket window drifted: ${live(rootB)} vs ${live(s"$base/a")}")
+  }
+
+  test("onRollback=fail stops an LWW consumer at a rollback window, typed") {
+    import graft.operators.{MergeOnRead, TableMaintenance}
+    import graft.streaming.{CdcPipeline, GraftChangelogSource, PipelineConfig}
+    import spark.implicits._
+    val base = tmpDir("rbstream")
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/table", changeLogDir = "-", checkpointDir = "-",
+      errorDir = s"$base/errors", lineageDir = s"$base/lineage",
+      numBuckets = 4, mode = "mor"))
+    def batch(rows: (Long, String, String, Option[Seq[Int]], Option[Long], String)*) =
+      rows.toSeq.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    p.applyBatch(batch((1L, "I", "r-a", Some(Seq(1)), Some(1L), "s")), 0L)
+    val v1 = p.table.currentVersion.get
+    p.applyBatch(batch((2L, "U", "r-a", Some(Seq(9)), Some(1L), "s")), 1L)
+    TableMaintenance.rollbackTo(p.table, v1)
+
+    // maxVersionsPerTrigger=1 so the rollback version arrives as its OWN
+    // window — the realistic tailing shape (a caught-up consumer sees
+    // each commit separately; a fresh full-range catch-up would fold the
+    // rollback into a net-empty diff and hide it)
+    def run(policy: String): Either[Throwable, Set[(String, Long, String)]] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", v1)
+        .option("maxVersionsPerTrigger", 1)
+        .option("onRollback", policy)
+        .load(s"$base/table")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt-$policy")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("doc_id", "lsn", "op").collect()
+            .foreach(r => got.add((r.getString(0), r.getLong(1), r.getString(2))))
+          ()
+        }
+        .start()
+      try { q.awaitTermination(); Right({
+        import scala.collection.JavaConverters._
+        got.iterator().asScala.toSet
+      }) }
+      catch { case e: Throwable => Left(e) }
+    }
+
+    // default policy: the forward window delivers the lsn-2 update, then
+    // the rollback window delivers the retraction diff — r-a back to its
+    // lsn-1 payload. The retraction's lsn is the ORIGINAL (older) one:
+    // exactly why an LWW consumer cannot apply it.
+    val retract = run("retract").toOption.get
+    assert(retract == Set(("r-a", 2L, "U"), ("r-a", 1L, "U")),
+      s"retraction diff: $retract")
+
+    // fail policy: typed error naming the window, nothing delivered
+    val failed = run("fail").swap.toOption.get
+    def rootCause(t: Throwable): Throwable =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq.last
+    assert(rootCause(failed).isInstanceOf[GraftChangelogSource.RollbackInWindow],
+      s"expected RollbackInWindow, got ${rootCause(failed)}")
+
+    // an unknown policy value fails at stream start, typed
+    val badPolicy = run("explode").swap.toOption.get
+    assert(rootCause(badPolicy).getMessage.contains("onRollback"),
+      s"expected option validation error, got ${rootCause(badPolicy)}")
+
+    // once the stream starts PAST the rollback, fail-policy windows flow
+    val v3 = p.table.currentVersion.get
+    p.applyBatch(batch((3L, "U", "r-a", Some(Seq(7)), Some(1L), "s")), 2L)
+    val got = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", v3)
+        .option("onRollback", "fail")
+        .load(s"$base/table")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt-past")
+        .trigger(Trigger.AvailableNow())
+        .format("memory").queryName("rb_past")
+        .start()
+      q.awaitTermination()
+      spark.table("rb_past").select("doc_id", "lsn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    assert(got == Set(("r-a", 3L)), s"post-rollback window: $got")
   }
 }
