@@ -1985,6 +1985,28 @@ class PipelineSpec extends SparkSpec {
     assert(p.readResolutions().count() == resolved.size)
   }
 
+  test("bootstrap evolves the schema additively; a later narrower stream batch null-fills") {
+    import spark.implicits._
+    val base = tmpDir("bootevo")
+    val p    = mkPipeline(base, mode = "mor")
+    // snapshot carries an EXTRA column the created table lacks: the
+    // bootstrap commit must evolve the target additively, exactly like a
+    // merge batch would
+    val snap = Seq(
+      ("e-a", Seq(1, 2), 2L, "s", "feedX"),
+      ("e-b", Seq(3), 1L, "s", "feedY"))
+      .toDF("doc_id", "tokens", "n_tok", "source", "feed")
+    val s = p.bootstrap(snap, asOfLsn = 5L)
+    assert(s.schemaChanges.exists(_.contains("feed")), s.schemaChanges.toString)
+    // a later stream batch WITHOUT the column: existing rows keep their
+    // values, the updated row's missing column null-fills
+    p.applyBatch(Seq((6L, "U", "e-b", Some(Seq(9)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    val rows = p.readTable().select("doc_id", "feed").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map("e-a" -> Some("feedX"), "e-b" -> None), rows.toString)
+  }
+
   test("resolution identity is (lsn, doc_id): shared-lsn bootstrap errors resolve independently") {
     import spark.implicits._
     val base = tmpDir("bootres")
