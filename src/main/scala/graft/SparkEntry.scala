@@ -338,6 +338,34 @@ object SparkEntry {
       q.awaitTermination()
       stateProjection(liveView(graft.table.SnapshotTable.load(s, root)))
     }),
+    "q_stream_snapshot" -> ((s, dir) => {
+      // initialSnapshot replication (round-4): ONE standing statement
+      // stands up a replica with no separate bootstrap step — batch 0 of
+      // readStream(initialSnapshot=true) anchored MID-HISTORY at v1 is
+      // the live view AT v1 (op='U' rows at their ORIGINAL lsns), then
+      // the (v1, head] change tail; the graft upsert sink applies both
+      // by LWW. Snapshot ⊕ tail ≡ full replay because snapshot rows keep
+      // true lsns, so tail events beat them exactly as they beat the
+      // state they superseded — replica state shares q_cdc_merge_state's
+      // oracle.
+      val f    = versionedFixture(s, dir)
+      val root = tempRoot("graft-snapstream") + "/table"
+      graft.table.SnapshotTable.create(s, root,
+        org.apache.spark.sql.types.StructType(Conform.EventSchema.fields
+          .filter(fld => Set("doc_id", "tokens", "n_tok", "source").contains(fld.name))),
+        numBuckets = 16)
+      val q = s.readStream.format("graft")
+        .option("startingVersion", f.v1)
+        .option("initialSnapshot", "true")
+        .load(f.pipeline.table.root)
+        .writeStream.format("graft")
+        .option("path", root)
+        .option("checkpointLocation", tempRoot("graft-snapstream-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      stateProjection(liveView(graft.table.SnapshotTable.load(s, root)))
+    }),
     "q_cdc_changes_cow" -> ((s, dir) => {
       // The changesSince FALLBACK path: a COW join commit leaves no
       // replayable delta files, so the range resolves by snapshot diff —
@@ -1376,6 +1404,9 @@ object SparkEntry {
       // writeStream.format("graft") — the final state contract is
       // identical to the batch pipeline's
       "q_stream_sink" -> mergedStateOracle,
+      // initialSnapshot stream (snapshot at v1 ⊕ tail) into the upsert
+      // sink must converge on the same final state as the full replay
+      "q_stream_snapshot" -> mergedStateOracle,
       // rollback + replay + rebucket must be state-transparent: the
       // oracle is the straight-through merged state
       "q_maintenance_roundtrip" -> mergedStateOracle,

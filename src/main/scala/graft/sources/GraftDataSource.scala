@@ -77,9 +77,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       sqlContext.sparkSession,
       parameters("path"),
       metadataPath,
-      parameters.get("startingVersion").map(_.toLong),
+      parameters.get("startingVersion"),
       parameters.get("maxVersionsPerTrigger").map(_.toInt),
-      parameters.getOrElse("onRollback", "retract"))
+      parameters.getOrElse("onRollback", "retract"),
+      parameters.get("initialSnapshot").exists(_.trim.toBoolean))
 
   // ---- streaming upsert sink (df.writeStream.format("graft")) ----
   // V1 StreamSinkProvider (the DataStreamWriter falls back to it when

@@ -35,11 +35,26 @@ import graft.table.SnapshotTable
   * Options:
   *  - `startingVersion`: emit changes AFTER this committed version
   *    (default: the head version when the stream first starts — new
-  *    changes only). Persisted under the checkpoint's source-metadata
+  *    changes only). `earliest` names the table's oldest retained
+  *    version (full-history replay), `latest` spells the default
+  *    explicitly. Persisted under the checkpoint's source-metadata
   *    dir so restarts replay the identical window even after the head
   *    moves.
+  *  - `initialSnapshot`: `true` makes batch 0 the table's LIVE VIEW at
+  *    the anchor version — every live row as an op='U' upsert carrying
+  *    its ORIGINAL `_lsn` — before the tail of changes begins. With the
+  *    graft upsert sink (which applies (lsn, op) frames by LWW) this
+  *    makes snapshot-plus-tail replication ONE standing statement, no
+  *    separate [[CdcPipeline.bootstrap]] step: snapshot rows land at
+  *    their true lsns, so later change events beat them and re-delivered
+  *    snapshot rows are recognized as stale, exactly the bootstrap⊕tail
+  *    composition argument. The mode is pinned in the checkpoint next to
+  *    the anchor version (changing the option on restart is ignored —
+  *    the checkpoint's contract wins). Default `false`.
   *  - `maxVersionsPerTrigger`: cap how many table versions one
-  *    micro-batch may cover (rate limiting; default unbounded).
+  *    micro-batch may cover (rate limiting; default unbounded). The
+  *    snapshot batch is version-atomic (it is "version anchor itself")
+  *    and always delivered whole, as its own batch 0.
   *  - `onRollback`: `retract` (default) delivers a rollback window as an
   *    exact retraction state diff — right for state consumers (sync to
   *    a warehouse, rebuild an index). `fail` throws typed
@@ -64,9 +79,10 @@ final class GraftChangelogSource(
     spark: SparkSession,
     root: String,
     metadataPath: String,
-    startingVersion: Option[Long],
+    startingVersion: Option[String],
     maxVersionsPerTrigger: Option[Int],
-    onRollback: String = "retract")
+    onRollback: String = "retract",
+    initialSnapshot: Boolean = false)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -75,12 +91,17 @@ final class GraftChangelogSource(
 
   private val table = SnapshotTable.load(spark, root)
 
-  /** The stream's from-version, fixed at FIRST start and persisted in
-    * the source-metadata dir: batch 0's range start is not in Spark's
-    * offset log (its `start` is None), so without this file a restart
-    * before batch 0 committed would silently re-anchor at the new head
-    * and drop the window in between. */
-  private val initialVersion: Long = {
+  /** The stream's from-version plus the initial-snapshot mode, fixed at
+    * FIRST start and persisted together in the source-metadata dir:
+    * batch 0's range start is not in Spark's offset log (its `start` is
+    * None), so without this file a restart before batch 0 committed
+    * would silently re-anchor at the new head and drop the window in
+    * between — and a restart with a CHANGED initialSnapshot option would
+    * re-interpret an already-logged batch-0 offset as a different batch.
+    * One file carries both (line 1: version; line 2, if present:
+    * `snapshot`) so the pin is atomic; single-line files from pre-
+    * snapshot-mode checkpoints parse as mode-off. */
+  private val (initialVersion: Long, snapshotMode: Boolean) = {
     // metadataPath arrives as a Hadoop-style URI ("file:/tmp/.../sources/0");
     // Paths.get on the raw string would treat it as a RELATIVE path and
     // silently anchor the file under the process CWD — discovered when
@@ -100,22 +121,36 @@ final class GraftChangelogSource(
           s"this build; got $metadataPath — a non-file scheme would silently " +
           "anchor the starting-version marker as a RELATIVE local path")
     val p = metaDir.resolve("graft-initial-version")
-    if (Files.exists(p))
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    def parse(): (Long, Boolean) = {
+      val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      (lines.head.toLong, lines.drop(1).contains("snapshot"))
+    }
+    if (Files.exists(p)) parse()
     else {
-      val v = startingVersion.getOrElse(
-        table.currentVersion.getOrElse(throw new IllegalStateException(
-          s"no graft snapshot at $root — cannot stream its changelog")))
-      require(table.versions.contains(v),
-        s"startingVersion $v is not a committed version of $root " +
-          s"(have ${table.versions.headOption.getOrElse(-1L)}..${table.currentVersion.getOrElse(-1L)})")
+      val head = table.currentVersion.getOrElse(throw new IllegalStateException(
+        s"no graft snapshot at $root — cannot stream its changelog"))
+      val v = startingVersion match {
+        case None | Some("latest") => head
+        case Some("earliest")      => table.versions.min
+        case Some(n) =>
+          val v = try n.toLong catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"startingVersion must be a version number, 'earliest' or 'latest'; got '$n'")
+          }
+          require(table.versions.contains(v),
+            s"startingVersion $v is not a committed version of $root " +
+              s"(have ${table.versions.headOption.getOrElse(-1L)}..$head)")
+          v
+      }
       Files.createDirectories(p.getParent)
       val tmp = Files.createTempFile(p.getParent, ".graft-init-", ".tmp")
-      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.write(tmp, (v.toString + (if (initialSnapshot) "\nsnapshot" else ""))
+        .getBytes(StandardCharsets.UTF_8))
       try Files.createLink(p, tmp)
       catch { case _: java.nio.file.FileAlreadyExistsException => () } // racing twin
       finally Files.deleteIfExists(tmp)
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+      parse()
     }
   }
 
@@ -138,7 +173,11 @@ final class GraftChangelogSource(
       case Some(m) => math.min(head, lastEnd + m)
       case None    => head
     }
-    if (capped <= initialVersion) None else Some(LongOffset(capped))
+    // snapshot mode: the anchor version ITSELF is batch 0's payload (the
+    // live view), so the offset floor admits it; a committed batch at the
+    // same offset compares equal and plans nothing (no re-delivery)
+    val floor = if (snapshotMode) initialVersion - 1 else initialVersion
+    if (capped <= floor) None else Some(LongOffset(capped))
   }
 
   // ---- admission control (rate limiting + Trigger.AvailableNow) ----
@@ -159,6 +198,12 @@ final class GraftChangelogSource(
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
+    // snapshot mode, nothing in the offset log yet (start == null exactly
+    // means batch 0 is unplanned — after it lands in the WAL, start is
+    // always the logged offset, across restarts too): plan batch 0 as the
+    // snapshot ALONE (end = anchor), keeping its cost the live view's and
+    // leaving the change tail to normally rate-limited later batches
+    if (snapshotMode && start == null) return LongOffset(initialVersion)
     val base = Option(start).map(o => o.json.trim.toLong)
       .getOrElse(math.max(lastEnd, initialVersion))
     val head0 = table.currentVersion.getOrElse(return null)
@@ -168,6 +213,23 @@ final class GraftChangelogSource(
       case None    => head
     }
     if (capped <= base || capped <= initialVersion) null else LongOffset(capped)
+  }
+
+  /** Batch 0 of `initialSnapshot` mode: the live view AT the anchor
+    * version, each row an op='U' upsert at its ORIGINAL `_lsn` — so an
+    * LWW consumer replaying the snapshot then the tail converges on the
+    * source state by the same argument as bootstrap ⊕ tail ≡ replay
+    * (later events carry higher lsns and win; re-delivered snapshot rows
+    * read as stale). A pure function of the immutable manifest chain,
+    * like changesSince — checkpoint replays re-deliver identical rows. */
+  private def snapshotFrame(): DataFrame = {
+    val resolved = MergeOnRead.resolve(table, Some(initialVersion))
+      .filter(!org.apache.spark.sql.functions.coalesce(
+        col(graft.operators.Merge.TombCol), lit(false)))
+    val payload = resolved.columns
+      .filterNot(graft.operators.Merge.InternalCols.contains)
+    resolved.select(payload.toIndexedSeq.map(col) :+
+      col(graft.operators.Merge.LsnCol).as("lsn") :+ lit("U").as("op"): _*)
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
@@ -181,9 +243,9 @@ final class GraftChangelogSource(
     // diverges. Consumers that apply by LWW must opt into failing loudly
     // here, fix the replica (roll it back / re-bootstrap), and restart
     // past the rollback with a fresh checkpoint.
-    if (onRollback == "fail" && MergeOnRead.rangeContainsRollback(table, from, to))
+    if (onRollback == "fail" && to > from &&
+        MergeOnRead.rangeContainsRollback(table, from, to))
       throw GraftChangelogSource.RollbackInWindow(root, from, to)
-    val changes = MergeOnRead.changesSince(table, from, Some(to))
     // align to the pinned schema: evolution-added columns are dropped
     // until restart, and a pinned column MISSING from the window is
     // null-filled, not an error — the engine's evolution is add/widen
@@ -191,13 +253,26 @@ final class GraftChangelogSource(
     // its addition (a rate-limited or restart-lagging stream pinned at a
     // newer head replaying an older window); throwing here would wedge
     // the stream on the same checkpointed batch forever (round-4 review
-    // finding)
-    val present = changes.columns.toSet
-    val aligned = changes.select(schema.fields.toIndexedSeq.map { f =>
-      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
-    org.apache.spark.sql.classic.GraftSqlBridge.asStreamingBatch(aligned)
+    // finding). The snapshot frame (anchored at the pinned-or-older
+    // schema) aligns through the same select.
+    def align(df: DataFrame): DataFrame = {
+      val present = df.columns.toSet
+      df.select(schema.fields.toIndexedSeq.map { f =>
+        if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    // start.isEmpty ⇔ batch 0 (Spark logs every later batch's start):
+    // in snapshot mode it opens with the anchor's live view; the change
+    // tail is usually a later batch (latestOffset plans batch 0 as the
+    // snapshot alone) but a legacy getOffset-planned batch 0 may span
+    // both, so the union keeps the two planners equivalent
+    val parts =
+      (if (snapshotMode && start.isEmpty) Seq(align(snapshotFrame())) else Seq.empty) ++
+      (if (to > from) Seq(align(MergeOnRead.changesSince(table, from, Some(to)))) else Seq.empty)
+    require(parts.nonEmpty, s"empty changelog batch planned: ($from, $to]")
+    org.apache.spark.sql.classic.GraftSqlBridge.asStreamingBatch(
+      parts.reduce(_ unionByName _))
   }
 
   override def commit(end: V1Offset): Unit = ()
@@ -205,7 +280,8 @@ final class GraftChangelogSource(
   override def stop(): Unit = ()
 
   override def toString: String =
-    s"GraftChangelogSource[$root, from=$initialVersion]"
+    s"GraftChangelogSource[$root, from=$initialVersion" +
+      (if (snapshotMode) ", initialSnapshot" else "") + "]"
 }
 
 object GraftChangelogSource {

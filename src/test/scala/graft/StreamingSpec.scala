@@ -498,6 +498,163 @@ class StreamingSpec extends SparkSpec {
       s"rebucket window drifted: ${live(rootB)} vs ${live(s"$base/a")}")
   }
 
+  test("initialSnapshot stream: snapshot batch 0 + tail replicate a vacuum-truncated table") {
+    import org.apache.spark.sql.types._
+    import graft.operators.MergeOnRead
+    import graft.streaming.{CdcPipeline, PipelineConfig}
+    import graft.table.SnapshotTable
+    import spark.implicits._
+    val base = tmpDir("snaprepl")
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/a", changeLogDir = "-", checkpointDir = "-",
+      errorDir = s"$base/errors", lineageDir = s"$base/lineage",
+      numBuckets = 8, mode = "mor"))
+    def batch(rows: (Long, String, String, Option[Seq[Int]], Option[Long], String)*) =
+      rows.toSeq.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    p.applyBatch(batch((1L, "I", "n-a", Some(Seq(1)), Some(1L), "s"),
+                       (2L, "I", "n-b", Some(Seq(2)), Some(1L), "s")), 0L)
+    p.applyBatch(batch((3L, "U", "n-a", Some(Seq(9)), Some(1L), "s2"),
+                       (4L, "D", "n-b", None, None, "s")), 1L)
+    // truncate the READABLE history: compact + vacuum to the head, so a
+    // full-history replay (startingVersion=earliest) fails typed on the
+    // vacuumed window — standing up a new replica needs initialSnapshot
+    MergeOnRead.compact(p.table, "snaprepl-fold")
+    p.table.vacuum(retainVersions = 1, orphanGraceMillis = 0L)
+
+    val rootB = s"$base/b"
+    SnapshotTable.create(spark, rootB, StructType(Seq(
+      StructField("doc_id", StringType), StructField("tokens", ArrayType(IntegerType)),
+      StructField("n_tok", LongType), StructField("source", StringType))), numBuckets = 4)
+
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("initialSnapshot", "true")
+        .load(s"$base/a")
+        .writeStream.format("graft")
+        .option("path", rootB)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def live(root: String): Set[(String, String, Long, String)] =
+      MergeOnRead.liveView(SnapshotTable.load(spark, root))
+        .select(col("doc_id"), concat_ws(",", col("tokens")).as("t"),
+          col("n_tok"), col("source"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .toSet
+
+    replicate()
+    assert(live(rootB) == live(s"$base/a") && live(rootB).nonEmpty,
+      s"snapshot replica drifted: ${live(rootB)} vs ${live(s"$base/a")}")
+    // snapshot rows landed at their ORIGINAL lsns, not re-stamped — the
+    // property the bootstrap⊕tail composition argument rests on
+    val lsns = MergeOnRead.resolve(SnapshotTable.load(spark, rootB))
+      .select(col("doc_id"), col(graft.operators.Merge.LsnCol))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(lsns("n-a") == 3L, s"snapshot row must keep its source lsn: $lsns")
+    // anchor + mode pinned atomically inside the checkpoint
+    val pin = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/ckpt/sources/0/graft-initial-version")))
+    assert(pin.linesIterator.toSeq.map(_.trim).contains("snapshot"),
+      s"snapshot mode must be pinned in the checkpoint: '$pin'")
+
+    // catch-up: a fresh insert plus a STALE update of n-a (lsn 2 < its
+    // live lsn 3) — original-lsn snapshot rows make the replica drop the
+    // stale event exactly as the source does
+    p.applyBatch(batch((6L, "I", "n-c", Some(Seq(3)), Some(1L), "s"),
+                       (2L, "U", "n-a", Some(Seq(5)), Some(1L), "old")), 2L)
+    replicate()
+    assert(live(rootB) == live(s"$base/a"),
+      s"catch-up drifted: ${live(rootB)} vs ${live(s"$base/a")}")
+    assert(live(rootB).exists(r => r._1 == "n-a" && r._2 == "9"),
+      s"stale lsn-2 update must lose LWW on the replica: ${live(rootB)}")
+
+    // an idle restart re-delivers nothing: no batch, no replica commit
+    val vB = SnapshotTable.load(spark, rootB).currentVersion.get
+    replicate()
+    assert(SnapshotTable.load(spark, rootB).currentVersion.get == vB,
+      "idle restart must not re-deliver the snapshot or commit anything")
+  }
+
+  test("startingVersion=earliest replays retained history; snapshot batch 0 stands alone") {
+    import graft.operators.MergeOnRead
+    import graft.streaming.{CdcPipeline, PipelineConfig}
+    import spark.implicits._
+    val base = tmpDir("earliest")
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/table", changeLogDir = "-", checkpointDir = "-",
+      errorDir = s"$base/errors", lineageDir = s"$base/lineage",
+      numBuckets = 4, mode = "mor"))
+    def batch(rows: (Long, String, String, Option[Seq[Int]], Option[Long], String)*) =
+      rows.toSeq.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    p.applyBatch(batch((1L, "I", "e-a", Some(Seq(1)), Some(1L), "s")), 0L)
+    val v1 = p.table.currentVersion.get
+    p.applyBatch(batch((2L, "I", "e-b", Some(Seq(2)), Some(1L), "s")), 1L)
+    p.applyBatch(batch((3L, "U", "e-a", Some(Seq(9)), Some(1L), "s")), 2L)
+
+    def collect(opts: Map[String, String], ckpt: String): Seq[Set[(String, Long, String)]] = {
+      val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[(String, Long, String)]]()
+      val reader = spark.readStream.format("graft")
+      opts.foreach { case (k, v) => reader.option(k, v) }
+      val q = reader.load(s"$base/table")
+        .writeStream
+        .option("checkpointLocation", s"$base/$ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.add(df.select("doc_id", "lsn", "op").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      import scala.collection.JavaConverters._
+      batches.iterator().asScala.toSeq
+    }
+
+    // 'earliest' ≡ the oldest retained version — full-history replay
+    val earliest = collect(Map("startingVersion" -> "earliest"), "ckpt-earliest")
+    val wantAll = MergeOnRead.changesSince(p.table, p.table.versions.min)
+      .select("doc_id", "lsn", "op").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(earliest.flatten.toSet == wantAll && wantAll.size == 3,
+      s"earliest replay: ${earliest.flatten.toSet} vs $wantAll")
+
+    // initialSnapshot anchored mid-history under a version rate limit:
+    // batch 0 is the anchor's live view ALONE (op='U' at original lsns),
+    // then exactly one version per batch
+    val rated = collect(Map(
+      "initialSnapshot" -> "true", "startingVersion" -> v1.toString,
+      "maxVersionsPerTrigger" -> "1"), "ckpt-snaprate")
+    val versionsAfter = p.table.versions.count(_ > v1)
+    assert(rated.size == 1 + versionsAfter,
+      s"snapshot batch + one batch per version, got ${rated.size}: $rated")
+    assert(rated.head == Set(("e-a", 1L, "U")),
+      s"batch 0 must be the anchor live view at original lsns: ${rated.head}")
+    assert(rated.tail.flatten.toSet ==
+      MergeOnRead.changesSince(p.table, v1)
+        .select("doc_id", "lsn", "op").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet,
+      s"tail batches must be exactly the post-anchor change set: ${rated.tail}")
+
+    // a numeric-invalid startingVersion fails typed at stream start
+    val bad = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "yesterday")
+        .load(s"$base/table")
+        .writeStream.option("checkpointLocation", s"$base/ckpt-bad")
+        .trigger(Trigger.AvailableNow())
+        .format("memory").queryName("sv_bad").start()
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t.asInstanceOf[Throwable])(_.getCause).takeWhile(_ != null).toSeq
+    assert(causes(bad).exists(_.getMessage != null) &&
+      causes(bad).exists(c => c.getMessage != null &&
+        c.getMessage.contains("startingVersion")),
+      s"expected a typed startingVersion error: ${causes(bad).map(_.getMessage)}")
+  }
+
   test("onRollback=fail stops an LWW consumer at a rollback window, typed") {
     import graft.operators.{MergeOnRead, TableMaintenance}
     import graft.streaming.{CdcPipeline, GraftChangelogSource, PipelineConfig}
