@@ -146,6 +146,17 @@ object SparkEntry {
 
   private def finalState(p: CdcPipeline): DataFrame = stateProjection(p.readTable())
 
+  /** Create the empty replica table the streaming-sink queries write
+    * into: the pipeline's payload columns (no lsn/op — those live in
+    * the change frames, not the state). */
+  private def createReplica(s: SparkSession, root: String): Unit = {
+    graft.table.SnapshotTable.create(s, root,
+      org.apache.spark.sql.types.StructType(Conform.EventSchema.fields
+        .filter(f => Set("doc_id", "tokens", "n_tok", "source").contains(f.name))),
+      numBuckets = 16)
+    ()
+  }
+
   /** The logical live view of a bare [[graft.table.SnapshotTable]]
     * (same contract as CdcPipeline.readTable, for forked clones). */
   private def liveView(t: graft.table.SnapshotTable): DataFrame =
@@ -319,10 +330,7 @@ object SparkEntry {
       // final table state must equal the batch pipeline's (oracle
       // shared with q_cdc_merge_state).
       val root = tempRoot("graft-snk") + "/table"
-      graft.table.SnapshotTable.create(s, root,
-        org.apache.spark.sql.types.StructType(Conform.EventSchema.fields
-          .filter(f => Set("doc_id", "tokens", "n_tok", "source").contains(f.name))),
-        numBuckets = 16)
+      createReplica(s, root)
       val q = s.readStream.schema(Conform.EventSchema)
         .option("maxFilesPerTrigger", 4)
         .parquet(s"${stagedChangelog(s, dir)}/batch-*")
@@ -350,10 +358,7 @@ object SparkEntry {
       // oracle.
       val f    = versionedFixture(s, dir)
       val root = tempRoot("graft-snapstream") + "/table"
-      graft.table.SnapshotTable.create(s, root,
-        org.apache.spark.sql.types.StructType(Conform.EventSchema.fields
-          .filter(fld => Set("doc_id", "tokens", "n_tok", "source").contains(fld.name))),
-        numBuckets = 16)
+      createReplica(s, root)
       val q = s.readStream.format("graft")
         .option("startingVersion", f.v1)
         .option("initialSnapshot", "true")

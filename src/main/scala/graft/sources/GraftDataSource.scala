@@ -72,15 +72,28 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       sqlContext: org.apache.spark.sql.SQLContext,
       metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]):
-      org.apache.spark.sql.execution.streaming.Source =
+      org.apache.spark.sql.execution.streaming.Source = {
+    val snapshotMode = parameters.get("initialSnapshot").exists { v =>
+      v.trim.toLowerCase(java.util.Locale.ROOT) match {
+        case "true"  => true
+        case "false" => false
+        case other   => throw new IllegalArgumentException(
+          s"initialSnapshot must be 'true' or 'false'; got '$other'")
+      }
+    }
     new graft.streaming.GraftChangelogSource(
       sqlContext.sparkSession,
       parameters("path"),
       metadataPath,
       parameters.get("startingVersion"),
       parameters.get("maxVersionsPerTrigger").map(_.toInt),
-      parameters.getOrElse("onRollback", "retract"),
-      parameters.get("initialSnapshot").exists(_.trim.toBoolean))
+      // initialSnapshot exists to stand up an LWW replica, the consumer
+      // for whom silently-absorbed retraction diffs mean divergence —
+      // so snapshot mode flips the rollback policy to fail-typed unless
+      // the user overrides it explicitly
+      parameters.getOrElse("onRollback", if (snapshotMode) "fail" else "retract"),
+      snapshotMode)
+  }
 
   // ---- streaming upsert sink (df.writeStream.format("graft")) ----
   // V1 StreamSinkProvider (the DataStreamWriter falls back to it when

@@ -35,8 +35,11 @@ import graft.table.SnapshotTable
   * Options:
   *  - `startingVersion`: emit changes AFTER this committed version
   *    (default: the head version when the stream first starts — new
-  *    changes only). `earliest` names the table's oldest retained
-  *    version (full-history replay), `latest` spells the default
+  *    changes only). `earliest` names the table's oldest version
+  *    (full-history replay; on a vacuum-truncated table the replay
+  *    fails typed once it reaches reclaimed data files —
+  *    [[GraftChangelogSource.VacuumedWindow]], naming `initialSnapshot`
+  *    as the full-state fix), `latest` spells the default
   *    explicitly. Persisted under the checkpoint's source-metadata
   *    dir so restarts replay the identical window even after the head
   *    moves.
@@ -50,12 +53,17 @@ import graft.table.SnapshotTable
   *    snapshot rows are recognized as stale, exactly the bootstrap⊕tail
   *    composition argument. The mode is pinned in the checkpoint next to
   *    the anchor version (changing the option on restart is ignored —
-  *    the checkpoint's contract wins). Default `false`.
+  *    the checkpoint's contract wins). Because the mode exists for LWW
+  *    replicas — the consumer for whom rollback retraction diffs
+  *    silently diverge — it flips `onRollback`'s default to `fail`
+  *    (set the option explicitly to opt back into `retract`).
+  *    Default `false`.
   *  - `maxVersionsPerTrigger`: cap how many table versions one
   *    micro-batch may cover (rate limiting; default unbounded). The
   *    snapshot batch is version-atomic (it is "version anchor itself")
   *    and always delivered whole, as its own batch 0.
-  *  - `onRollback`: `retract` (default) delivers a rollback window as an
+  *  - `onRollback`: `retract` (default without `initialSnapshot`)
+  *    delivers a rollback window as an
   *    exact retraction state diff — right for state consumers (sync to
   *    a warehouse, rebuild an index). `fail` throws typed
   *    ([[GraftChangelogSource.RollbackInWindow]]) instead — REQUIRED for
@@ -268,8 +276,18 @@ final class GraftChangelogSource(
     // snapshot alone) but a legacy getOffset-planned batch 0 may span
     // both, so the union keeps the two planners equivalent
     val parts =
-      (if (snapshotMode && start.isEmpty) Seq(align(snapshotFrame())) else Seq.empty) ++
-      (if (to > from) Seq(align(MergeOnRead.changesSince(table, from, Some(to)))) else Seq.empty)
+      try {
+        (if (snapshotMode && start.isEmpty) Seq(align(snapshotFrame())) else Seq.empty) ++
+        (if (to > from) Seq(align(MergeOnRead.changesSince(table, from, Some(to)))) else Seq.empty)
+      } catch {
+        // surface the stream-level recovery next to the storage-level
+        // fact: a replay window that reaches vacuumed history (earliest
+        // on a truncated table, or vacuum outrunning a lagging stream)
+        // cannot deliver — the replication fix is a fresh checkpoint
+        // anchored at a readable version with the snapshot batch
+        case e: graft.table.VacuumedVersionException =>
+          throw GraftChangelogSource.VacuumedWindow(root, from, to, e)
+      }
     require(parts.nonEmpty, s"empty changelog batch planned: ($from, $to]")
     org.apache.spark.sql.classic.GraftSqlBridge.asStreamingBatch(
       parts.reduce(_ unionByName _))
@@ -299,4 +317,20 @@ object GraftChangelogSource {
           "that LWW consumers drop as stale (silent replica divergence). " +
           "Re-point the replica at the rolled-back state, then restart the " +
           "stream past the rollback with a fresh checkpoint.")
+
+  /** The planned window replays history whose data files
+    * [[graft.table.SnapshotTable.vacuum]] reclaimed — `earliest` on a
+    * vacuum-truncated table, or maintenance outrunning a lagging /
+    * rate-limited stream. The retained changelog alone cannot rebuild
+    * that state; re-anchor with a FRESH checkpoint at a retained
+    * version, with initialSnapshot=true if the consumer needs full
+    * state (the snapshot batch stands in for the truncated prefix). */
+  case class VacuumedWindow(root: String, from: Long, to: Long,
+      cause: graft.table.VacuumedVersionException)
+      extends RuntimeException(
+        s"changelog window ($from, $to] of $root replays vacuumed history " +
+          s"(${cause.getMessage}). Restart with a fresh checkpoint anchored " +
+          "at a retained version — with initialSnapshot=true if the consumer " +
+          "needs full table state (snapshot batch 0 stands in for the " +
+          "truncated prefix).", cause)
 }

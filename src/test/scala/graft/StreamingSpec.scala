@@ -521,10 +521,30 @@ class StreamingSpec extends SparkSpec {
     MergeOnRead.compact(p.table, "snaprepl-fold")
     p.table.vacuum(retainVersions = 1, orphanGraceMillis = 0L)
 
+    // the honest failure: earliest WITHOUT the snapshot batch replays
+    // into the vacuumed window and fails typed (VacuumedWindow names
+    // initialSnapshot as the fix) — not a silently incomplete replica
+    val trunc = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "earliest")
+        .load(s"$base/a")
+        .writeStream.option("checkpointLocation", s"$base/ckpt-earliest-gate")
+        .trigger(Trigger.AvailableNow())
+        .format("memory").queryName("snaprepl_trunc").start()
+      q.awaitTermination()
+    }
+    assert(Iterator.iterate(trunc: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(c => c.getMessage != null && c.getMessage.contains("initialSnapshot")),
+      s"earliest on truncated history must fail typed naming initialSnapshot: $trunc")
+
     val rootB = s"$base/b"
     SnapshotTable.create(spark, rootB, StructType(Seq(
       StructField("doc_id", StringType), StructField("tokens", ArrayType(IntegerType)),
       StructField("n_tok", LongType), StructField("source", StringType))), numBuckets = 4)
+
+    // the head the first stream anchors at (default anchor = head at
+    // first start); the second-stream discriminator below re-anchors here
+    val vAnchor = p.table.currentVersion.get
 
     def replicate(): Unit = {
       val q = spark.readStream.format("graft")
@@ -560,8 +580,8 @@ class StreamingSpec extends SparkSpec {
       s"snapshot mode must be pinned in the checkpoint: '$pin'")
 
     // catch-up: a fresh insert plus a STALE update of n-a (lsn 2 < its
-    // live lsn 3) — original-lsn snapshot rows make the replica drop the
-    // stale event exactly as the source does
+    // live lsn 3) — the below-watermark leg drops the provably-superseded
+    // event SOURCE-side, so the replica converges without ever seeing it
     p.applyBatch(batch((6L, "I", "n-c", Some(Seq(3)), Some(1L), "s"),
                        (2L, "U", "n-a", Some(Seq(5)), Some(1L), "old")), 2L)
     replicate()
@@ -575,6 +595,33 @@ class StreamingSpec extends SparkSpec {
     replicate()
     assert(SnapshotTable.load(spark, rootB).currentVersion.get == vB,
       "idle restart must not re-deliver the snapshot or commit anything")
+
+    // the original-lsn discriminator: advance n-a at the source (lsn 7)
+    // and catch the replica up, then run a SECOND stream from a fresh
+    // checkpoint anchored back at vAnchor — its batch 0 re-delivers the
+    // OLD snapshot (n-a tokens 9 @ lsn 3, stale vs the replica's lsn-7
+    // state, and no n-c at all). Only because snapshot rows carry their
+    // ORIGINAL lsns does LWW absorb the redelivery: re-stamped rows
+    // (w+1 > 7) would roll n-a back to tokens 9 and win over the tail's
+    // re-delivered lsn-7 event, and a state-overwrite bootstrap would
+    // drop n-c
+    p.applyBatch(batch((7L, "U", "n-a", Some(Seq(4)), Some(1L), "s3")), 3L)
+    replicate()
+    assert(live(rootB).exists(r => r._1 == "n-a" && r._2 == "4"))
+    val q2 = spark.readStream.format("graft")
+      .option("startingVersion", vAnchor)
+      .option("initialSnapshot", "true")
+      .load(s"$base/a")
+      .writeStream.format("graft")
+      .option("path", rootB)
+      .option("checkpointLocation", s"$base/ckpt2")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(live(rootB) == live(s"$base/a"),
+      s"stale snapshot redelivery regressed the replica: ${live(rootB)} vs ${live(s"$base/a")}")
+    assert(live(rootB).exists(r => r._1 == "n-a" && r._2 == "4"),
+      s"re-delivered lsn-3 snapshot row must lose to the replica's lsn-7 state: ${live(rootB)}")
   }
 
   test("startingVersion=earliest replays retained history; snapshot batch 0 stands alone") {
