@@ -498,6 +498,59 @@ class StreamingSpec extends SparkSpec {
       s"rebucket window drifted: ${live(rootB)} vs ${live(s"$base/a")}")
   }
 
+  test("initialSnapshot ⊕ tail ≡ source live view at EVERY anchor version") {
+    import org.apache.spark.sql.types._
+    import graft.operators.MergeOnRead
+    import graft.streaming.{CdcPipeline, PipelineConfig}
+    import graft.table.SnapshotTable
+    import spark.implicits._
+    val base = tmpDir("anchorsweep")
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/src", changeLogDir = "-", checkpointDir = "-",
+      errorDir = s"$base/errors", lineageDir = s"$base/lineage",
+      numBuckets = 8, mode = "mor"))
+    def batch(rows: (Long, String, String, Option[Seq[Int]], Option[Long], String)*) =
+      rows.toSeq.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    // a history that exercises every event shape across the anchor
+    // boundary: insert, update, delete, re-insert after delete, and a
+    // no-event maintenance commit (compaction) in the middle
+    p.applyBatch(batch((1L, "I", "v-a", Some(Seq(1)), Some(1L), "s"),
+                       (2L, "I", "v-b", Some(Seq(2)), Some(1L), "s")), 0L)
+    p.applyBatch(batch((3L, "U", "v-a", Some(Seq(9)), Some(1L), "s2"),
+                       (4L, "D", "v-b", None, None, "s")), 1L)
+    MergeOnRead.compact(p.table, "anchorsweep-fold")
+    p.applyBatch(batch((5L, "I", "v-b", Some(Seq(7)), Some(1L), "s3"),
+                       (6L, "D", "v-a", None, None, "s")), 2L)
+
+    def live(root: String): Set[(String, String, Long, String)] =
+      MergeOnRead.liveView(SnapshotTable.load(spark, root))
+        .select(col("doc_id"), concat_ws(",", col("tokens")).as("t"),
+          col("n_tok"), col("source"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .toSet
+
+    // genesis (empty snapshot, full tail) through head (full snapshot,
+    // empty tail) — the composition must converge at every cut point
+    p.table.versions.foreach { v =>
+      val rootB = s"$base/replica-v$v"
+      SnapshotTable.create(spark, rootB, StructType(Seq(
+        StructField("doc_id", StringType), StructField("tokens", ArrayType(IntegerType)),
+        StructField("n_tok", LongType), StructField("source", StringType))), numBuckets = 4)
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", v)
+        .option("initialSnapshot", "true")
+        .load(s"$base/src")
+        .writeStream.format("graft")
+        .option("path", rootB)
+        .option("checkpointLocation", s"$base/ckpt-v$v")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(live(rootB) == live(s"$base/src"),
+        s"anchor v$v drifted: ${live(rootB)} vs ${live(s"$base/src")}")
+    }
+  }
+
   test("initialSnapshot stream: snapshot batch 0 + tail replicate a vacuum-truncated table") {
     import org.apache.spark.sql.types._
     import graft.operators.MergeOnRead
