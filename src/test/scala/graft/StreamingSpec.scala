@@ -498,6 +498,57 @@ class StreamingSpec extends SparkSpec {
       s"rebucket window drifted: ${live(rootB)} vs ${live(s"$base/a")}")
   }
 
+  test("initialSnapshot replication carries schema evolution across the anchor") {
+    import org.apache.spark.sql.types._
+    import graft.operators.MergeOnRead
+    import graft.streaming.{CdcPipeline, PipelineConfig}
+    import graft.table.SnapshotTable
+    import spark.implicits._
+    val base = tmpDir("snapevolve")
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/src", changeLogDir = "-", checkpointDir = "-",
+      errorDir = s"$base/errors", lineageDir = s"$base/lineage",
+      numBuckets = 8, mode = "mor"))
+    p.applyBatch(Seq((1L, "I", "se-a", Some(Seq(1)), Some(1L), "s"),
+                     (2L, "I", "se-b", Some(Seq(2)), Some(1L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source"), 0L)
+    val vAnchor = p.table.currentVersion.get
+    // evolution happens AFTER the anchor: the tail's commits carry the
+    // added column, the anchor's snapshot predates it
+    p.applyBatch(Seq((3L, "U", "se-a", Some(Seq(9)), Some(1L), "s2", "bonus"),
+                     (4L, "I", "se-c", Some(Seq(3)), Some(1L), "s", "extra3"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source", "extra"), 1L)
+
+    // replica starts NARROW (pre-evolution payload): the sink's merge
+    // must evolve it additively as the stream delivers the wider frames
+    val rootB = s"$base/replica"
+    SnapshotTable.create(spark, rootB, StructType(Seq(
+      StructField("doc_id", StringType), StructField("tokens", ArrayType(IntegerType)),
+      StructField("n_tok", LongType), StructField("source", StringType))), numBuckets = 4)
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", vAnchor)
+      .option("initialSnapshot", "true")
+      .load(s"$base/src")
+      .writeStream.format("graft")
+      .option("path", rootB)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def live(root: String): Set[(String, String, Option[String])] =
+      MergeOnRead.liveView(SnapshotTable.load(spark, root))
+        .select(col("doc_id"), concat_ws(",", col("tokens")).as("t"), col("extra"))
+        .collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+        .toSet
+    assert(live(rootB) == live(s"$base/src"),
+      s"evolved replica drifted: ${live(rootB)} vs ${live(s"$base/src")}")
+    assert(live(rootB) == Set(("se-a", "9", Some("bonus")),
+                              ("se-b", "2", None),
+                              ("se-c", "3", Some("extra3"))),
+      s"snapshot rows null-fill the post-anchor column, tail rows carry it: ${live(rootB)}")
+  }
+
   test("initialSnapshot ⊕ tail ≡ source live view at EVERY anchor version") {
     import org.apache.spark.sql.types._
     import graft.operators.MergeOnRead
