@@ -392,6 +392,141 @@ class PropertySpec extends SparkSpec {
     assert(probes(8).size == 24, "nprobe=K must cover every cell per query")
   }
 
+  test("full-surface state machine: random SQL+library interleaves match the oracle; final state replicates") {
+    // The maintenance state machine above drives the LIBRARY surface.
+    // This one drives the same oracle through the round-4 SQL front end —
+    // UPDATE / DELETE FROM / INSERT INTO / MERGE INTO / CALL compact /
+    // CALL rollback — interleaved with raw CDC chunks, so every SQL verb
+    // is exercised against arbitrary prior histories (post-rollback
+    // re-application, late low-LSN chunks arriving after SQL stamps,
+    // compaction between any two verbs). Each SQL verb is modeled exactly
+    // as the engine documents it: synthetic events at watermark+1.
+    // Afterwards the final state must survive the round's replication
+    // statement (initialSnapshot changelog stream → graft upsert sink).
+    import graft.operators.MergeOnRead
+    import graft.table.SnapshotTable
+    val all = loadEvents().sortBy(_.getAs[Long]("lsn"))
+    val chunks = all.grouped(math.max(1, all.size / 5)).toSeq
+
+    def stateOf(evs: Seq[OracleFold.Ev]): Map[String, (Seq[Int], Long, String)] =
+      OracleFold.fold(evs).map { case (k, d) =>
+        k -> ((Option(d.tokens).map(_.toSeq).orNull, d.nTok, d.source))
+      }
+    def wmOf(evs: Seq[OracleFold.Ev]): Long =
+      evs.filter(OracleFold.valid).map(_.lsn).foldLeft(-1L)(math.max)
+
+    (0 until 2).foreach { trial =>
+      val rnd = new Random(4242 + trial)
+      val base = tmpDir(s"fullsm-$trial")
+      val p = mkPipeline(base, mode = "mor")
+      val root = s"$base/table"
+      var curEvs  = Seq.empty[OracleFold.Ev]
+      var pending = chunks
+      val history = scala.collection.mutable.ArrayBuffer(
+        (p.table.currentVersion.get, curEvs))
+      var batchId = 0L
+      var seq = 0
+      def liveNow() = OracleFold.fold(curEvs)
+      // victims chosen from oracle-live values, deterministically
+      def victimSource(): Option[String] =
+        liveNow().values.map(_.source).toSeq.sorted.headOption
+
+      (0 until 16).foreach { i =>
+        rnd.nextInt(8) match {
+          case 0 | 1 if pending.nonEmpty => // raw CDC chunk (library path)
+            val rows = pending.head; pending = pending.tail
+            p.applyBatch(spark.createDataFrame(
+              spark.sparkContext.parallelize(rows, 2), eventSchema), batchId)
+            batchId += 1
+            curEvs = curEvs ++ toOracleEvs(rows)
+          case 2 => // SQL UPDATE: expression assignment over the current row
+            victimSource().foreach { v =>
+              spark.sql(s"UPDATE graft.`$root` SET source = concat(source, '+') " +
+                s"WHERE source = '$v'").collect()
+              val ulsn = wmOf(curEvs) + 1
+              curEvs = curEvs ++ liveNow().collect {
+                case (doc, d) if d.source == v =>
+                  OracleFold.Ev(ulsn, "U", doc, d.tokens, Some(d.nTok), d.source + "+")
+              }
+            }
+          case 3 => // SQL DELETE FROM: tombstones at wm+1
+            victimSource().foreach { v =>
+              spark.sql(s"DELETE FROM graft.`$root` WHERE source = '$v'").collect()
+              val dlsn = wmOf(curEvs) + 1
+              curEvs = curEvs ++ liveNow().collect {
+                case (doc, d) if d.source == v =>
+                  OracleFold.Ev(dlsn, "D", doc, null, None, null)
+              }
+            }
+          case 4 => // SQL INSERT INTO: payload upsert stamped at wm+1
+            seq += 1
+            val (a, b) = (s"sqlins-$trial-$seq-a", s"sqlins-$trial-$seq-b")
+            spark.sql(s"INSERT INTO graft.`$root` VALUES " +
+              s"('$a', array(1, $i), CAST(2 AS BIGINT), 'sqlins'), " +
+              s"('$b', array($i), CAST(1 AS BIGINT), 'sqlins')").collect()
+            val ilsn = wmOf(curEvs) + 1
+            curEvs = curEvs ++ Seq(
+              OracleFold.Ev(ilsn, "U", a, Seq(1, i), Some(2L), "sqlins"),
+              OracleFold.Ev(ilsn, "U", b, Seq(i), Some(1L), "sqlins"))
+          case 5 => // SQL MERGE INTO: matched update + unmatched insert at wm+1
+            seq += 1
+            import spark.implicits._
+            val existing = liveNow().toSeq.sortBy(_._1).take(2).map {
+              case (doc, d) => (doc, d.tokens.toSeq :+ 7, d.nTok + 1, "merged")
+            }
+            val fresh = Seq((s"mrg-$trial-$seq", Seq(5, i), 2L, "merged"))
+            (existing ++ fresh).toDF("doc_id", "tokens", "n_tok", "source")
+              .createOrReplaceTempView("fullsm_src")
+            spark.sql(
+              s"""MERGE INTO graft.`$root` t USING fullsm_src s ON t.doc_id = s.doc_id
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *""").collect()
+            val mlsn = wmOf(curEvs) + 1
+            curEvs = curEvs ++ (existing ++ fresh).map { case (doc, t, n, s) =>
+              OracleFold.Ev(mlsn, "U", doc, t, Some(n), s)
+            }
+          case 6 => // CALL compact (state-neutral)
+            spark.sql(s"CALL graft.compact('$root')").collect()
+          case 7 if history.size > 1 => // CALL rollback to a recorded version
+            val (v, evs) = history(rnd.nextInt(history.size))
+            spark.sql(s"CALL graft.rollback('$root', $v)").collect()
+            curEvs = evs
+          case _ => // fallback when rollback has no history yet
+            spark.sql(s"CALL graft.compact('$root')").collect()
+        }
+        history += ((p.table.currentVersion.get, curEvs))
+        assert(tableState(p) == stateOf(curEvs),
+          s"trial $trial op $i: engine/oracle state drift")
+      }
+
+      // the interleaved history must still replicate with the round's
+      // one-statement snapshot⊕tail composition (anchor = final version)
+      val rootB = s"$base/replica"
+      SnapshotTable.create(spark, rootB, StructType(Seq(
+        StructField("doc_id", StringType), StructField("tokens", ArrayType(IntegerType)),
+        StructField("n_tok", LongType), StructField("source", StringType))), numBuckets = 4)
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", p.table.currentVersion.get)
+        .option("initialSnapshot", "true")
+        .load(root)
+        .writeStream.format("graft")
+        .option("path", rootB)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val replica = MergeOnRead.liveView(SnapshotTable.load(spark, rootB))
+        .collect().map { r =>
+          r.getAs[String]("doc_id") -> ((
+            Option(r.getAs[scala.collection.Seq[Int]]("tokens")).map(_.toSeq).orNull,
+            r.getAs[Long]("n_tok"),
+            r.getAs[String]("source")))
+        }.toMap
+      assert(replica == stateOf(curEvs),
+        s"trial $trial: replica drifted from the interleaved final state")
+    }
+  }
+
   test("widened n_tok stays byte-equal through evolution (§7.4-6)") {
     import spark.implicits._
     val p = mkPipeline(tmpDir("widen"))

@@ -27,6 +27,25 @@ abstract class SparkSpec extends AnyFunSuite {
   val sf0001 = "/root/testdata/sf0.001"
   val sf001  = "/root/testdata/sf0.01"
 
-  def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Temp fixture dir, swept at JVM exit — accumulated test trees in /tmp
+    * degrade later bench runs via page-cache/writeback pressure (the same
+    * failure mode Bench's own `graft-*` startup sweep defends against). */
+  def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    SparkSpec.deleteOnExit(d)
+    d.toString
+  }
+}
+
+object SparkSpec {
+  private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    created.forEach { root =>
+      try {
+        import java.nio.file._
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => () } })
+      } catch { case _: Exception => () }
+    }))
+  private[graft] def deleteOnExit(p: java.nio.file.Path): Unit = { hook; created.add(p) }
 }
