@@ -428,6 +428,46 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"replay must not join:\n$plan")
   }
 
+  test("streaming changelog micro-batch adds no exchange over the gated batch plan") {
+    import graft.streaming.{CdcPipeline, PipelineConfig}
+    import spark.implicits._
+    val base = tmpDir("chstreamplan")
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/table", changeLogDir = "-", checkpointDir = "-",
+      errorDir = s"$base/errors", lineageDir = s"$base/lineage",
+      numBuckets = 8, mode = "mor"))
+    def batch(rows: (Long, String, String, Option[Seq[Int]], Option[Long], String)*) =
+      rows.toSeq.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    p.applyBatch(batch((1L, "I", "pl-a", Some(Seq(1)), Some(1L), "s")), 0L)
+    val v1 = p.table.currentVersion.get
+    p.applyBatch(batch(
+      (2L, "U", "pl-a", Some(Seq(2)), Some(1L), "s"),
+      (3L, "I", "pl-b", Some(Seq(3)), Some(1L), "s")), 1L)
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", v1)
+      .load(s"$base/table")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(df.count() == 2); ()
+      }
+      .start()
+    q.awaitTermination()
+    // getBatch compiles the NATIVE changesSince plan (gated exchange- and
+    // join-free above) to an RDD and hands the streaming engine that
+    // compiled leaf — so the executed micro-batch plan must be the leaf
+    // scan plus projection, with the streaming side adding no exchange,
+    // join, or re-shuffle of the delivered rows on top
+    val plan = q
+      .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"micro-batch leaf must be the precompiled changesSince RDD:\n$plan")
+    assert(!plan.contains("Exchange"), s"streaming wrapper added a shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"streaming wrapper added a join:\n$plan")
+  }
+
   test("snapshot commit is compare-and-swap: a version can be claimed once") {
     import org.apache.spark.sql.types._
     val root = tmpDir("cas")
