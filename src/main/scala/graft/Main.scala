@@ -15,7 +15,7 @@ import graft.streaming.{CdcPipeline, PipelineConfig}
   *   --changelog  s3://bucket/changelog \
   *   --table      s3://bucket/token_docs \
   *   --checkpoint s3://bucket/ckpt \
-  *   [--errors DIR] [--lineage DIR] [--mode cow|mor] [--buckets N]
+  *   [--errors DIR] [--lineage DIR] [--mode cow|mor|auto] [--buckets N]
   *   [--salt N] [--compact-threshold F] [--follow] [--vacuum-retain N]
   * }}}
   *
@@ -78,7 +78,7 @@ object Main {
       a.get("vacuum-retain").foreach { r =>
         // version-derived commit id → re-running compaction after a crash
         // hits the ledger instead of double-applying
-        if (cfg.mode == "mor")
+        if (cfg.mode != "cow") // mor and auto tables may carry deltas; compact is a ledgered no-op when clean
           MergeOnRead.compact(p.table, s"main-compact-v${p.table.currentVersion.getOrElse(0L)}")
         val (deleted, kept) = p.table.vacuum(r.toInt)
         System.err.println(s"[graft] vacuum: deleted=$deleted kept=$kept")

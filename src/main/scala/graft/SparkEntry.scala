@@ -215,6 +215,9 @@ object SparkEntry {
     // ════ CDC engine (the reference's role, SURVEY.md §0) ════
     "q_cdc_merge_state" -> ((s, dir) => cdcMergeState(s, dir)),
     "q_cdc_merge_state_mor" -> ((s, dir) => cdcMergeState(s, dir, mode = "mor")),
+    // auto picks the commit shape per batch (exact bulk/trickle probe vs
+    // the live table size); state is mode-independent → shared oracle
+    "q_cdc_merge_auto" -> ((s, dir) => cdcMergeState(s, dir, mode = "auto")),
     "q_cdc_events" -> ((s, dir) =>
       CdcGenerator.events(s, dir)
         .select(col("lsn"), col("op"), col("doc_id"),
@@ -1378,6 +1381,7 @@ object SparkEntry {
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
       "q_cdc_merge_state" -> mergedStateOracle,
       "q_cdc_merge_state_mor" -> mergedStateOracle,
+      "q_cdc_merge_auto" -> mergedStateOracle,
       // bootstrap-at-boundary + tail-above-boundary must be
       // state-equivalent to replaying the entire log
       "q_cdc_bootstrap" -> mergedStateOracle,

@@ -25,10 +25,21 @@ case class PipelineConfig(
     salt: Int = 32,
     // "cow" rewrites touched buckets per commit; "mor" appends delta files
     // (O(batch) commit) and folds at read/compaction time — the right mode
-    // for trickle batches against a large table
+    // for trickle batches against a large table; "auto" picks per batch
+    // with an exact probe (COW when the batch holds at least cowThreshold
+    // of the table's live+delta rows — a bulk load — else MOR)
     mode: String = "cow",
     // mor: compact when deltaRows exceed this fraction of base rows
-    compactThreshold: Double = 0.5)
+    compactThreshold: Double = 0.5,
+    // auto: the bulk/trickle crossover as a fraction of table rows. BELOW
+    // it COW's write amplification dominates (a random-keyed trickle
+    // batch touches every bucket, so COW rewrites ~the whole table for a
+    // sliver of changed rows — measured 48x amplification at batch/table
+    // = 2%, BASELINE.md round-1 workload-shape note); at/above it the
+    // table is being mostly rewritten anyway and COW's single join beats
+    // MOR's delta-write-then-fold double pass. An empty table makes any
+    // non-empty first batch a bulk load (initial seed → COW).
+    cowThreshold: Double = 0.5)
 
 /** The engine's core: change-log tail → conform → validate/route →
   * LWW dedup → exactly-once MERGE, as a Structured Streaming
@@ -52,6 +63,11 @@ case class PipelineConfig(
   * passes them ([[MergeOnRead.compact]]'s expireTombstonesBelow).
   */
 final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
+
+  // an unknown mode string silently meaning COW was a trap even with two
+  // modes; with three it must fail construction, not commits later
+  require(Seq("cow", "mor", "auto").contains(cfg.mode),
+    s"mode must be 'cow', 'mor' or 'auto'; got '${cfg.mode}'")
 
   val table: SnapshotTable = {
     val existing = SnapshotTable.load(spark, cfg.tableRoot)
@@ -92,8 +108,13 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         val deduped =
           if (cfg.salt > 1 && shouldSalt(raw)) Dedup.lwwSalted(events, cfg.salt)
           else Dedup.lww(events)
+        val useMor = cfg.mode match {
+          case "mor"  => true
+          case "cow"  => false
+          case "auto" => !bulkBatch(raw)
+        }
         val s =
-          if (cfg.mode == "mor") {
+          if (useMor) {
             val s0 = MergeOnRead(table, deduped, commitId, batchId)
             maybeCompact()
             s0
@@ -136,6 +157,26 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
   private[graft] def shouldSalt(raw: DataFrame): Boolean = {
     if (cfg.saltThreshold <= 0) return true
     val lim = math.min(cfg.saltThreshold, Int.MaxValue.toLong).toInt
+    raw.select(lit(1).as("_probe")).limit(lim).count() >= lim
+  }
+
+  /** mode=auto's bulk/trickle pick, by the same exact-probe discipline as
+    * [[shouldSalt]] (never a plan-stats estimate): the batch is BULK —
+    * COW territory — iff it holds at least `cowThreshold × live table
+    * rows` (manifest metadata, free). The probe is a zero-column
+    * CollectLimit capped at the threshold, so a trickle batch pays its
+    * own tiny size and a bulk batch stops at the limit; raw pre-dedup
+    * count is the honest proxy for write volume here — duplicates and
+    * invalid rows still flow through conform/validate/dedup either way.
+    * An EMPTY table floors the threshold at one row: the initial seed
+    * batch is a bulk load by definition. Mis-pick cost is bounded and
+    * state-identical (both commit modes produce the same table — the
+    * auto-≡-fixed property test pins it); only the write shape differs. */
+  private[graft] def bulkBatch(raw: DataFrame): Boolean = {
+    val m = table.current.get
+    val live = m.rowCount + m.deltaRows
+    val t = math.max(1L, math.ceil(live * cfg.cowThreshold).toLong)
+    val lim = math.min(t, Int.MaxValue.toLong).toInt
     raw.select(lit(1).as("_probe")).limit(lim).count() >= lim
   }
 

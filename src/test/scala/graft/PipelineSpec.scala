@@ -1734,6 +1734,42 @@ class PipelineSpec extends SparkSpec {
     assert(p.shouldSalt(spark.range(500L).toDF()), "above-threshold batch must salt")
   }
 
+  test("mode=auto picks COW for bulk and MOR for trickle; final state ≡ both fixed modes") {
+    import spark.implicits._
+    def batch(rows: Seq[(Long, String, String, Option[Seq[Int]], Option[Long], String)]) =
+      rows.toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    // seed (bulk by definition on the empty table) → trickle (2 events
+    // against 200 live rows, far under the 0.5 crossover) → bulk update
+    // (150 events ≥ ceil(0.5 × 202) = 101)
+    val batches = Seq(
+      (1 to 200).map(i => (i.toLong, "I", s"am-$i", Some(Seq(i)), Some(1L), "s")),
+      Seq((201L, "U", "am-1", Some(Seq(9)), Some(1L), "s"),
+          (202L, "D", "am-2", Option.empty[Seq[Int]], Option.empty[Long], "s")),
+      (1 to 150).map(i => (202L + i, "U", s"am-$i", Some(Seq(i, i)), Some(2L), "s")))
+    def run(mode: String): (CdcPipeline, Seq[Long]) = {
+      val p = mkPipeline(tmpDir(s"automode-$mode"), mode = mode)
+      (p, batches.zipWithIndex.map { case (b, i) => p.applyBatch(batch(b), i.toLong).version })
+    }
+    val (auto, versions) = run("auto")
+    // which write shape each commit took is visible in its manifest:
+    // a MOR commit ADDS delta files; a COW commit never does (and a COW
+    // apply over pending deltas folds them away in the same commit)
+    def morShaped(v: Long): Boolean = {
+      val m = auto.table.manifest(v)
+      m.deltaFiles.map(_.path).toSet
+        .diff(auto.table.manifest(m.parent).deltaFiles.map(_.path).toSet).nonEmpty
+    }
+    assert(!morShaped(versions(0)), "empty-table seed batch must pick COW (bulk load)")
+    assert(morShaped(versions(1)), "trickle batch against a 200-row table must pick MOR")
+    assert(!morShaped(versions(2)), "bulk update above the crossover must pick COW")
+    // the pick changes only the write shape, never the state
+    val (cow, _) = run("cow")
+    val (mor, _) = run("mor")
+    val want = tableState(cow)
+    assertStateMatches(tableState(auto), want)
+    assertStateMatches(tableState(mor), want)
+  }
+
   test("vacuum between writeDataFiles and commit leaves the in-flight commit intact") {
     import spark.implicits._
     val base = tmpDir("vacrace")
