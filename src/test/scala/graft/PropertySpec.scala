@@ -418,7 +418,10 @@ class PropertySpec extends SparkSpec {
     (0 until 2).foreach { trial =>
       val rnd = new Random(4242 + trial)
       val base = tmpDir(s"fullsm-$trial")
-      val p = mkPipeline(base, mode = "mor")
+      // trial 1 runs the whole interleave under the adaptive commit mode:
+      // every SQL verb and rollback/compact lands on whichever write
+      // shape the per-batch probe picked, against arbitrary histories
+      val p = mkPipeline(base, mode = if (trial == 0) "mor" else "auto")
       val root = s"$base/table"
       var curEvs  = Seq.empty[OracleFold.Ev]
       var pending = chunks
