@@ -87,7 +87,10 @@ object TableMaintenance {
     * does not un-apply a delivery; replay the events at fresh LSNs to
     * re-land them). O(1): no data files move. Pairs with
     * [[MergeOnRead.changesSince]] for find-the-bad-batch forensics.
-    * The target's data files must not have been vacuumed. */
+    * A target whose data files vacuum already reclaimed fails typed
+    * ([[graft.table.VacuumedVersionException]]) BEFORE anything
+    * commits — otherwise the new head would reference deleted files
+    * and every subsequent read of the table would throw. */
   def rollbackTo(table: SnapshotTable, version: Long): MergeStats = {
     val t0  = System.nanoTime()
     val cur = table.current.getOrElse(
@@ -104,6 +107,14 @@ object TableMaintenance {
     // exactly-once ledger, so ids must never repeat)
     val commitId = s"rollback-to-v$version-from-v${cur.version}"
     val target = table.manifest(version)
+    // enforce the readability precondition, never trust the caller with
+    // it: committing a head that references vacuum-reclaimed files would
+    // wedge EVERY later read, the silently-wrong-state class this engine
+    // fails typed everywhere else. O(files) driver-side metadata probes.
+    // A vacuum racing this window is the same class as vacuum-vs-writer:
+    // once the commit lands the files are head-referenced and retained;
+    // the orphan grace window covers the remaining sliver.
+    table.verifyReadable(target)
     table.commit(target.copy(
       version = cur.version + 1,
       parent = cur.version,

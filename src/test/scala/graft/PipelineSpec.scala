@@ -1617,6 +1617,34 @@ class PipelineSpec extends SparkSpec {
     ()
   }
 
+  test("rollback to a vacuum-expired version fails typed before committing an unreadable head") {
+    import graft.operators.TableMaintenance
+    import graft.table.VacuumedVersionException
+    val base = tmpDir("vac-rollback")
+    val p    = mkPipeline(base)
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 3)
+    p.runAvailableNow(maxFilesPerTrigger = Some(4))
+    val before = tableState(p)
+    p.table.vacuum(retainVersions = 1)
+    val headV = p.table.currentVersion.get
+    // earliest version whose file set vacuum actually broke
+    val expired = p.table.versions.find { v =>
+      v < headV && p.table.manifest(v).files.exists(f =>
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(f.path)))
+    }.getOrElse(fail("vacuum left every old version readable — fixture broke"))
+    // the O(1) manifest copy would "succeed" and wedge every later read;
+    // the readability guard must fail it typed with nothing committed
+    val e = intercept[VacuumedVersionException] {
+      TableMaintenance.rollbackTo(p.table, expired)
+    }
+    assert(e.version == expired)
+    assert(p.table.currentVersion.get == headV, "failed rollback must commit nothing")
+    assertStateMatches(tableState(p), before)
+    // the retained head is still a valid (skip) target — the guard
+    // rejects only genuinely unreadable states
+    assert(TableMaintenance.rollbackTo(p.table, headV).skipped)
+  }
+
   test("vacuum honors clone claims; vacuumed windows fail with a typed error") {
     import graft.operators.MergeOnRead
     import graft.table.VacuumedVersionException
