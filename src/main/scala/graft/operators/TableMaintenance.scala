@@ -96,6 +96,9 @@ object TableMaintenance {
     val cur = table.current.getOrElse(
       throw new IllegalStateException("table has no snapshot"))
     require(version <= cur.version, s"cannot roll forward to $version")
+    // commits are CAS'd at cur+1 so versions are contiguous from 0 and
+    // manifests are never deleted — ≥0 plus the bound above IS existence
+    require(version >= 0, s"no version $version (versions start at 0)")
     if (version == cur.version)
       // already there — a duplicate of the current manifest would add a
       // no-op commit and (worse) a duplicate commitId to the ledger

@@ -85,6 +85,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       throw new IllegalArgumentException(
         s"graft table identifiers are single backticked absolute paths — " +
           s"write $catalogName.`/abs/path/to/table`, got '$joined'")
+    // the filesystem root as a table root would make DROP TABLE a
+    // recursive delete of '/' — no legitimate deployment wants that
+    if (java.nio.file.Paths.get(joined).normalize().toString == "/")
+      throw new IllegalArgumentException(
+        "'/' cannot be a graft table root; use a dedicated directory")
     joined
   }
 

@@ -1433,6 +1433,12 @@ class PipelineSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft.`relative/path`").collect()
     }
     assert(e2.getMessage.contains("absolute path"), e2.getMessage)
+    // and the filesystem root: a table AT '/' would make DROP TABLE a
+    // recursive delete of the machine
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.`/`").collect()
+    }
+    assert(e3.getMessage.contains("cannot be a graft table root"), e3.getMessage)
   }
 
   test("rebucket migrates the hash-bucket count; state, lookups, commits survive") {
