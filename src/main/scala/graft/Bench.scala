@@ -343,6 +343,105 @@ object Bench {
     out.mkString("{", ",", "}")
   }
 
+  /** Hot-key skew study (FIXTURES.md G5; north rule: "hot-key salting
+    * ... making the scaling explicit"): times the LWW dedup stage — the
+    * one per-batch operator where a hot doc_id concentrates its events —
+    * single-phase vs two-phase-salted, across three key distributions on
+    * the SAME deterministic 8M-event batch shape (full payload: avg
+    * ~40-int token array, so the `max_by` struct carries realistic
+    * weight):
+    *
+    *  - `uniq`:  every event its own doc_id — the official bench's
+    *    per-batch shape (~1 event/doc after batch split). Salting's
+    *    phase 1 compresses NOTHING here, so phase 2 reshuffles the whole
+    *    batch: this regime prices salting's pure overhead.
+    *  - `g5`:    20% of events on 1% of the key space (the G5 fixture).
+    *  - `hot1`:  50% of all events on ONE doc_id — pathological.
+    *
+    * What the numbers decide: `max_by` is associative, so the aggregate
+    * partial-combines BEFORE the shuffle — each map partition emits at
+    * most one pre-aggregated row per locally-seen key, which already
+    * caps what the hot key's single reducer receives at
+    * (#map partitions) rows. If the study shows single-phase absorbing
+    * `hot1` at parity, size-triggered salting (saltThreshold) is a pure
+    * extra-shuffle cost on big mostly-unique batches and the default
+    * should change; if `hot1` collapses single-phase, the threshold is
+    * earning its shuffle. Either way the decision is measured, not
+    * asserted (the salted≡unsalted equivalence itself is
+    * correctness-gated in PropertySpec — this study is purely the
+    * performance axis). Timed via a full-payload hash-sum so column
+    * pruning cannot skip the `max_by` materialization; input is
+    * persisted and counted before the clock starts; median of 3. */
+  private[graft] def skewStudy(s: SparkSession): String = {
+    import org.apache.spark.sql.{DataFrame, functions => F}
+    import F.{col, lit, when, pmod, xxhash64, concat, sequence, struct, sum}
+    val n    = 8000000L
+    val keys = 4000000L // g5 key space: 1% of it = 40k docs carry 20% of events
+    def batch(regime: String, rows: Long = n): DataFrame = {
+      val id = col("id")
+      val doc = regime match {
+        case "uniq" => concat(lit("d"), id)
+        case "g5" => // event 5th: one of keys/100 hot docs; else unique
+          when(pmod(id, lit(5L)) === 0,
+            concat(lit("h"), pmod(xxhash64(id), lit(keys / 100))))
+            .otherwise(concat(lit("d"), id))
+        case "hot1" =>
+          when(pmod(id, lit(2L)) === 0, lit("h0"))
+            .otherwise(concat(lit("d"), id))
+      }
+      s.range(rows).select(
+        doc.as("doc_id"),
+        sequence(lit(0),
+          pmod(xxhash64(id), lit(64L)).cast("int") + lit(8)).as("tokens"),
+        lit("bench").as("source"),
+        id.as("lsn"),
+        lit("U").as("op"))
+        .withColumn("n_tok", F.size(col("tokens")))
+    }
+    // full-payload hash-sum: forces every max_by struct to materialize
+    // (a bare count() would let Catalyst prune the aggregate payload)
+    def force(df: DataFrame): Unit = {
+      // pmod keeps the ANSI sum far from Long overflow (8M × 1e9 « 2^63)
+      df.select(pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
+          lit(1000000007L)).as("_h"))
+        .agg(sum(col("_h"))).collect(); ()
+    }
+    import graft.operators.Dedup
+    // JIT warm-up on a sliver so no timed sample pays codegen
+    Seq("uniq", "hot1").foreach { r =>
+      val w = batch(r, 100000L); force(Dedup.lww(w)); force(Dedup.lwwSalted(w, 32))
+    }
+    val out = Seq("uniq", "g5", "hot1").map { regime =>
+      val in = batch(regime).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      in.count() // materialize OUTSIDE the clock: time the dedup, not range()
+      // one UNTIMED full-scale pass of each variant first: the 32g heap
+      // is lazily committed, so the first full-size aggregations grow it
+      // under GC pressure (observed: 40-80 s settling to 2-4 s steady
+      // state on identical work) — the sliver warm-up above only covers
+      // JIT, not heap growth
+      force(Dedup.lww(in)); force(Dedup.lwwSalted(in, 32))
+      // samples INTERLEAVED A/B/A/B…: any residual settling trend lands
+      // on both variants equally instead of penalizing whichever ran
+      // first
+      def sample(tag: String, i: Int)(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] skew $regime $tag sample=$i sec=$sec%.2f")
+        sec
+      }
+      val pairs = (1 to 3).map { i =>
+        (sample("lww", i)(force(Dedup.lww(in))),
+          sample("salted", i)(force(Dedup.lwwSalted(in, 32))))
+      }
+      val plain  = median(pairs.map(_._1))
+      val salted = median(pairs.map(_._2))
+      in.unpersist()
+      f""""$regime":{"lww_sec":$plain%.2f,"salted_sec":$salted%.2f}"""
+    }
+    out.mkString(s"""{"events":$n,"samples":3,""", ",", "}")
+  }
+
   /** The round-3 lesson (BASELINE.md + VERDICT r3): leaked bench temp
     * trees accumulate in /tmp and degrade EVERY subsequent run on this
     * box uniformly (~30 GB → 1.6-1.7× inflation across pure scans and
@@ -544,12 +643,13 @@ object Bench {
           name -> (System.nanoTime() - t0) / 1e9
       }
     val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val annJson = if (runQueries) annStudy(sQ, sfDir) else "{}"
-    val ivfJson = if (runQueries) ivfStudy(sQ, sfDir) else "{}"
-    val mhJson  = if (runQueries) minhashStudy(sQ, sfDir) else "{}"
+    val annJson  = if (runQueries) annStudy(sQ, sfDir) else "{}"
+    val ivfJson  = if (runQueries) ivfStudy(sQ, sfDir) else "{}"
+    val mhJson   = if (runQueries) minhashStudy(sQ, sfDir) else "{}"
+    val skewJson = if (runQueries) skewStudy(sQ) else "{}"
 
     println(
-      f"""{"metric":"change-events/sec applied (end-to-end MERGE throughput)","value":$headline%.1f,"unit":"events/sec","sf":"$sfDir","queries":$qJson,"cdc":{"events":$nEvents,"batches":$batches,"buckets":$buckets,"replicate":$replicate,"cores_n":$loCpus,"cores_4n":$hiCpus,"cores_max":$maxCpus,"max_samples":${maxRuns.size},$stealJson,"best_mode":"${best.mode}","scaling_mode":"${scalingBest.mode}","scaling_efficiency":${scalingBest.eff}%.3f,${modes.map(_.json).mkString(",")}},"ann_lsh_study":$annJson,"ivf_study":$ivfJson,"minhash_study":$mhJson,"query_total_sec":${queries.map(_._2).sum}%.2f}""")
+      f"""{"metric":"change-events/sec applied (end-to-end MERGE throughput)","value":$headline%.1f,"unit":"events/sec","sf":"$sfDir","queries":$qJson,"cdc":{"events":$nEvents,"batches":$batches,"buckets":$buckets,"replicate":$replicate,"cores_n":$loCpus,"cores_4n":$hiCpus,"cores_max":$maxCpus,"max_samples":${maxRuns.size},$stealJson,"best_mode":"${best.mode}","scaling_mode":"${scalingBest.mode}","scaling_efficiency":${scalingBest.eff}%.3f,${modes.map(_.json).mkString(",")}},"ann_lsh_study":$annJson,"ivf_study":$ivfJson,"minhash_study":$mhJson,"skew_study":$skewJson,"query_total_sec":${queries.map(_._2).sum}%.2f}""")
     sQ.stop()
     } finally graft.table.Fs.deleteRecursively(java.nio.file.Paths.get(changeLog))
   }

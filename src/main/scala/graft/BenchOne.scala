@@ -48,6 +48,13 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (mode == "skew") {
+      // run ONLY the hot-key skew study (diagnostic for Bench.skewStudy)
+      println(s"BENCHONE skew cores=$cores ${Bench.skewStudy(spark)}")
+      spark.stop()
+      return
+    }
+
     if (mode == "stage") {
       // just materialize the change log to args(2) and exit
       val sfDir     = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -155,6 +162,9 @@ object BenchOne {
       lineageDir = s"$base/lineage",
       numBuckets = buckets,
       mode = mode,
+      // GRAFT_SALT=32 re-enables the salted LWW path for A/B against the
+      // measured-off default (skewStudy)
+      salt = sys.env.getOrElse("GRAFT_SALT", "1").toInt,
       compactThreshold = Double.PositiveInfinity))
     def gcMs(): Long = {
       import scala.collection.JavaConverters._
