@@ -55,7 +55,7 @@ object Main {
       errorDir = a.getOrElse("errors", s"$table/_errors"),
       lineageDir = a.getOrElse("lineage", s"$table/_lineage"),
       numBuckets = a.getOrElse("buckets", "64").toInt,
-      salt = a.getOrElse("salt", "32").toInt,
+      salt = a.getOrElse("salt", "1").toInt, // off, per Bench.skewStudy
       mode = a.getOrElse("mode", "cow"),
       compactThreshold = a.getOrElse("compact-threshold", "0.5").toDouble)
     val p = new CdcPipeline(spark, cfg)

@@ -32,7 +32,17 @@ object Dedup {
   }
 
   /** Two-phase salted LWW for hot-key skew. `salt` ≈ shuffle parallelism
-    * you want the hottest key to use. */
+    * you want the hottest key to use.
+    *
+    * Measured verdict (Bench.skewStudy): for THIS aggregate salting never
+    * pays — max_by partial-combines map-side, so even 50% of all events
+    * on one key reaches its reducer as ≤(#map partitions) pre-reduced
+    * rows, and the salted plan's second full shuffle costs more than the
+    * skew it would spread (1.0 s single-phase vs 1.8 s salted on that
+    * pathological batch; unique-key batches 3.8 vs 4.4 s). Off by default
+    * in [[graft.streaming.PipelineConfig]]; kept for dedup variants whose
+    * reduce is NOT map-side combinable (e.g. a collect-all-versions
+    * audit), where per-key fan-out is the only defense. */
   def lwwSalted(events: DataFrame, salt: Int): DataFrame = {
     require(salt > 1, "salt must be > 1; use lww() otherwise")
     val payload = struct(events.columns.map(col).toIndexedSeq: _*)

@@ -1766,6 +1766,12 @@ class PipelineSpec extends SparkSpec {
       "fixture must actually have an inflated plan estimate")
     assert(!p.shouldSalt(trickle), "inflated-estimate trickle batch must not salt")
     assert(p.shouldSalt(spark.range(500L).toDF()), "above-threshold batch must salt")
+    // the DEFAULT config keeps salting off entirely (skewStudy: max_by
+    // partial-combines map-side, so the salted path's second shuffle is
+    // pure overhead in every measured key distribution) — salt = 1 means
+    // applyBatch short-circuits before even running the probe
+    assert(PipelineConfig("-", "-", "-", "-", "-").salt == 1,
+      "default config must not salt (measured: skewStudy)")
   }
 
   test("mode=auto picks COW for bulk and MOR for trickle; final state ≡ both fixed modes") {

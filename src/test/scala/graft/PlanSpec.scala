@@ -292,8 +292,8 @@ class PlanSpec extends SparkSpec {
     // inside foreachBatch re-plans as a batch query. This gate asserts
     // the merge's full-outer join actually executes under
     // AdaptiveSparkPlanExec, so skewJoin.enabled applies to the hot path
-    // (and Dedup.lwwSalted remains the pre-aggregation defense above the
-    // salt threshold).
+    // (Dedup's hot-key defense is max_by's map-side partial combine —
+    // measured in Bench.skewStudy; the salted path is an opt-in knob).
     import graft.ingest.CdcGenerator
     import graft.streaming.{CdcPipeline, PipelineConfig}
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
