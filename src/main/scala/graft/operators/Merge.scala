@@ -83,11 +83,39 @@ object Merge {
   private def payloadSchemaOf(batch: DataFrame): StructType =
     StructType(batch.schema.fields.filterNot(f => EventMetaCols.contains(f.name)))
 
+  /** Physical strategy for the touched-slice merge — same result rows,
+    * same stats, different plan (equivalence-gated in MergeVariantSpec;
+    * measured A/B in BASELINE.md round 4):
+    *  - "join": full-outer join target⋈batch on doc_id (sort-merge under
+    *    AQE) and a routing exchange before the write — the touched slice
+    *    crosses TWO full exchanges and both join inputs externally sort
+    *    their full payload rows.
+    *  - "shj": the same join with a shuffle_hash hint on the BATCH side —
+    *    identical data movement, but the sort-merge's two full-payload
+    *    external sorts become one hash map build over the batch side.
+    *  - "fold": union(target-as-events, batch) through ONE bucket-keyed
+    *    exchange (identity-probe remap, doc_id never a shuffle key), then
+    *    the MOR in-partition LWW run-fold, written pre-partitioned — one
+    *    exchange total and no separate write routing.
+    * `GRAFT_MERGE` overrides the default for A/B studies. */
+  private[graft] def defaultVariant: String =
+    sys.env.getOrElse("GRAFT_MERGE", "join")
+
   def apply(
       table: SnapshotTable,
       dedupedBatch: DataFrame,
       commitId: String,
-      batchId: Long): MergeStats = {
+      batchId: Long): MergeStats =
+    apply(table, dedupedBatch, commitId, batchId, defaultVariant)
+
+  def apply(
+      table: SnapshotTable,
+      dedupedBatch: DataFrame,
+      commitId: String,
+      batchId: Long,
+      variant: String): MergeStats = {
+    require(Set("join", "shj", "fold").contains(variant),
+      s"unknown merge variant '$variant' (join|shj|fold)")
     val t0  = System.nanoTime()
     val cur0 = table.current.getOrElse(
       throw new IllegalStateException("table has no snapshot; create() first"))
@@ -157,73 +185,131 @@ object Merge {
         if (bigBatch) (0 until numBuckets).toSet
         else batch.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
 
-      // ---- join only the touched slice of the target ----
+      // ---- merge only the touched slice of the target ----
       val targetSlice = SchemaEvolution.align(
         table.read(Some(cur.version), Some(touched)), physicalSchema)
       val payloadCols = evolvedPayload.fieldNames.toSeq
-
-      val tt      = targetSlice.as("t")
-      val present = batch.columns.toSet
-      val bb = batch.select(
+      val present     = batch.columns.toSet
+      // batch payload aligned to the evolved schema (cast + null-fill)
+      def batchAligned(extra: Column*): DataFrame = batch.select(
         evolvedPayload.fields.toIndexedSeq.map { f =>
           if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
           else lit(null).cast(f.dataType).as(f.name)
-        } ++ Seq(col("lsn"), col("op"), col("_bucket")): _*).as("b")
+        } ++ extra: _*)
 
-      val j         = tt.join(bb, tt("doc_id") === bb("doc_id"), "full_outer")
-      val takeBatch = bb("doc_id").isNotNull &&
-        (tt("doc_id").isNull || bb("lsn") > tt(LsnCol))
-      val ttLive = tt("doc_id").isNotNull && !coalesce(tt(TombCol), lit(false))
-      // "tombstone": a winning delete persists as a row (see TombCol) —
-      // for stats it is split live-target (delete) vs not (delete_noop)
-      val action = when(tt("doc_id").isNotNull && !takeBatch, lit("keep"))
-        .when(takeBatch && bb("op") =!= "D" && ttLive, lit("update"))
-        .when(takeBatch && bb("op") =!= "D", lit("insert"))
-        .when(takeBatch && bb("op") === "D" && ttLive, lit("delete"))
-        .otherwise(lit("delete_noop"))
-      val isTomb = col("_action").isin("delete", "delete_noop")
+      val obs  = Observation(s"merge-$commitId")
+      val obsB = if (variant == "fold") Some(Observation(s"merge-batch-$commitId")) else None
 
-      val outCols: Seq[Column] =
-        payloadCols.map { f =>
-          val fromBatch = if (f == "doc_id") bb(f) else when(isTomb, lit(null)).otherwise(bb(f))
-          when(col("_action") === "keep", tt(f)).otherwise(fromBatch).as(f)
-        } ++ Seq(
-          when(col("_action") === "keep", tt(LsnCol)).otherwise(bb("lsn")).as(LsnCol),
-          when(col("_action") === "keep", coalesce(tt(TombCol), lit(false)))
-            .otherwise(isTomb).as(TombCol),
-          coalesce(bb("_bucket"), bucketOf(tt("doc_id"))).as("_bucket"))
+      val survivors: DataFrame = variant match {
+        case "fold" =>
+          // Union + ONE bucket-keyed exchange + in-partition LWW run-fold
+          // (the MOR fold machinery), written pre-partitioned. The batch
+          // observation rides the union's batch leg; action counts ride
+          // the fold output — both evaluate in the single write pass.
+          val batchEvents = batchAligned(col("lsn"), col("op"))
+            .withColumn("_from_base", lit(false))
+            .observe(obsB.get,
+              count(lit(1)).as("batch_events"),
+              min(col("lsn")).as("min_lsn"),
+              max(col("lsn")).as("max_lsn"))
+          val baseEvents = targetSlice.select(
+            payloadCols.map(col) ++ Seq(
+              col(LsnCol).as("lsn"),
+              when(coalesce(col(TombCol), lit(false)), lit("D"))
+                .otherwise(lit("I")).as("op"),
+              lit(true).as("_from_base")): _*)
+          val para = targetSlice.sparkSession.sparkContext.defaultParallelism
+          val w    = math.min(numBuckets, math.max(1, para * 4))
+          val routed = baseEvents.unionByName(batchEvents)
+            .withColumn("_b", bucketOf(col("doc_id")))
+            .repartition(w, element_at(
+              lit(graft.table.SnapshotTable.identityProbes(w)),
+              pmod(col("_b"), lit(w)) + 1))
+            .drop("_b")
+          val a = col(MergeOnRead.ActionCol)
+          def cnt(k: String, v: String) = sum(when(a === v, 1L).otherwise(0L)).as(k)
+          MergeOnRead.localLww(
+              routed, evolvedPayload.fields.toIndexedSeq, classified = true)
+            // match the join variant's tombstone shape exactly: a winning
+            // delete persists payload-null (doc_id excepted) whatever the
+            // event carried
+            .select(evolvedPayload.fields.toSeq.map { f =>
+              if (f.name == "doc_id") col(f.name)
+              else when(col(TombCol), lit(null).cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+            } ++ Seq(col(LsnCol), col(TombCol), a): _*)
+            .observe(obs,
+              cnt("inserted", "insert"), cnt("updated", "update"),
+              cnt("deleted", "delete"), cnt("delete_noops", "delete_noop"),
+              cnt("stale", "stale"))
+            .drop(MergeOnRead.ActionCol)
+            .withColumn("_bucket", bucketOf(col("doc_id")))
 
-      val obs = Observation(s"merge-$commitId")
-      val annotated = j
-        .withColumn("_action", action)
-        .observe(
-          obs,
-          sum(when(col("_action") === "insert", 1L).otherwise(0L)).as("inserted"),
-          sum(when(col("_action") === "update", 1L).otherwise(0L)).as("updated"),
-          sum(when(col("_action") === "delete", 1L).otherwise(0L)).as("deleted"),
-          sum(when(col("_action") === "delete_noop", 1L).otherwise(0L)).as("delete_noops"),
-          sum(when(col("_action") === "keep" && bb("doc_id").isNotNull, 1L).otherwise(0L)).as("stale"),
-          sum(when(bb("doc_id").isNotNull, 1L).otherwise(0L)).as("batch_events"),
-          min(bb("lsn")).as("min_lsn"),
-          max(bb("lsn")).as("max_lsn"))
+        case v => // "join" | "shj"
+          val tt  = targetSlice.as("t")
+          val bb0 = batchAligned(col("lsn"), col("op"), col("_bucket")).as("b")
+          // shuffle_hash on the batch side: same movement as the sort-
+          // merge plan, but the two full-payload external sorts become a
+          // hash-map build over the (already LWW-reduced) batch side
+          val bb  = if (v == "shj") bb0.hint("shuffle_hash") else bb0
 
-      // ALL rows survive — tombstones included
-      val survivors = annotated
-        .select(outCols :+ col("_action"): _*)
-        .drop("_action")
+          val j         = tt.join(bb, tt("doc_id") === bb("doc_id"), "full_outer")
+          val takeBatch = bb("doc_id").isNotNull &&
+            (tt("doc_id").isNull || bb("lsn") > tt(LsnCol))
+          val ttLive = tt("doc_id").isNotNull && !coalesce(tt(TombCol), lit(false))
+          // "tombstone": a winning delete persists as a row (see TombCol) —
+          // for stats it is split live-target (delete) vs not (delete_noop)
+          val action = when(tt("doc_id").isNotNull && !takeBatch, lit("keep"))
+            .when(takeBatch && bb("op") =!= "D" && ttLive, lit("update"))
+            .when(takeBatch && bb("op") =!= "D", lit("insert"))
+            .when(takeBatch && bb("op") === "D" && ttLive, lit("delete"))
+            .otherwise(lit("delete_noop"))
+          val isTomb = col("_action").isin("delete", "delete_noop")
+
+          val outCols: Seq[Column] =
+            payloadCols.map { f =>
+              val fromBatch = if (f == "doc_id") bb(f) else when(isTomb, lit(null)).otherwise(bb(f))
+              when(col("_action") === "keep", tt(f)).otherwise(fromBatch).as(f)
+            } ++ Seq(
+              when(col("_action") === "keep", tt(LsnCol)).otherwise(bb("lsn")).as(LsnCol),
+              when(col("_action") === "keep", coalesce(tt(TombCol), lit(false)))
+                .otherwise(isTomb).as(TombCol),
+              coalesce(bb("_bucket"), bucketOf(tt("doc_id"))).as("_bucket"))
+
+          val annotated = j
+            .withColumn("_action", action)
+            .observe(
+              obs,
+              sum(when(col("_action") === "insert", 1L).otherwise(0L)).as("inserted"),
+              sum(when(col("_action") === "update", 1L).otherwise(0L)).as("updated"),
+              sum(when(col("_action") === "delete", 1L).otherwise(0L)).as("deleted"),
+              sum(when(col("_action") === "delete_noop", 1L).otherwise(0L)).as("delete_noops"),
+              sum(when(col("_action") === "keep" && bb("doc_id").isNotNull, 1L).otherwise(0L)).as("stale"),
+              sum(when(bb("doc_id").isNotNull, 1L).otherwise(0L)).as("batch_events"),
+              min(bb("lsn")).as("min_lsn"),
+              max(bb("lsn")).as("max_lsn"))
+
+          // ALL rows survive — tombstones included
+          annotated
+            .select(outCols :+ col("_action"): _*)
+            .drop("_action")
+      }
 
       val tW0      = System.nanoTime()
-      val newFiles = table.writeDataFiles(survivors, commitId, numBuckets)
+      val newFiles = table.writeDataFiles(survivors, commitId, numBuckets,
+        prePartitioned = variant == "fold")
       if (sys.env.contains("GRAFT_TIMING"))
-        System.err.println(f"[merge] writeDataFiles=${(System.nanoTime() - tW0) / 1e9}%.2fs")
-      val m        = obs.get
+        System.err.println(f"[merge] variant=$variant writeDataFiles=${(System.nanoTime() - tW0) / 1e9}%.2fs")
+      val m  = obs.get
+      val mB = obsB.map(_.get)
 
-      def g(k: String): Long = m.get(k) match {
-        case Some(null)    => -1L
-        case Some(v: Long) => v
-        case Some(v: Number) => v.longValue()
-        case _             => -1L
-      }
+      def g(k: String): Long =
+        m.get(k).orElse(mB.flatMap(_.get(k))) match {
+          case Some(null)    => -1L
+          case Some(v: Long) => v
+          case Some(v: Number) => v.longValue()
+          case _             => -1L
+        }
 
       val maxLsn = g("max_lsn")
       val minLsn = g("min_lsn")

@@ -278,7 +278,7 @@ object MergeOnRead {
   /** Action column emitted by the classified fold: the NET transition per
     * key, matching the per-row action taxonomy of the round-1 join-based
     * merge (keep / stale / insert / update / delete / delete_noop). */
-  private val ActionCol = "_action"
+  private[operators] val ActionCol = "_action"
 
   /** Folded rows for delta-carrying buckets ONLY (callers union clean
     * buckets or carry their files by reference). Up to
@@ -354,7 +354,7 @@ object MergeOnRead {
     * Same result as groupBy(doc_id).agg(max_by(…, lsn)) without the hash
     * aggregate or its exchange; O(1) state per task beyond the sort.
     * Input layout: payload…, lsn, op, _from_base. */
-  private def localLww(
+  private[operators] def localLww(
       events: DataFrame, payloadFields: Seq[StructField],
       classified: Boolean): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
