@@ -55,6 +55,37 @@ object BenchOne {
       return
     }
 
+    if (mode == "cowab") {
+      // Same-JVM interleaved A/B of the COW merge variants (Merge.apply's
+      // join / shj / fold). Cold fresh-JVM samples on this box vary 2.5×
+      // run-to-run (BASELINE.md round-4 environment notes), swamping any
+      // real plan difference; interleaving J/S/F inside ONE warm session
+      // makes environment drift hit every variant symmetrically, and the
+      // full-scale warm pass first absorbs the lazily-committed-heap
+      // settling that dominates each JVM's first full-size run. Variant
+      // switches via the graft.merge.variant system property.
+      val variants = Seq("join", "shj", "fold")
+      val log      = args(2)
+      val nEv      = spark.read.parquet(s"$log/batch-*").count()
+      sys.props("graft.merge.variant") = "join"
+      val warmSec = runOnce(spark, log, batches, buckets, "cow")
+      println(f"BENCHONE cowab warm sec=$warmSec%.2f")
+      val samples = for (s <- 1 to 3; v <- variants) yield {
+        sys.props("graft.merge.variant") = v
+        val sec = runOnce(spark, log, batches, buckets, "cow")
+        println(f"BENCHONE cowab sample=$s variant=$v events=$nEv sec=$sec%.2f eps=${nEv / sec}%.1f")
+        (v, sec)
+      }
+      sys.props.remove("graft.merge.variant")
+      variants.foreach { v =>
+        val xs = samples.filter(_._1 == v).map(_._2).sorted
+        println(f"BENCHONE cowab median variant=$v sec=${xs(xs.size / 2)}%.2f " +
+          f"runs=${xs.map(x => f"$x%.1f").mkString("/")}")
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "stage") {
       // just materialize the change log to args(2) and exit
       val sfDir     = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -97,25 +97,43 @@ object Merge {
     *    exchange (identity-probe remap, doc_id never a shuffle key), then
     *    the MOR in-partition LWW run-fold, written pre-partitioned — one
     *    exchange total and no separate write routing.
-    * `GRAFT_MERGE` overrides the default for A/B studies. */
-  private[graft] def defaultVariant: String =
-    sys.env.getOrElse("GRAFT_MERGE", "join")
+    * The default is picked per table shape (measured same-JVM interleaved
+    * A/B, BASELINE.md round 4, 16M events / 32 cores): at numBuckets ≤
+    * 4·parallelism — where writeDataFiles runs one task per bucket
+    * uncapped — join and fold are a wash (28.4 vs 29.3 s median at 64
+    * buckets) and join keeps its longer production soak; above it, the
+    * join plan's second full-width exchange and per-bucket task spray
+    * cost ~19% (51.0 vs 41.4 s at 1024 buckets) and fold's single
+    * capped-width exchange wins, so high-bucket tables take "fold".
+    * "shj" never won a regime (41.2 s worst sample at 64 buckets — the
+    * hash-map build over a 4M-row batch side evicts; it stays for A/B).
+    *
+    * `GRAFT_MERGE` (env) overrides for whole-JVM A/B runs; the
+    * `graft.merge.variant` system property overrides both so a same-JVM
+    * interleaved A/B (BenchOne "cowab") can switch variants between runs
+    * without a JVM restart. */
+  private[graft] def defaultVariant(numBuckets: Int, parallelism: Int): String =
+    sys.props.get("graft.merge.variant")
+      .orElse(sys.env.get("GRAFT_MERGE"))
+      .getOrElse(if (numBuckets > 4 * parallelism) "fold" else "join")
 
   def apply(
       table: SnapshotTable,
       dedupedBatch: DataFrame,
       commitId: String,
       batchId: Long): MergeStats =
-    apply(table, dedupedBatch, commitId, batchId, defaultVariant)
+    apply(table, dedupedBatch, commitId, batchId, variant = "")
 
+  /** @param variant "join" | "shj" | "fold", or "" to pick the measured
+    *   default for the table's bucket count ([[defaultVariant]]). */
   def apply(
       table: SnapshotTable,
       dedupedBatch: DataFrame,
       commitId: String,
       batchId: Long,
       variant: String): MergeStats = {
-    require(Set("join", "shj", "fold").contains(variant),
-      s"unknown merge variant '$variant' (join|shj|fold)")
+    require(variant.isEmpty || Set("join", "shj", "fold").contains(variant),
+      s"unknown merge variant '$variant' (join|shj|fold or empty for default)")
     val t0  = System.nanoTime()
     val cur0 = table.current.getOrElse(
       throw new IllegalStateException("table has no snapshot; create() first"))
@@ -149,6 +167,10 @@ object Merge {
       StructField(TombCol, BooleanType, nullable = true)))
 
     val numBuckets = cur.numBuckets
+    val mergeVariant =
+      if (variant.nonEmpty) variant
+      else defaultVariant(numBuckets,
+        dedupedBatch.sparkSession.sparkContext.defaultParallelism)
     def bucketOf(docId: Column): Column =
       pmod(xxhash64(docId), lit(numBuckets.toLong)).cast("int")
 
@@ -198,9 +220,9 @@ object Merge {
         } ++ extra: _*)
 
       val obs  = Observation(s"merge-$commitId")
-      val obsB = if (variant == "fold") Some(Observation(s"merge-batch-$commitId")) else None
+      val obsB = if (mergeVariant == "fold") Some(Observation(s"merge-batch-$commitId")) else None
 
-      val survivors: DataFrame = variant match {
+      val survivors: DataFrame = mergeVariant match {
         case "fold" =>
           // Union + ONE bucket-keyed exchange + in-partition LWW run-fold
           // (the MOR fold machinery), written pre-partitioned. The batch
@@ -297,9 +319,9 @@ object Merge {
 
       val tW0      = System.nanoTime()
       val newFiles = table.writeDataFiles(survivors, commitId, numBuckets,
-        prePartitioned = variant == "fold")
+        prePartitioned = mergeVariant == "fold")
       if (sys.env.contains("GRAFT_TIMING"))
-        System.err.println(f"[merge] variant=$variant writeDataFiles=${(System.nanoTime() - tW0) / 1e9}%.2fs")
+        System.err.println(f"[merge] variant=$mergeVariant writeDataFiles=${(System.nanoTime() - tW0) / 1e9}%.2fs")
       val m  = obs.get
       val mB = obsB.map(_.get)
 

@@ -101,6 +101,19 @@ class MergeVariantSpec extends SparkSpec {
     }
   }
 
+  test("default variant resolves by bucket count: fold above 4x parallelism, join at or below") {
+    assert(Merge.defaultVariant(numBuckets = 64, parallelism = 32) == "join")
+    assert(Merge.defaultVariant(numBuckets = 128, parallelism = 32) == "join")
+    assert(Merge.defaultVariant(numBuckets = 129, parallelism = 32) == "fold")
+    assert(Merge.defaultVariant(numBuckets = 1024, parallelism = 32) == "fold")
+    // the same-JVM A/B override (BenchOne cowab) wins over the heuristic
+    sys.props("graft.merge.variant") = "shj"
+    try assert(Merge.defaultVariant(1024, 32) == "shj")
+    finally sys.props.remove("graft.merge.variant")
+    // an empty-string variant resolves through the heuristic end-to-end
+    // (covered by every applyBatch call in this suite's other tests)
+  }
+
   test("merge variants: schema evolution through the fold path") {
     import spark.implicits._
     val results = Variants.map { v =>
