@@ -115,6 +115,13 @@ object Merge {
   private[graft] def defaultVariant(numBuckets: Int, parallelism: Int): String =
     sys.props.get("graft.merge.variant")
       .orElse(sys.env.get("GRAFT_MERGE"))
+      // a typo'd override (GRAFT_MERGE=sjh) must fail loudly, not run
+      // the join plan while the A/B labels its numbers "shj"
+      .map { v =>
+        require(Set("join", "shj", "fold").contains(v),
+          s"unknown merge variant override '$v' (join|shj|fold)")
+        v
+      }
       .getOrElse(if (numBuckets > 4 * parallelism) "fold" else "join")
 
   def apply(
@@ -240,14 +247,10 @@ object Merge {
               when(coalesce(col(TombCol), lit(false)), lit("D"))
                 .otherwise(lit("I")).as("op"),
               lit(true).as("_from_base")): _*)
-          val para = targetSlice.sparkSession.sparkContext.defaultParallelism
-          val w    = math.min(numBuckets, math.max(1, para * 4))
-          val routed = baseEvents.unionByName(batchEvents)
-            .withColumn("_b", bucketOf(col("doc_id")))
-            .repartition(w, element_at(
-              lit(graft.table.SnapshotTable.identityProbes(w)),
-              pmod(col("_b"), lit(w)) + 1))
-            .drop("_b")
+          val routed = SnapshotTable.routeByBucket(
+            baseEvents.unionByName(batchEvents)
+              .withColumn("_b", bucketOf(col("doc_id"))),
+            col("_b"), numBuckets).drop("_b")
           val a = col(MergeOnRead.ActionCol)
           def cnt(k: String, v: String) = sum(when(a === v, 1L).otherwise(0L)).as(k)
           MergeOnRead.localLww(

@@ -285,9 +285,10 @@ object MergeOnRead {
     * [[PerBucketPlanLimit]] buckets fold as one narrow branch each
     * (scan → coalesce(1) → in-task sort+fold — no exchange anywhere);
     * beyond that, one exchange over the dirty slice keyed on the bucket
-    * id via the identity-probe remap — never on doc_id. Either way the
-    * output has AT MOST ONE BUCKET PER PARTITION (writeDataFiles'
-    * prePartitioned contract).
+    * id via [[graft.table.SnapshotTable.routeByBucket]] — never on
+    * doc_id. Either way each bucket's rows land whole in one partition
+    * (singly, or as a capped-width residue class of buckets — both
+    * satisfy writeDataFiles' prePartitioned contract).
     * @param classified append [[ActionCol]] for stats observation. */
   private def foldDirtyBuckets(
       table: SnapshotTable,
@@ -337,12 +338,8 @@ object MergeOnRead {
         table.readFiles(baseFiles, m.schema),
         table.readFiles(deltaFiles, deltaSchema))
         .withColumn("_b", bucketOf(col("doc_id"), m.numBuckets))
-      val para = withB.sparkSession.sparkContext.defaultParallelism
-      val w    = math.min(m.numBuckets, math.max(1, para * 4))
-      val probes = graft.table.SnapshotTable.identityProbes(w)
       localLww(
-        withB
-          .repartition(w, element_at(lit(probes), pmod(col("_b"), lit(w)) + 1))
+        graft.table.SnapshotTable.routeByBucket(withB, col("_b"), m.numBuckets)
           .drop("_b"),
         payloadFields, classified)
     }

@@ -6,7 +6,7 @@ import scala.collection.JavaConverters._
 import scala.util.control.NonFatal
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** One data file tracked by a manifest. `bucket` is
@@ -262,37 +262,26 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
   /** Write `df` as this commit's data files, one parquet file per bucket.
     * `df` must carry an int `_bucket` column; it is dropped from the data.
     * Returns the DataFile list. */
-  /** @param prePartitioned the caller guarantees every partition of `df`
-    *   holds rows of at most one bucket (e.g. the bucket-local fold) —
-    *   skip the exchange entirely; partitionBy still routes each task's
-    *   rows to its single bucket directory. */
+  /** @param prePartitioned the caller already routed `df` so that each
+    *   bucket's rows sit in ONE partition (one bucket per partition, or a
+    *   residue class of buckets — [[SnapshotTable.routeByBucket]]'s
+    *   contract either way) — skip the exchange here. This is an
+    *   EFFICIENCY contract, not a correctness one: partitionBy always
+    *   splits each task's output per bucket, so a violation costs extra
+    *   files per bucket (task × bucket), never misattributed rows — and
+    *   nothing below may assume a partition holds a single bucket. */
   def writeDataFiles(
       df: DataFrame, commitId: String, numBuckets: Int,
       prePartitioned: Boolean = false): Seq[DataFile] = {
-    import org.apache.spark.sql.functions.{col, element_at, lit, pmod}
+    import org.apache.spark.sql.functions.col
     val dir = Paths.get(root, "data", s"c-$commitId")
-    // Route buckets to tasks WITHOUT hash collisions: plain
-    // repartition(N, _bucket) murmur3-hashes the bucket VALUE, so ~37%
-    // of tasks sit empty while collided tasks carry 2-3 buckets. Remap
-    // through a probe value chosen so pmod(murmur3(probe), W) == slot —
-    // an identity partitioner built from stock HashPartitioning.
-    //
-    // Task count is capped at a multiple of the cluster parallelism, NOT
-    // numBuckets: at high bucket counts one-task-per-bucket degenerates
-    // into thousands of tiny tasks per commit (measured 4.6x throughput
-    // collapse at 1024 buckets on 32 cores). Each task carries the
-    // bucket residue class {g, g+W, g+2W, ...}; partitionBy still splits
-    // its output into one file per bucket, so the file/bucket layout —
-    // and every pruning path built on it — is unchanged.
+    // routeByBucket: collision-free bucket→task slots, width capped at
+    // 4·parallelism; partitionBy below still splits each task's output
+    // into one file per bucket, so the file/bucket layout — and every
+    // pruning path built on it — is independent of the task width.
     val routed =
       if (prePartitioned) df
-      else {
-        val para = df.sparkSession.sparkContext.defaultParallelism
-        val w    = math.min(numBuckets, math.max(1, para * 4))
-        df.repartition(w,
-          element_at(lit(SnapshotTable.identityProbes(w)),
-            pmod(col("_bucket"), lit(w)) + 1))
-      }
+      else SnapshotTable.routeByBucket(df, col("_bucket"), numBuckets)
     val tW = System.nanoTime()
     routed
       .write.mode("overwrite")
@@ -571,6 +560,27 @@ object SnapshotTable {
       }
       probes
     })
+
+  /** One exchange that co-locates every row of a bucket into one task
+    * slot, collision-free, with task width CAPPED at 4·parallelism (at
+    * high bucket counts 1:1 bucket→task degenerates into thousands of
+    * near-empty tasks — measured 4.6× throughput collapse at 1024
+    * buckets / 32 cores). Above the cap each slot carries the bucket
+    * residue class {g, g+W, …}; bucket → slot stays a pure function of
+    * the bucket id, which is all any bucket-local consumer (the LWW
+    * fold, partitionBy's per-bucket file split) needs. THE single
+    * routing idiom — writeDataFiles, the MOR dirty-bucket fold, and the
+    * COW fold variant all route through here so the width formula can
+    * never drift between the producer and `prePartitioned` consumers.
+    * `bucketCol` must be an int column holding values in
+    * [0, numBuckets). */
+  def routeByBucket(df: DataFrame, bucketCol: Column, numBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{element_at, lit, pmod}
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    val w    = math.min(numBuckets, math.max(1, para * 4))
+    df.repartition(w,
+      element_at(lit(identityProbes(w)), pmod(bucketCol, lit(w)) + 1))
+  }
 
   /** Create an empty table (version 0, no files). */
   def create(

@@ -17,14 +17,14 @@ class MergeVariantSpec extends SparkSpec {
 
   private val Variants = Seq("join", "shj", "fold")
 
-  private def mkPipeline(base: String): CdcPipeline =
+  private def mkPipeline(base: String, buckets: Int = 8): CdcPipeline =
     new CdcPipeline(spark, PipelineConfig(
       tableRoot = s"$base/table",
       changeLogDir = s"$base/changelog",
       checkpointDir = s"$base/checkpoint",
       errorDir = s"$base/errors",
       lineageDir = s"$base/lineage",
-      numBuckets = 8,
+      numBuckets = buckets,
       mode = "cow"))
 
   /** Every persisted row — live AND tombstone — with internal columns. */
@@ -60,7 +60,11 @@ class MergeVariantSpec extends SparkSpec {
     }
 
     val (_, wantRows, wantStats, wantChanges) = results.head
-    assert(wantStats.head.productIterator.toSeq != Seq.fill(12)(0L), "degenerate fixture")
+    // the fixture must actually merge work: a drifted generator/slicing
+    // that made every merge a no-op would let the 3-way compare pass on
+    // all-zero stats (batchEvents is statsKey position 9)
+    assert(wantStats.exists(_.productElement(9).asInstanceOf[Long] > 0L) &&
+      wantRows.nonEmpty && wantChanges.nonEmpty, s"degenerate fixture: $wantStats")
     results.tail.foreach { case (v, rows, stats, changes) =>
       assert(stats == wantStats, s"variant $v stats diverge: $stats vs $wantStats")
       assert(rows == wantRows, s"variant $v persisted rows diverge " +
@@ -112,6 +116,38 @@ class MergeVariantSpec extends SparkSpec {
     finally sys.props.remove("graft.merge.variant")
     // an empty-string variant resolves through the heuristic end-to-end
     // (covered by every applyBatch call in this suite's other tests)
+  }
+
+  test("capped-width regime (numBuckets > 4x parallelism): variants agree where fold IS the default") {
+    // Production picks fold exactly when routeByBucket caps its width
+    // below numBuckets, so every write task carries a residue CLASS of
+    // buckets — a shape the 8-bucket tests never reach. Drive all three
+    // variants plus the "" default (which must resolve to fold here)
+    // through that regime and require identical state and stats.
+    val para    = spark.sparkContext.defaultParallelism
+    val buckets = 4 * para + 17
+    assert(Merge.defaultVariant(buckets, para) == "fold", "regime precondition")
+    val raw = CdcGenerator.events(spark, sf0001)
+    def slice(b: Int): DataFrame =
+      Dedup.lww(Validate(Conform(raw.filter(pmod(col("lsn"), lit(2)) === b)), s"c$b").valid)
+
+    val results = ("" +: Variants).map { v =>
+      val base = tmpDir(s"mvw-${if (v.isEmpty) "default" else v}")
+      val p    = mkPipeline(base, buckets)
+      p.applyBatch(raw.filter(pmod(col("lsn"), lit(2)) === 0), 0L)
+      val s = Merge(p.table, slice(1), "mvw-1", 1L, v)
+      // the capped write must still produce at most one file per bucket
+      val m = p.table.current.get
+      assert(m.files.groupBy(f => (f.bucket, f.path.contains("c-mvw-1"))).forall(_._2.size == 1),
+        s"variant '$v': multiple files for one bucket in one commit")
+      (v, rawRows(p), statsKey(s))
+    }
+    val (_, wantRows, wantStats) = results.head
+    assert(wantStats.productElement(9).asInstanceOf[Long] > 0L, "degenerate fixture")
+    results.tail.foreach { case (v, rows, stats) =>
+      assert(stats == wantStats, s"variant $v stats diverge: $stats vs $wantStats")
+      assert(rows == wantRows, s"variant $v rows diverge (got ${rows.size}, want ${wantRows.size})")
+    }
   }
 
   test("merge variants: schema evolution through the fold path") {
