@@ -97,22 +97,24 @@ object Merge {
     *    exchange (identity-probe remap, doc_id never a shuffle key), then
     *    the MOR in-partition LWW run-fold, written pre-partitioned — one
     *    exchange total and no separate write routing.
-    * The default is picked per table shape (measured same-JVM interleaved
-    * A/B, BASELINE.md round 4, 16M events / 32 cores): at numBuckets ≤
-    * 4·parallelism — where writeDataFiles runs one task per bucket
-    * uncapped — join and fold are a wash (28.4 vs 29.3 s median at 64
-    * buckets) and join keeps its longer production soak; above it, the
-    * join plan's second full-width exchange and per-bucket task spray
-    * cost ~19% (51.0 vs 41.4 s at 1024 buckets) and fold's single
-    * capped-width exchange wins, so high-bucket tables take "fold".
-    * "shj" never won a regime (41.2 s worst sample at 64 buckets — the
-    * hash-map build over a 4M-row batch side evicts; it stays for A/B).
+    * The default is "join", by measurement, everywhere (same-JVM
+    * interleaved A/B — `BenchOne cowab` — 16M events / 32 cores at 64,
+    * 1024, 4096, and 10000 buckets; full tables in BASELINE.md round 4):
+    * no variant separates from the pack beyond this box's run-to-run
+    * noise in any reproduced regime. One session showed fold +19% at
+    * exactly 1024 buckets; the rerun in a verified-healthy window put
+    * all three within 4 s of each other there, marking the "win" a
+    * degraded-window artifact — a bucket-count-adaptive default built
+    * on it was shipped briefly and REVERTED. The alternatives stay
+    * selectable (and equivalence-gated) because the A/B conclusion is
+    * box-shaped: on a cluster where the SMJ's external sorts actually
+    * spill, fold's single exchange is the variant to re-measure first.
     *
     * `GRAFT_MERGE` (env) overrides for whole-JVM A/B runs; the
     * `graft.merge.variant` system property overrides both so a same-JVM
-    * interleaved A/B (BenchOne "cowab") can switch variants between runs
-    * without a JVM restart. */
-  private[graft] def defaultVariant(numBuckets: Int, parallelism: Int): String =
+    * interleaved A/B can switch variants between runs without a JVM
+    * restart. */
+  private[graft] def defaultVariant: String =
     sys.props.get("graft.merge.variant")
       .orElse(sys.env.get("GRAFT_MERGE"))
       // a typo'd override (GRAFT_MERGE=sjh) must fail loudly, not run
@@ -122,7 +124,7 @@ object Merge {
           s"unknown merge variant override '$v' (join|shj|fold)")
         v
       }
-      .getOrElse(if (numBuckets > 4 * parallelism) "fold" else "join")
+      .getOrElse("join")
 
   def apply(
       table: SnapshotTable,
@@ -174,10 +176,7 @@ object Merge {
       StructField(TombCol, BooleanType, nullable = true)))
 
     val numBuckets = cur.numBuckets
-    val mergeVariant =
-      if (variant.nonEmpty) variant
-      else defaultVariant(numBuckets,
-        dedupedBatch.sparkSession.sparkContext.defaultParallelism)
+    val mergeVariant = if (variant.nonEmpty) variant else defaultVariant
     def bucketOf(docId: Column): Column =
       pmod(xxhash64(docId), lit(numBuckets.toLong)).cast("int")
 

@@ -105,28 +105,27 @@ class MergeVariantSpec extends SparkSpec {
     }
   }
 
-  test("default variant resolves by bucket count: fold above 4x parallelism, join at or below") {
-    assert(Merge.defaultVariant(numBuckets = 64, parallelism = 32) == "join")
-    assert(Merge.defaultVariant(numBuckets = 128, parallelism = 32) == "join")
-    assert(Merge.defaultVariant(numBuckets = 129, parallelism = 32) == "fold")
-    assert(Merge.defaultVariant(numBuckets = 1024, parallelism = 32) == "fold")
-    // the same-JVM A/B override (BenchOne cowab) wins over the heuristic
+  test("default variant is join; overrides win and typo'd overrides fail loudly") {
+    assert(Merge.defaultVariant == "join")
+    // the same-JVM A/B override (BenchOne cowab) wins over the default
     sys.props("graft.merge.variant") = "shj"
-    try assert(Merge.defaultVariant(1024, 32) == "shj")
+    try assert(Merge.defaultVariant == "shj")
     finally sys.props.remove("graft.merge.variant")
-    // an empty-string variant resolves through the heuristic end-to-end
-    // (covered by every applyBatch call in this suite's other tests)
+    // a typo'd override must not silently bench the join plan under the
+    // wrong label
+    sys.props("graft.merge.variant") = "sjh"
+    try intercept[IllegalArgumentException](Merge.defaultVariant)
+    finally sys.props.remove("graft.merge.variant")
   }
 
-  test("capped-width regime (numBuckets > 4x parallelism): variants agree where fold IS the default") {
-    // Production picks fold exactly when routeByBucket caps its width
-    // below numBuckets, so every write task carries a residue CLASS of
+  test("capped-width regime (numBuckets > 4x parallelism): variants still agree") {
+    // Above 4·parallelism buckets routeByBucket caps its width below
+    // numBuckets, so every write/fold task carries a residue CLASS of
     // buckets — a shape the 8-bucket tests never reach. Drive all three
-    // variants plus the "" default (which must resolve to fold here)
-    // through that regime and require identical state and stats.
+    // variants plus the "" default through that regime and require
+    // identical state and stats.
     val para    = spark.sparkContext.defaultParallelism
     val buckets = 4 * para + 17
-    assert(Merge.defaultVariant(buckets, para) == "fold", "regime precondition")
     val raw = CdcGenerator.events(spark, sf0001)
     def slice(b: Int): DataFrame =
       Dedup.lww(Validate(Conform(raw.filter(pmod(col("lsn"), lit(2)) === b)), s"c$b").valid)
