@@ -183,10 +183,21 @@ object SparkEntry {
 
   /** End-to-end pipeline over a staged table; returns final state.
     * @param mode "cow" (rewrite touched buckets) or "mor" (delta files +
-    *             read-time fold) — same final state either way. */
+    *             read-time fold) — same final state either way.
+    * @param variant non-empty forces that COW physical merge plan
+    *   ([[graft.operators.Merge.defaultVariant]]) for the whole pipeline
+    *   run — the variants are semantics-equivalent, so the oracle is
+    *   shared. */
   private def cdcMergeState(
-      spark: SparkSession, dir: String, mode: String = "cow"): DataFrame =
-    finalState(stagedPipeline(spark, dir, mode))
+      spark: SparkSession, dir: String, mode: String = "cow",
+      variant: String = ""): DataFrame =
+    if (variant.isEmpty) finalState(stagedPipeline(spark, dir, mode))
+    else {
+      sys.props("graft.merge.variant") = variant
+      try finalState(pipelineCache.computeIfAbsent(
+        s"$dir#$mode#$variant", _ => runPipeline(spark, dir, mode)))
+      finally sys.props.remove("graft.merge.variant")
+    }
 
   private def docs(s: SparkSession, dir: String)  = s.read.parquet(s"$dir/documents.parquet")
   private def evts(s: SparkSession, dir: String)  = s.read.parquet(s"$dir/events.parquet")
@@ -218,6 +229,12 @@ object SparkEntry {
     // auto picks the commit shape per batch (exact bulk/trickle probe vs
     // the live table size); state is mode-independent → shared oracle
     "q_cdc_merge_auto" -> ((s, dir) => cdcMergeState(s, dir, mode = "auto")),
+    // the COW fold physical plan (one bucket-keyed exchange through the
+    // MOR LWW machinery) must land the same state as the join plan —
+    // plan-interchangeability under the driver's own oracle, not just
+    // the in-repo equivalence gates (MergeVariantSpec)
+    "q_cdc_merge_state_fold" -> ((s, dir) =>
+      cdcMergeState(s, dir, mode = "cow", variant = "fold")),
     "q_cdc_events" -> ((s, dir) =>
       CdcGenerator.events(s, dir)
         .select(col("lsn"), col("op"), col("doc_id"),
@@ -1381,6 +1398,7 @@ object SparkEntry {
             FROM last WHERE op <> 'D' ORDER BY doc_id""",
       "q_cdc_merge_state" -> mergedStateOracle,
       "q_cdc_merge_state_mor" -> mergedStateOracle,
+      "q_cdc_merge_state_fold" -> mergedStateOracle,
       "q_cdc_merge_auto" -> mergedStateOracle,
       // bootstrap-at-boundary + tail-above-boundary must be
       // state-equivalent to replaying the entire log

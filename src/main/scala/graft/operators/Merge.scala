@@ -246,8 +246,19 @@ object Merge {
               when(coalesce(col(TombCol), lit(false)), lit("D"))
                 .otherwise(lit("I")).as("op"),
               lit(true).as("_from_base")): _*)
+          // BATCH side LEFT in the union: a Dataset chain carries its
+          // LEFT root's SparkSession, and inside a streaming foreachBatch
+          // the micro-batch df lives in a CLONED session. An Observation
+          // registers its listener on the session of the df it observes,
+          // but fires only when THAT session executes the action — with
+          // the base (original-session) side on the left, obsB registered
+          // on the clone while the write ran on the original, and
+          // `obsB.get` parked forever (caught by Verify's streaming
+          // fixture; batch-mode callers share one session and never see
+          // it). Batch-left keeps observations and execution on one
+          // session; row order is irrelevant (the LWW fold sorts).
           val routed = SnapshotTable.routeByBucket(
-            baseEvents.unionByName(batchEvents)
+            batchEvents.unionByName(baseEvents)
               .withColumn("_b", bucketOf(col("doc_id"))),
             col("_b"), numBuckets).drop("_b")
           val a = col(MergeOnRead.ActionCol)

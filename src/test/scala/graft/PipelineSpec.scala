@@ -84,6 +84,29 @@ class PipelineSpec extends SparkSpec {
     assert(lineage.filter(col("partition_id") >= 0).count() > 0)
   }
 
+  test("streaming replay through the fold merge variant matches the oracle") {
+    // Regression gate for a STREAMING-only deadlock: inside foreachBatch
+    // the micro-batch df lives in a cloned SparkSession, so an
+    // Observation attached to a batch-derived leg registers its listener
+    // on the clone — if the union that builds the fold's plan leads with
+    // the original-session base side, the write executes on the original
+    // session and the batch observation's get() parks forever. Batch-mode
+    // callers (MergeVariantSpec, the bench) share one session and can
+    // never catch this; only a real runAvailableNow drive does.
+    val base = tmpDir("e2e-fold")
+    val p    = mkPipeline(base)
+    CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 4)
+    sys.props("graft.merge.variant") = "fold"
+    val stats =
+      try p.runAvailableNow(maxFilesPerTrigger = Some(1))
+      finally sys.props.remove("graft.merge.variant")
+    assert(stats.size > 1, "expected multiple micro-batches")
+    // the batch-leg observation must have delivered real numbers
+    assert(stats.forall(s => s.skipped || s.batchEvents > 0),
+      s"batch observation lost: ${stats.map(_.batchEvents)}")
+    assertStateMatches(tableState(p), OracleFold.fold(collectEvents(sf0001)))
+  }
+
   test("merge-on-read replay matches the oracle; compaction preserves state") {
     import graft.operators.MergeOnRead
     val base = tmpDir("mor")
