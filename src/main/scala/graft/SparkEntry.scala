@@ -85,7 +85,8 @@ object SparkEntry {
 
   /** Build + stream a full pipeline over a fresh temp table. */
   private def runPipeline(
-      spark: SparkSession, dir: String, mode: String): CdcPipeline = {
+      spark: SparkSession, dir: String, mode: String,
+      mergeVariant: String = ""): CdcPipeline = {
     val base = tempRoot("graft-cdc")
     val p = new CdcPipeline(spark, PipelineConfig(
       tableRoot = s"$base/table",
@@ -94,7 +95,8 @@ object SparkEntry {
       errorDir = s"$base/errors",
       lineageDir = s"$base/lineage",
       numBuckets = 16,
-      mode = mode))
+      mode = mode,
+      mergeVariant = mergeVariant))
     p.runAvailableNow(maxFilesPerTrigger = Some(4))
     p
   }
@@ -184,20 +186,15 @@ object SparkEntry {
   /** End-to-end pipeline over a staged table; returns final state.
     * @param mode "cow" (rewrite touched buckets) or "mor" (delta files +
     *             read-time fold) — same final state either way.
-    * @param variant non-empty forces that COW physical merge plan
-    *   ([[graft.operators.Merge.defaultVariant]]) for the whole pipeline
-    *   run — the variants are semantics-equivalent, so the oracle is
-    *   shared. */
+    * @param variant non-empty pins that COW physical merge plan via
+    *   `PipelineConfig.mergeVariant` (per-pipeline, no global state) —
+    *   the variants are semantics-equivalent, so the oracle is shared. */
   private def cdcMergeState(
       spark: SparkSession, dir: String, mode: String = "cow",
       variant: String = ""): DataFrame =
     if (variant.isEmpty) finalState(stagedPipeline(spark, dir, mode))
-    else {
-      sys.props("graft.merge.variant") = variant
-      try finalState(pipelineCache.computeIfAbsent(
-        s"$dir#$mode#$variant", _ => runPipeline(spark, dir, mode)))
-      finally sys.props.remove("graft.merge.variant")
-    }
+    else finalState(pipelineCache.computeIfAbsent(
+      s"$dir#$mode#$variant", _ => runPipeline(spark, dir, mode, variant)))
 
   private def docs(s: SparkSession, dir: String)  = s.read.parquet(s"$dir/documents.parquet")
   private def evts(s: SparkSession, dir: String)  = s.read.parquet(s"$dir/events.parquet")

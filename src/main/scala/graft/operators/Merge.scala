@@ -117,8 +117,11 @@ object Merge {
   private[graft] def defaultVariant: String =
     sys.props.get("graft.merge.variant")
       .orElse(sys.env.get("GRAFT_MERGE"))
-      // a typo'd override (GRAFT_MERGE=sjh) must fail loudly, not run
-      // the join plan while the A/B labels its numbers "shj"
+      // empty/blank means unset (`export GRAFT_MERGE=` must not kill
+      // every merge); anything else typo'd (GRAFT_MERGE=sjh) must fail
+      // loudly, not run the join plan while the A/B labels its numbers
+      // "shj"
+      .map(_.trim).filter(_.nonEmpty)
       .map { v =>
         require(Set("join", "shj", "fold").contains(v),
           s"unknown merge variant override '$v' (join|shj|fold)")
@@ -133,8 +136,9 @@ object Merge {
       batchId: Long): MergeStats =
     apply(table, dedupedBatch, commitId, batchId, variant = "")
 
-  /** @param variant "join" | "shj" | "fold", or "" to pick the measured
-    *   default for the table's bucket count ([[defaultVariant]]). */
+  /** @param variant "join" | "shj" | "fold", or "" for the default
+    *   ("join", unless a `GRAFT_MERGE` / `graft.merge.variant` override
+    *   is set — [[defaultVariant]]). */
   def apply(
       table: SnapshotTable,
       dedupedBatch: DataFrame,

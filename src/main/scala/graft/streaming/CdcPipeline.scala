@@ -49,7 +49,13 @@ case class PipelineConfig(
     // table is being mostly rewritten anyway and COW's single join beats
     // MOR's delta-write-then-fold double pass. An empty table makes any
     // non-empty first batch a bulk load (initial seed → COW).
-    cowThreshold: Double = 0.5)
+    cowThreshold: Double = 0.5,
+    // COW physical merge plan: "" = Merge.defaultVariant ("join" unless
+    // overridden); "join" | "shj" | "fold" pins one of the
+    // equivalence-gated alternatives for this pipeline (per-pipeline and
+    // thread-safe, unlike the JVM-global GRAFT_MERGE/property channel
+    // that the same-JVM bench A/B uses)
+    mergeVariant: String = "")
 
 /** The engine's core: change-log tail → conform → validate/route →
   * LWW dedup → exactly-once MERGE, as a Structured Streaming
@@ -78,6 +84,8 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
   // modes; with three it must fail construction, not commits later
   require(Seq("cow", "mor", "auto").contains(cfg.mode),
     s"mode must be 'cow', 'mor' or 'auto'; got '${cfg.mode}'")
+  require(Seq("", "join", "shj", "fold").contains(cfg.mergeVariant),
+    s"mergeVariant must be '', 'join', 'shj' or 'fold'; got '${cfg.mergeVariant}'")
 
   val table: SnapshotTable = {
     val existing = SnapshotTable.load(spark, cfg.tableRoot)
@@ -128,7 +136,7 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
             val s0 = MergeOnRead(table, deduped, commitId, batchId)
             maybeCompact()
             s0
-          } else Merge(table, deduped, commitId, batchId)
+          } else Merge(table, deduped, commitId, batchId, cfg.mergeVariant)
         publishErrors(stagedErrors, commitId)
         s
       } catch {

@@ -116,6 +116,10 @@ class MergeVariantSpec extends SparkSpec {
     sys.props("graft.merge.variant") = "sjh"
     try intercept[IllegalArgumentException](Merge.defaultVariant)
     finally sys.props.remove("graft.merge.variant")
+    // but empty/blank means unset (`export GRAFT_MERGE=`), not an error
+    sys.props("graft.merge.variant") = " "
+    try assert(Merge.defaultVariant == "join")
+    finally sys.props.remove("graft.merge.variant")
   }
 
   test("capped-width regime (numBuckets > 4x parallelism): variants still agree") {

@@ -20,7 +20,9 @@ class PipelineSpec extends SparkSpec {
         source = r.getAs[String]("source"))
     }
 
-  private def mkPipeline(base: String, mode: String = "cow"): CdcPipeline =
+  private def mkPipeline(
+      base: String, mode: String = "cow",
+      mergeVariant: String = ""): CdcPipeline =
     new CdcPipeline(spark, PipelineConfig(
       tableRoot = s"$base/table",
       changeLogDir = s"$base/changelog",
@@ -28,7 +30,8 @@ class PipelineSpec extends SparkSpec {
       errorDir = s"$base/errors",
       lineageDir = s"$base/lineage",
       numBuckets = 8,
-      mode = mode))
+      mode = mode,
+      mergeVariant = mergeVariant))
 
   private def tableState(p: CdcPipeline): Map[String, OracleFold.Doc] =
     p.readTable().collect().map { r =>
@@ -94,17 +97,17 @@ class PipelineSpec extends SparkSpec {
     // callers (MergeVariantSpec, the bench) share one session and can
     // never catch this; only a real runAvailableNow drive does.
     val base = tmpDir("e2e-fold")
-    val p    = mkPipeline(base)
+    val p    = mkPipeline(base, mergeVariant = "fold")
     CdcGenerator.writeBatches(spark, sf0001, s"$base/changelog", batches = 4)
-    sys.props("graft.merge.variant") = "fold"
-    val stats =
-      try p.runAvailableNow(maxFilesPerTrigger = Some(1))
-      finally sys.props.remove("graft.merge.variant")
+    val stats = p.runAvailableNow(maxFilesPerTrigger = Some(1))
     assert(stats.size > 1, "expected multiple micro-batches")
     // the batch-leg observation must have delivered real numbers
     assert(stats.forall(s => s.skipped || s.batchEvents > 0),
       s"batch observation lost: ${stats.map(_.batchEvents)}")
     assertStateMatches(tableState(p), OracleFold.fold(collectEvents(sf0001)))
+    // a typo'd variant fails at construction, not mid-commit
+    intercept[IllegalArgumentException](
+      mkPipeline(tmpDir("e2e-fold-bad"), mergeVariant = "flod"))
   }
 
   test("merge-on-read replay matches the oracle; compaction preserves state") {
