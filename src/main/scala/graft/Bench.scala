@@ -442,6 +442,89 @@ object Bench {
     out.mkString(s"""{"events":$n,"samples":3,""", ",", "}")
   }
 
+  /** Measured end-to-end REPLICATION: the one-statement replica story
+    * (source table → streaming changelog source → streaming upsert sink)
+    * is equivalence-tested in StreamingSpec but was never *measured*
+    * (round-4 verdict #8). Reference analog: compareSGIDpts.py:34-62 —
+    * the replica-equivalence check — run as a measured pipeline.
+    *
+    * Phases, on the SAME staged change log the headline runs use:
+    *  1. fixture (untimed): a MOR source table built from all but the
+    *     last batch.
+    *  2. catch-up replay (timed): `readStream.format("graft")
+    *     .option("startingVersion","earliest")` → `writeStream
+    *     .format("graft")` drained with AvailableNow — the replica
+    *     replays the source's full history through the real
+    *     source/sink pair; throughput = replayed change rows / wall.
+    *  3. tail lag (timed): with the SAME standing query re-started on a
+    *     short processing-time trigger and already caught up, apply the
+    *     held-back batch to the source and clock how long until the
+    *     replica's watermark reaches the source's — the steady-state
+    *     replication lag a downstream consumer actually experiences
+    *     (includes trigger scheduling, by design).
+    *  4. equivalence assert: live views must match exactly both ways
+    *     (`exceptAll` in each direction) — reported, not assumed. */
+  private[graft] def replicationStudy(
+      s: SparkSession, changeLog: String, batches: Int, buckets: Int): String = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft-bench-repl")
+    try {
+      val src = new CdcPipeline(s, PipelineConfig(
+        tableRoot = s"$base/src", changeLogDir = changeLog,
+        checkpointDir = s"$base/src-ckpt", errorDir = s"$base/src-err",
+        lineageDir = s"$base/src-lin", numBuckets = buckets, mode = "mor",
+        compactThreshold = Double.PositiveInfinity))
+      (0 until batches - 1).foreach { b =>
+        src.applyBatch(s.read.parquet(f"$changeLog/batch-$b%05d"), b.toLong); ()
+      }
+      val replicaRoot = s"$base/replica"
+      graft.table.SnapshotTable.create(s, replicaRoot,
+        org.apache.spark.sql.types.StructType(
+          graft.operators.Conform.EventSchema.fields.filter(f =>
+            Set("doc_id", "tokens", "n_tok", "source").contains(f.name))),
+        numBuckets = buckets)
+      val ckpt = s"$base/repl-ckpt"
+      def replicaQuery(trigger: Trigger) = s.readStream.format("graft")
+        .option("startingVersion", "earliest")
+        .option("onRollback", "fail") // LWW replica: retraction = divergence
+        .load(src.table.root)
+        .writeStream.format("graft")
+        .option("path", replicaRoot)
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger)
+        .start()
+
+      // phase 2: full-history catch-up replay, drained to completion
+      val rowsToReplay = src.table.current.get.deltaRows
+      val t0 = System.nanoTime()
+      val q0 = replicaQuery(Trigger.AvailableNow()); q0.awaitTermination()
+      val drainSec = (System.nanoTime() - t0) / 1e9
+
+      // phase 3: standing query (already caught up), then one more source
+      // batch; lag = source-commit → replica-watermark-caught-up
+      val q1 = replicaQuery(Trigger.ProcessingTime(200L))
+      // let the standing query finish its (empty) first trigger
+      while (q1.recentProgress.isEmpty) Thread.sleep(50L)
+      val tailBatch = s.read.parquet(f"$changeLog/batch-${batches - 1}%05d")
+      val st = src.applyBatch(tailBatch, (batches - 1).toLong)
+      val replica = graft.table.SnapshotTable.load(s, replicaRoot)
+      val tLag0 = System.nanoTime()
+      val deadline = tLag0 + 120L * 1000 * 1000 * 1000
+      while (replica.current.map(_.watermarkLsn).getOrElse(-1L) < st.maxLsn &&
+          System.nanoTime() < deadline)
+        Thread.sleep(50L)
+      val lagSec = (System.nanoTime() - tLag0) / 1e9
+      q1.stop(); q1.awaitTermination()
+
+      // phase 4: exact live-view equivalence, both directions
+      val srcView = MergeOnRead.liveView(src.table)
+      val repView = MergeOnRead.liveView(replica)
+      val equal = srcView.exceptAll(repView).isEmpty &&
+        repView.exceptAll(srcView).isEmpty
+      f"""{"rows_replayed":$rowsToReplay,"catchup_sec":$drainSec%.2f,"catchup_rows_per_sec":${rowsToReplay / drainSec}%.1f,"tail_events":${st.batchEvents},"tail_lag_sec":$lagSec%.2f,"replica_equal":$equal}"""
+    } finally graft.table.Fs.deleteRecursively(base)
+  }
+
   /** The round-3 lesson (BASELINE.md + VERDICT r3): leaked bench temp
     * trees accumulate in /tmp and degrade EVERY subsequent run on this
     * box uniformly (~30 GB → 1.6-1.7× inflation across pure scans and
@@ -647,9 +730,25 @@ object Bench {
     val ivfJson  = if (runQueries) ivfStudy(sQ, sfDir) else "{}"
     val mhJson   = if (runQueries) minhashStudy(sQ, sfDir) else "{}"
     val skewJson = if (runQueries) skewStudy(sQ) else "{}"
+    val replJson =
+      if (runQueries && sys.env.getOrElse("SPARK_GRAFT_REPL", "1") != "0")
+        replicationStudy(sQ, changeLog, batches, buckets)
+      else "{}"
 
     println(
-      f"""{"metric":"change-events/sec applied (end-to-end MERGE throughput)","value":$headline%.1f,"unit":"events/sec","sf":"$sfDir","queries":$qJson,"cdc":{"events":$nEvents,"batches":$batches,"buckets":$buckets,"replicate":$replicate,"cores_n":$loCpus,"cores_4n":$hiCpus,"cores_max":$maxCpus,"max_samples":${maxRuns.size},$stealJson,"best_mode":"${best.mode}","scaling_mode":"${scalingBest.mode}","scaling_efficiency":${scalingBest.eff}%.3f,${modes.map(_.json).mkString(",")}},"ann_lsh_study":$annJson,"ivf_study":$ivfJson,"minhash_study":$mhJson,"skew_study":$skewJson,"query_total_sec":${queries.map(_._2).sum}%.2f}""")
+      f"""{"metric":"change-events/sec applied (end-to-end MERGE throughput)","value":$headline%.1f,"unit":"events/sec","sf":"$sfDir","queries":$qJson,"cdc":{"events":$nEvents,"batches":$batches,"buckets":$buckets,"replicate":$replicate,"cores_n":$loCpus,"cores_4n":$hiCpus,"cores_max":$maxCpus,"max_samples":${maxRuns.size},$stealJson,"best_mode":"${best.mode}","scaling_mode":"${scalingBest.mode}","scaling_efficiency":${scalingBest.eff}%.3f,${modes.map(_.json).mkString(",")}},"ann_lsh_study":$annJson,"ivf_study":$ivfJson,"minhash_study":$mhJson,"skew_study":$skewJson,"replication_study":$replJson,"query_total_sec":${queries.map(_._2).sum}%.2f}""")
+    // Compact headline as the FINAL stdout line (round-4 verdict "what's
+    // wrong" #1): the driver's artifact retains only the tail of bench
+    // output, and the grown study blocks pushed the cdc block out of that
+    // window — the one external perf signal became unreadable from the
+    // driver's own file. Everything the ≥0.8-scaling north rule needs
+    // (per-mode ev/s + wall at every core count, N→4N efficiency, the
+    // noise instrumentation that qualifies the run) fits in one short
+    // line, so ANY tail-truncated capture keeps it.
+    val maxSteal = (Seq(loSteal, hiSteal) ++ maxRunsS.map(_._2)).max
+    val calibs   = Seq(loCalib, hiCalib) ++ maxRunsS.map(_._3)
+    println(
+      f"""{"headline":{"value":$headline%.1f,"unit":"events/sec","best_mode":"${best.mode}","scaling_mode":"${scalingBest.mode}","scaling_efficiency_n_to_4n":${scalingBest.eff}%.3f,"events":$nEvents,"cores":[$loCpus,$hiCpus,$maxCpus],${modes.map(m => f""""${m.mode}":{"ev_s_max":${m.epsMax}%.1f,"sec_max":${max(m.mode)}%.2f,"ev_s_4n":${m.epsHi}%.1f,"eff":${m.eff}%.3f}""").mkString(",")},"max_steal_pct":$maxSteal%.1f,"calib_ms_spread":[${calibs.min}%.0f,${calibs.max}%.0f],"query_total_sec":${queries.map(_._2).sum}%.2f}}""")
     sQ.stop()
     } finally graft.table.Fs.deleteRecursively(java.nio.file.Paths.get(changeLog))
   }

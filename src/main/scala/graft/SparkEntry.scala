@@ -1003,6 +1003,58 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_substring" -> ((s, dir) => {
+      // Substring/paragraph-level exact dedup (round-4 verdict #5):
+      // distinct 20-token SLIDING window hashes per doc (alignment-free
+      // — any repeated run of ≥20 tokens shares a window), one
+      // window-hash equi-join across the corpus, flag pairs sharing ≥8
+      // windows. Corpus plants cross-doc copied spans (id%13 twins);
+      // the natural corpus's own dup clusters surface too. Linear
+      // shingle-groupBy shape — the 100-TB path, never all-pairs.
+      val corpus = tracked(
+        DedupOps.substringCorpus(docs(s, dir))
+          .select(col("doc_id"),
+            DedupOps.windowHashes(
+              Tokenize.tokens(col("text")), DedupOps.SubWindow).as("wh")))
+      val exploded = corpus.select(col("doc_id"), explode(col("wh")).as("w"))
+      exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared_windows"))
+        .filter(col("shared_windows") >= DedupOps.SubShareMin)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q_contamination" -> ((s, dir) => {
+      // Benchmark-contamination screen (round-4 verdict #6): 13-gram
+      // hashes of every doc vs a held-out eval set (id%31==1), flag docs
+      // sharing ≥4 grams — planted twins (id%41==3 open with 25 eval
+      // words) plus any natural cluster overlap. The eval gram table
+      // BROADCASTS (a benchmark suite is small by construction); the
+      // per-doc side never self-joins. Same flag as the pipeline-rule
+      // spelling (operators.Contamination.rule, PipelineSpec-gated).
+      val corpus = tracked(
+        DedupOps.contaminationCorpus(docs(s, dir))
+          .select(col("doc_id"), col("is_eval"),
+            DedupOps.windowHashes(
+              Tokenize.tokens(col("text")), DedupOps.ContamGram).as("wh")))
+      val evalGrams = corpus.filter(col("is_eval"))
+        .select(explode(col("wh")).as("w")).distinct()
+      val shared = corpus.filter(!col("is_eval"))
+        .select(col("doc_id"), explode(col("wh")).as("w"))
+        .join(broadcast(evalGrams), Seq("w"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      corpus.filter(!col("is_eval"))
+        .select(col("doc_id"), size(col("wh")).cast("long").as("n_grams"))
+        .join(shared, Seq("doc_id"))
+        .filter(col("n_shared") >= DedupOps.ContamShareMin)
+        .select(col("doc_id"), col("n_shared"), col("n_grams"),
+          round(col("n_shared") / col("n_grams"), 4).as("overlap"),
+          lit("contaminated").as("reason"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ════ text analysis ════
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir)
@@ -1131,6 +1183,22 @@ object SparkEntry {
         .select(col("q_id"), col("rank"), col("a.vec_id").as("vec_id"),
           round(col("raw"), 4).as("score"))
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ════ training-sequence packing (terminal exporter) ════
+    "q_pack_sequences" -> ((s, dir) => {
+      // The pipeline's terminal consumer (round-4 verdict next-round #4):
+      // pack the live view's token docs into fixed-length training
+      // sequences — concat in doc order with a boundary token, cut into
+      // 128-token examples, tail-drop. Two-level prefix sum (range
+      // partition + bounded driver offsets), never a single-partition
+      // global window. Oracle: window cumsum over the merged state.
+      val p = stagedPipeline(s, dir, "cow")
+      graft.operators.SequencePack.pack(
+          p.readTable().select(col("doc_id"), col("tokens")),
+          seqLen = 128, cachePin = tracked)
+        .select(col("seq_id"), concat_ws(",", col("tokens")).as("tokens_csv"))
+        .orderBy(col("seq_id"))
     }),
 
     // ════ multimodal plumbing ════
@@ -1723,6 +1791,37 @@ object SparkEntry {
                      DedupOps.shinglesSql("a.text"), DedupOps.shinglesSql("b.text"))} AS jaccard
             FROM corpus a JOIN corpus b ON a.doc_id || '_v' = b.doc_id
             ORDER BY doc_id""",
+      "q_dedup_substring" ->
+        s"""WITH corpus AS (${DedupOps.substringCorpusSql}),
+            wh AS (
+              SELECT doc_id,
+                     unnest(${DedupOps.windowHashesSql(
+                       Tokenize.tokensSql("text"), DedupOps.SubWindow)}) AS w
+              FROM corpus)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS shared_windows
+            FROM wh a JOIN wh b ON a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= ${DedupOps.SubShareMin}
+            ORDER BY doc_a, doc_b""",
+      "q_contamination" ->
+        s"""WITH corpus AS (${DedupOps.contaminationCorpusSql}),
+            wh AS (
+              SELECT doc_id, is_eval,
+                     unnest(${DedupOps.windowHashesSql(
+                       Tokenize.tokensSql("text"), DedupOps.ContamGram)}) AS w
+              FROM corpus),
+            ev AS (SELECT DISTINCT w FROM wh WHERE is_eval),
+            scr AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     cast(sum(CASE WHEN w IN (SELECT w FROM ev)
+                       THEN 1 ELSE 0 END) AS bigint) AS n_shared
+              FROM wh WHERE NOT is_eval GROUP BY doc_id)
+            SELECT doc_id, n_shared, n_grams,
+                   round(cast(n_shared AS double) / n_grams, 4) AS overlap,
+                   'contaminated' AS reason
+            FROM scr WHERE n_shared >= ${DedupOps.ContamShareMin}
+            ORDER BY doc_id""",
       "q_lang_id" ->
         s"""SELECT doc_id, ${TextAnalysis.langGuessSql("text")} AS lang_guess
             FROM documents ORDER BY doc_id""",
@@ -1803,6 +1902,40 @@ object SparkEntry {
              FROM scored)
            SELECT q_id, rank, vec_id, round(raw, 4) AS score
            FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""",
+      "q_pack_sequences" ->
+        // concat-and-chunk over the merged live state in doc_id order:
+        // window cumsum of (n_tok + 1 boundary) lays every token on a
+        // global tape; position g belongs to sequence g // 128; only full
+        // sequences survive (tail-drop ≡ HAVING count = seqLen). The
+        // cast pins DuckDB's window sum (HUGEINT) back to bigint so
+        // seq_id types match Spark's long.
+        s"""WITH evs AS ($ev),
+            valid AS (
+              SELECT * FROM evs
+              WHERE doc_id IS NOT NULL
+                AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))),
+            last AS (
+              SELECT doc_id,
+                     max_by(op, lsn) AS op,
+                     max_by(tokens, lsn) AS tokens
+              FROM valid GROUP BY doc_id),
+            taped AS (
+              SELECT doc_id, list_append(tokens, -1) AS toks
+              FROM last WHERE op <> 'D'),
+            offs AS (
+              SELECT doc_id, toks,
+                     cast(coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS bigint) AS off
+              FROM taped),
+            tokpos AS (
+              SELECT o.off + i.i AS g, o.toks[cast(i.i AS int) + 1] AS tok
+              FROM offs o
+              JOIN (SELECT unnest(range(0, 256)) AS i) i ON i.i < len(o.toks))
+            SELECT g // 128 AS seq_id,
+                   array_to_string(list(tok ORDER BY g % 128), ',') AS tokens_csv
+            FROM tokpos GROUP BY g // 128 HAVING count(*) = 128
+            ORDER BY seq_id""",
       "q_multimodal_decode" -> {
         // byte k of the payload = ascii(char k+1): payload is the utf8
         // encoding of pure-ASCII text (asserted against the corpus)

@@ -36,8 +36,14 @@ object DedupOps {
   // ---- shingles: word-3-gram ints ----
 
   /** Word-trigram shingles as ints in [0, P). Empty for <3-word docs. */
-  def shingles(text: Column): Column = {
-    val toks = Tokenize.tokens(text) // word-level ints, cross-engine
+  def shingles(text: Column): Column =
+    shinglesOfTokens(Tokenize.tokens(text))
+
+  /** [[shingles]] over an ALREADY-TOKENIZED array<int> column — the CDC
+    * path's spelling (change events carry token arrays, not text; an
+    * insert's tokens ARE the doc text's tokens, so signatures agree with
+    * the text-side dedup family). */
+  def shinglesOfTokens(toks: Column): Column =
     when(size(toks) < 3, array().cast("array<bigint>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - 2),
@@ -45,7 +51,13 @@ object DedupOps {
           ((element_at(toks, i).cast("long") * 131L +
             element_at(toks, i + 1).cast("long")) * 131L +
             element_at(toks, i + 2).cast("long")) % P))
-  }
+
+  /** DuckDB twin of [[shinglesOfTokens]]. */
+  def shinglesOfTokensSql(t: String): String =
+    s"""(CASE WHEN len($t) < 3 THEN []
+         ELSE list_transform(range(1, len($t) - 1),
+           i -> ((cast(($t)[i] AS bigint) * 131 + ($t)[i+1]) * 131 + ($t)[i+2]) % $P)
+         END)"""
 
   /** Hot-path twin of [[shingles]]: the fused codegen expression
     * [[graft.plans.ShingleHash]] over the materialized token array —
@@ -55,13 +67,8 @@ object DedupOps {
   def shinglesFast(text: Column): Column =
     call_function("graft_shingles", Tokenize.tokens(text))
 
-  def shinglesSql(t: String): String = {
-    val toks = Tokenize.tokensSql(t)
-    s"""(CASE WHEN len($toks) < 3 THEN []
-         ELSE list_transform(range(1, len($toks) - 1),
-           i -> ((cast(($toks)[i] AS bigint) * 131 + ($toks)[i+1]) * 131 + ($toks)[i+2]) % $P)
-         END)"""
-  }
+  def shinglesSql(t: String): String =
+    shinglesOfTokensSql(Tokenize.tokensSql(t))
 
   // ---- MinHash signatures + LSH banding ----
   // Banding follows the standard S-curve: with b bands of r rows
@@ -211,6 +218,47 @@ object DedupOps {
     s"""round(cast(len(list_intersect(list_distinct($a), list_distinct($b))) AS double)
         / greatest(len(list_distinct(list_concat($a, $b))), 1), 4)"""
 
+  // ---- sliding token-window hashes ----
+  // Substring/paragraph-level exact dedup (round-4 verdict next-round
+  // #5) + contamination screening (#6) share one primitive: the DISTINCT
+  // polynomial hashes of every length-w sliding window of a doc's token
+  // array. Sliding (stride 1), not tumbling: a span copied between docs
+  // at ARBITRARY alignment still contributes every fully-contained
+  // window, so any repeated run of ≥ w tokens shares ≥ 1 window — the
+  // alignment-free guarantee tumbling windows cannot give (the
+  // Lee-et-al-style substring dedup shape for training corpora).
+  // Reference analog: the derived-substring grouping of
+  // CreateApartmentDuplicates.py:26-45 (key on a strip of the value,
+  // group across rows).
+
+  /** Substring-dedup window length (tokens). */
+  val SubWindow = 20
+  /** Pairs sharing at least this many distinct windows are flagged. */
+  val SubShareMin = 8
+  /** Contamination screen n-gram length (the 13-gram convention). */
+  val ContamGram = 13
+  /** Docs sharing at least this many eval-set n-grams are contaminated. */
+  val ContamShareMin = 4
+
+  /** Distinct hashes of all length-`w` sliding windows of `toks`
+    * (array<int>): fold((acc·131 + t) mod P) per window. Empty for
+    * docs shorter than `w`. O(n·w) via slice-per-offset — fine for the
+    * ≤100-token fixture docs; the 100-TB path is a fused rolling-hash
+    * Expression (O(n), the [[graft.plans.RollingHash]] family). */
+  def windowHashes(toks: Column, w: Int): Column =
+    when(size(toks) < w, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - w),
+        i => aggregate(
+          slice(toks, i + 1, lit(w)), lit(0L), (acc, t) => (acc * 131L + t) % P))))
+
+  /** DuckDB twin of [[windowHashes]] — MUST stay in lockstep. */
+  def windowHashesSql(tokExpr: String, w: Int): String =
+    s"""list_distinct(list_transform(range(0, greatest(len($tokExpr) - ${w - 1}, 0)),
+        i -> list_reduce(
+          list_prepend(cast(0 AS bigint), ($tokExpr)[i+1:i+$w]),
+          (a, x) -> (a * 131 + x) % $P)))"""
+
   // ---- deterministic near-duplicate corpus ----
 
   /** documents ∪ perturbed variants: docs with id % 7 == 0 get a copy
@@ -234,4 +282,78 @@ object DedupOps {
         SELECT ${Tokenize.docIdSql("doc_id")} || '_v' AS doc_id,
                substring(text, position(' ' IN text) + 1) AS text
         FROM documents WHERE doc_id % 7 = 0"""
+
+  private def wordsOf(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  /** documents ∪ planted substring-copy twins: docs with id % 13 == 0
+    * get a copy (doc_id + "_s") whose text embeds a 35-word span copied
+    * MID-DOC (words 6-40) from doc id+1, followed by 10 of its own
+    * words — a guaranteed cross-doc repeated span at an arbitrary
+    * alignment for the substring dedup to find. Twin:
+    * [[substringCorpusSql]]. */
+  def substringCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      Tokenize.docId(col("doc_id")).as("doc_id"), col("text"))
+    val planted = docs.as("d")
+      .join(docs.as("o"), col("o.doc_id") === col("d.doc_id") + 1)
+      .filter(col("d.doc_id") % 13 === 0)
+      .select(
+        concat(Tokenize.docId(col("d.doc_id")), lit("_s")).as("doc_id"),
+        concat_ws(" ",
+          array_join(slice(wordsOf(col("o.text")), 6, 35), " "),
+          array_join(slice(wordsOf(col("d.text")), 1, 10), " ")).as("text"))
+    base.unionByName(planted)
+  }
+
+  def substringCorpusSql: String = {
+    def ws(t: String) =
+      s"list_filter(string_split($t, ' '), w -> length(w) > 0)"
+    s"""SELECT ${Tokenize.docIdSql("doc_id")} AS doc_id, text FROM documents
+        UNION ALL
+        SELECT ${Tokenize.docIdSql("d.doc_id")} || '_s' AS doc_id,
+               array_to_string((${ws("o.text")})[6:40], ' ') || ' ' ||
+                 array_to_string((${ws("d.text")})[1:10], ' ') AS text
+        FROM documents d JOIN documents o ON o.doc_id = d.doc_id + 1
+        WHERE d.doc_id % 13 = 0"""
+  }
+
+  /** documents (flagged: id % 31 == 1 is the EVAL set) ∪ planted
+    * contaminated twins: docs with id % 41 == 3 (and not themselves
+    * eval) get a copy (doc_id + "_c") opening with the first 25 words of
+    * the nearest eval doc at or below their id — ≥ 13 shared 13-grams
+    * with the eval set by construction. Columns (doc_id, text, is_eval).
+    * Twin: [[contaminationCorpusSql]]. */
+  def contaminationCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      Tokenize.docId(col("doc_id")).as("doc_id"), col("text"),
+      (col("doc_id") % 31 === 1).as("is_eval"))
+    val planted = docs.as("d")
+      .join(docs.as("e"),
+        col("e.doc_id") === col("d.doc_id") - (col("d.doc_id") % 31) + 1)
+      .filter(col("d.doc_id") % 41 === 3 && col("d.doc_id") % 31 =!= 1)
+      .select(
+        concat(Tokenize.docId(col("d.doc_id")), lit("_c")).as("doc_id"),
+        concat_ws(" ",
+          array_join(slice(wordsOf(col("e.text")), 1, 25), " "),
+          array_join(slice(wordsOf(col("d.text")), 1, 15), " ")).as("text"),
+        lit(false).as("is_eval"))
+    base.unionByName(planted)
+  }
+
+  def contaminationCorpusSql: String = {
+    def ws(t: String) =
+      s"list_filter(string_split($t, ' '), w -> length(w) > 0)"
+    s"""SELECT ${Tokenize.docIdSql("doc_id")} AS doc_id, text,
+               doc_id % 31 = 1 AS is_eval
+        FROM documents
+        UNION ALL
+        SELECT ${Tokenize.docIdSql("d.doc_id")} || '_c' AS doc_id,
+               array_to_string((${ws("e.text")})[1:25], ' ') || ' ' ||
+                 array_to_string((${ws("d.text")})[1:15], ' ') AS text,
+               false AS is_eval
+        FROM documents d
+        JOIN documents e ON e.doc_id = d.doc_id - (d.doc_id % 31) + 1
+        WHERE d.doc_id % 41 = 3 AND d.doc_id % 31 <> 1"""
+  }
 }

@@ -119,9 +119,19 @@ object Validate {
   /** Split a conformed batch into valid events and error records.
     * One pass over the input per side; both sides reuse the same scan via
     * the `_reasons` column (no cache needed — the filter is cheap and
-    * Catalyst prunes independently per branch). */
-  def apply(conformed: DataFrame, commitId: String): Split = {
-    val tagged = conformed.withColumn("_reasons", reasons)
+    * Catalyst prunes independently per branch).
+    * @param extraRules deployment-specific rules composed into the same
+    *   reason array: each is a Column evaluating to a reason string
+    *   (fail) or null (pass) over the conformed event row — e.g.
+    *   [[Contamination.rule]]. Pure Column expressions keep the whole
+    *   rule array inside one codegen stage. */
+  def apply(
+      conformed: DataFrame, commitId: String,
+      extraRules: Seq[Column] = Nil): Split = {
+    val allReasons =
+      if (extraRules.isEmpty) reasons
+      else array_compact(concat(reasons, array(extraRules: _*)))
+    val tagged = conformed.withColumn("_reasons", allReasons)
     val valid  = tagged.filter(size(col("_reasons")) === 0).drop("_reasons")
     val errors = tagged.filter(size(col("_reasons")) > 0).select(
       lit(commitId).as("commit_id"),
@@ -132,4 +142,35 @@ object Validate {
     )
     Split(valid, errors)
   }
+}
+
+/** Benchmark-contamination screening as a [[Validate]] rule (round-4
+  * verdict next-round #6): docs whose token stream shares too many
+  * n-grams with a held-out eval set route to `error_records` with
+  * reason `contaminated` — the training corpus must not memorize its
+  * own benchmark. Reference analog: the roads-set membership probe
+  * routed to an error row (CountyAddressPointETL.py:215-240).
+  *
+  * This is the PIPELINE surface (per-row Column rule over event token
+  * arrays, eval grams inlined as a literal — right up to ~10⁵ grams,
+  * the size of a benchmark suite). The corpus-scale OFFLINE screen —
+  * broadcast-join against an eval n-gram table — is the
+  * `q_contamination` driver query's shape; both compute the identical
+  * flag ([[graft.functions.DedupOps.windowHashes]] both ways). */
+object Contamination {
+
+  /** A [[Validate]] extra rule: `contaminated` when the row's tokens
+    * share ≥ `minShared` distinct `gram`-length windows with
+    * `evalGrams` (hashes from [[graft.functions.DedupOps.windowHashes]]
+    * over the eval corpus). Delete events never match (no payload). */
+  def rule(
+      evalGrams: Seq[Long],
+      gram: Int = graft.functions.DedupOps.ContamGram,
+      minShared: Int = graft.functions.DedupOps.ContamShareMin): Column =
+    when(
+      col("op").isin("I", "U") && col("tokens").isNotNull &&
+        size(array_intersect(
+          graft.functions.DedupOps.windowHashes(col("tokens"), gram),
+          lit(evalGrams.toArray))) >= minShared,
+      lit("contaminated"))
 }

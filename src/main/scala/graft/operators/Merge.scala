@@ -375,13 +375,13 @@ object Merge {
         val head = table.current.get
         if (head.version != cur.version && table.appliedCommitIds.contains(commitId)) {
           // The SAME logical commit landed from a twin process: nothing
-          // here committed → report a ledger skip. (Unlike MOR's
-          // nonce-unique delta dirs, twin COW writers of one commitId
-          // share the c-<id> data dir — the ledger check at entry plus
-          // this one bound the overlap window, but true twin-COW safety
-          // needs the external dedup the single-writer deployment
-          // contract already requires; racing writers of DIFFERENT
-          // commits — the case this loop exists for — never share dirs.)
+          // here committed → report a ledger skip. Twin COW writers are
+          // physically safe since round 5: writeDataFiles gives every
+          // WRITER a unique c-<id>.<nonce> data dir, so the loser's
+          // files can never interleave with (or overwrite-delete) the
+          // winner's — they are true orphans vacuum sweeps, exactly the
+          // MOR delta contract (PipelineSpec "twin COW writers of the
+          // same commitId" drives the race explicitly).
           stats = MergeStats(commitId, head.version, skipped = true, 0,
             cur.rowCount, cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1,
             (System.nanoTime() - t0) / 1000000, Seq.empty)

@@ -84,15 +84,10 @@ object MergeOnRead {
       min(col("lsn")).as("min_lsn"),
       max(col("lsn")).as("max_lsn"))
 
-    // Writer-unique data dir (c-<id>.<nonce>.d): a twin process
-    // delivering the same logical commit must not share an output
-    // directory — mode=overwrite in a shared dir would let the CAS
-    // loser delete the winner's already-committed files and then
-    // report success. With per-writer dirs the loser's files are true
-    // orphans (vacuum sweeps them); the winner's manifest only ever
-    // references its own.
-    val newDeltas = table.writeDataFiles(
-      observed, s"$commitId.${graft.table.Fs.nonce}.d", numBuckets)
+    // `.d` marks delta (change-event) files; the writer-unique nonce —
+    // twin-process safety — is appended by writeDataFiles itself (dir =
+    // c-<id>.d.<nonce>), uniformly for every commit path since round 5.
+    val newDeltas = table.writeDataFiles(observed, s"$commitId.d", numBuckets)
     val m         = obs.get
     def g(k: String): Long = m.get(k) match {
       case Some(null)      => -1L

@@ -55,7 +55,12 @@ case class PipelineConfig(
     // equivalence-gated alternatives for this pipeline (per-pipeline and
     // thread-safe, unlike the JVM-global GRAFT_MERGE/property channel
     // that the same-JVM bench A/B uses)
-    mergeVariant: String = "")
+    mergeVariant: String = "",
+    // deployment-specific validation rules composed into Validate's
+    // reason array (each: Column → reason string | null), e.g.
+    // graft.operators.Contamination.rule — failing rows route to
+    // error_records like any built-in rule
+    extraRules: Seq[org.apache.spark.sql.Column] = Nil)
 
 /** The engine's core: change-log tail → conform → validate/route →
   * LWW dedup → exactly-once MERGE, as a Structured Streaming
@@ -120,7 +125,7 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     val stats =
       try {
         val conformed = Conform(raw)
-        val split     = Validate(conformed, commitId)
+        val split     = Validate(conformed, commitId, cfg.extraRules)
         stagedErrors = stageErrors(split.errors, commitId)
         val events = split.valid
         val deduped =
@@ -398,7 +403,7 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
       .withColumn("lsn", lit(asOfLsn))
       .withColumn("op", lit("I"))
     val conformed = Conform(stamped)
-    val split     = Validate(conformed, commitId)
+    val split     = Validate(conformed, commitId, cfg.extraRules)
     val (clean, errors) =
       if (assumeUnique) (split.valid, split.errors)
       else {
@@ -477,7 +482,7 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
       val staged =
         if (!appliedAny) None
         else {
-          val validPairs = Validate(Conform(corrected), commitId).valid
+          val validPairs = Validate(Conform(corrected), commitId, cfg.extraRules).valid
             .select(col("lsn").as("_v_lsn"), col("doc_id").as("_v_doc")).distinct()
           // lsn < 0 = whole-batch reject samples, not row errors; a
           // sample row's lsn identifies nothing, so those never resolve
@@ -550,21 +555,23 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
       catch { case scala.util.control.NonFatal(_) => table.current }
     // exact dir match — a bare prefix would conflate commit b1 with b10.
     // A COW apply that found pending MOR deltas first folds them under
-    // c-<id>.pre-compact (Merge.apply's foldTouched) and then writes its
-    // own join output under c-<id>; count each bucket once, preferring
-    // the later (join) file. MOR delta dirs carry a writer-unique nonce
-    // (see MergeOnRead.apply), hence the regex.
+    // c-<id>.pre-compact.<nonce> (Merge.apply's foldTouched) and then
+    // writes its own join output under c-<id>.<nonce>; count each bucket
+    // once, preferring the later (join) file. EVERY data dir carries a
+    // writer-unique hex nonce appended by writeDataFiles (twin-writer
+    // safety, round 5) and MOR delta dirs additionally a `.d` marker;
+    // the optional middle nonce group also still matches round-4-era
+    // `c-<id>.<nonce>.d` delta layouts on upgraded tables.
+    val q = java.util.regex.Pattern.quote(s.commitId)
     val all = cur.toSeq.flatMap(m => m.files ++ m.deltaFiles)
-    val deltaDir = ("/c-" + java.util.regex.Pattern.quote(s.commitId) +
-      "(\\.[0-9a-f]+)?\\.d/").r
-    val mainFiles = all.filter(f =>
-      f.path.contains(s"/c-${s.commitId}/") ||
-        deltaDir.findFirstIn(f.path).isDefined)
+    val mainDir = ("/c-" + q + "(\\.[0-9a-f]+)?(\\.d)?(\\.[0-9a-f]+)?/").r
+    val mainFiles = all.filter(f => mainDir.findFirstIn(f.path).isDefined)
     val mainB = mainFiles.map(_.bucket).toSet
     // pre-compact files survive in the manifest only for buckets the join
     // did not rewrite; attribute those to this batch too (its fold IO)
+    val preDir = ("/c-" + q + "\\.pre-compact(\\.[0-9a-f]+)?/").r
     val commitFiles = mainFiles ++ all.filter(f =>
-      f.path.contains(s"/c-${s.commitId}.pre-compact/") && !mainB.contains(f.bucket))
+      preDir.findFirstIn(f.path).isDefined && !mainB.contains(f.bucket))
     val skew =
       if (commitFiles.isEmpty) 1.0
       else {
