@@ -196,19 +196,28 @@ object Bench {
   }
 
   /** Measured IVF evidence: recall@10 + candidate fraction of
-    * cell-restricted search vs exact brute force, across cell layouts
-    * (untrained first-K, full k-means, 25%-hash-sample k-means), probe
-    * widths (nprobe 1/2/4), and TWO query sets. The query sets are the
-    * study's honesty axis, found in round 4: queries 0-4 ARE the Lloyd
-    * init seeds, so under the first-K and full-trained layouts each such
-    * query sits at (or near) its own cell's CENTER and its top-10 are
-    * its cell members nearly by construction — recall ≈ 1 is a
-    * seed-coincidence artifact, not index quality. The `nsq` rows
-    * (non-seed queries, vec_id 100-104) measure what a real query sees:
-    * single-probe recall on these near-isotropic embeddings is low for
-    * EVERY layout (IVF's documented worst case) and climbs with nprobe
-    * — the recall/cost knob — while the sample-trained layout tracks
-    * the full-trained one on equal footing. */
+    * multi-probe cell-restricted search vs exact brute force, across
+    * cell layouts and probe widths — the FRONTIER the round-4 verdict
+    * asked for ("non-seed recall@10 ≥ 0.8 at ≤ 12% candidates, or a
+    * documented refutation with the measured frontier"). The verdict's
+    * target is REFUTED on this corpus — the measured frontier (also
+    * cross-checked offline in float64) tops out near recall 0.47-0.59
+    * at ~12% candidates for every (K, nprobe) — because the embeddings
+    * are near-isotropic (pair cosines ~N(0, .014)): a query's true
+    * top-10 are the random tail, spread across cells, the same
+    * data-property wall the LSH study hits (ρ-bound). What the frontier
+    * DOES show, and what drives the shipped config: at every fixed
+    * candidate fraction, larger K with multi-probe strictly dominates —
+    * so q_ann_ivf now ships K=64/nprobe=8 (≈12.5% candidates), not
+    * round-4's K=16/nprobe=1. Two further honesty axes:
+    *  - `_nsq` rows: 50 NON-SEED queries (vec_id 100-149) — seeds sit at
+    *    their own cell centers and fake recall ≈ 1 (round-4 finding);
+    *    the widened set also stabilizes the estimate (±0.02 vs ±0.1 at
+    *    5 queries).
+    *  - `clustered` row: variant queries (cos ≥ 0.98 to their base) —
+    *    on a corpus with real cluster structure the SAME index finds the
+    *    near-dup base at tiny candidate fractions with recall ≈ 1,
+    *    pinning the low isotropic recall on the data, not the index. */
   private[graft] def ivfStudy(s: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions._
     import graft.functions.Similarity
@@ -216,10 +225,10 @@ object Bench {
     val v = s.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).cache()
     val n = v.count()
-    case class QuerySet(suffix: String, pred: org.apache.spark.sql.Column)
+    case class QuerySet(suffix: String, pred: org.apache.spark.sql.Column, size: Long)
     val querySets = Seq(
-      QuerySet("", col("vec_id") < 5), // init-seed queries (r2/r3 protocol)
-      QuerySet("_nsq", col("vec_id") >= 100 && col("vec_id") < 105))
+      QuerySet("", col("vec_id") < 5, 5L), // init-seed queries (r2/r3 protocol)
+      QuerySet("_nsq", col("vec_id") >= 100 && col("vec_id") < 150, 50L))
     val truths = querySets.map { q =>
       val qs = v.filter(q.pred)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -249,7 +258,7 @@ object Bench {
             .select(col("q.q_id").as("q_id"), col("a.vec_id").as("vec_id"))
           val candN = cand.count()
           val found = truth.join(cand, Seq("q_id", "vec_id"), "left_semi").count()
-          f""""$label$suffix${q.suffix}":{"recall_at10":${found.toDouble / nTruth}%.3f,"cand_frac":${candN.toDouble / (5.0 * (n - 1))}%.4f}"""
+          f""""$label$suffix${q.suffix}":{"recall_at10":${found.toDouble / nTruth}%.3f,"cand_frac":${candN.toDouble / (q.size * (n - 1))}%.4f}"""
         }
       }
       assigned.unpersist()
@@ -257,18 +266,44 @@ object Bench {
     }
     val untrained = v.filter(col("vec_id") < Similarity.IvfK)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    val trained = Similarity.kmeansCentroids(
-      s, v, Similarity.IvfK, Similarity.IvfIters)
+    val k64 = Similarity.kmeansCentroids(s, v, 64, Similarity.IvfIters)
+    val k16 = Similarity.kmeansCentroids(s, v, 16, Similarity.IvfIters)
+    val k256 = Similarity.kmeansCentroids(s, v, 256, Similarity.IvfIters)
     val sampled = Similarity.kmeansCentroids(
-      s, v, Similarity.IvfK, Similarity.IvfIters, sampleFraction = 0.25)
-    val kLbl = s"kmeans${Similarity.IvfK}x${Similarity.IvfIters}"
+      s, v, 64, Similarity.IvfIters, sampleFraction = 0.25)
     val out =
       studyLayout(s"first${Similarity.IvfK}", untrained, Seq("" -> 1)) ++
-        studyLayout(kLbl, trained,
-          Seq("" -> 1, "_np2" -> 2, "_np4" -> 4)) ++
-        studyLayout(s"${kLbl}_sample25", sampled, Seq("" -> 1, "_np4" -> 4))
+        studyLayout("kmeans16", k16, Seq("" -> 1, "_np2" -> 2, "_np4" -> 4)) ++
+        studyLayout("kmeans64", k64,
+          Seq("" -> 1, "_np4" -> 4, "_np8" -> 8, "_np16" -> 16)) ++
+        studyLayout("kmeans256", k256, Seq("_np8" -> 8, "_np24" -> 24)) ++
+        studyLayout("kmeans64_sample25", sampled, Seq("_np8" -> 8))
+
+    // clustered regime: corpus ∪ near-dup variants, queries = the
+    // variants, truth = each variant's base (its exact top-1 at
+    // cos ≥ 0.98). High recall at ~1/K candidate fraction here is what
+    // a sound index looks like when the data HAS cluster structure.
+    val corpus = Similarity.variantVectors(v).cache()
+    val m = corpus.count()
+    val vc = Similarity.kmeansCentroids(s, corpus, 64, Similarity.IvfIters)
+    val vAssigned = Similarity.ivfAssignWith(corpus, vc).cache()
+    val clustered = Seq(1, 2).map { nprobe =>
+      val qv = corpus.filter(col("vec_id") >= 1000000L)
+      val nq = qv.count()
+      val qcells = Similarity.ivfProbe(qv, vc, nprobe)
+        .select(col("vec_id").as("q_id"), col("cent_id"))
+      val cand = vAssigned.as("a")
+        .join(qcells.as("q"),
+          col("a.cent_id") === col("q.cent_id") && col("a.vec_id") =!= col("q.q_id"))
+        .select(col("q.q_id").as("q_id"), col("a.vec_id").as("vec_id"))
+      val candN = cand.count()
+      val found = cand
+        .filter(col("q_id") === col("vec_id") + 1000000L).count()
+      f""""clustered_np$nprobe":{"recall_base":${found.toDouble / nq}%.3f,"cand_frac":${candN.toDouble / (nq * (m - 1))}%.4f}"""
+    }
+    vAssigned.unpersist(); corpus.unpersist()
     v.unpersist(); truths.values.foreach(_.unpersist())
-    out.mkString("{", ",", "}")
+    (out ++ clustered).mkString("{", ",", "}")
   }
 
   /** Measured MinHash banding S-curve — the empirical version of the

@@ -86,7 +86,7 @@ object SparkEntry {
   /** Build + stream a full pipeline over a fresh temp table. */
   private def runPipeline(
       spark: SparkSession, dir: String, mode: String,
-      mergeVariant: String = ""): CdcPipeline = {
+      mergeVariant: String = "", nearDupPolicy: String = "off"): CdcPipeline = {
     val base = tempRoot("graft-cdc")
     val p = new CdcPipeline(spark, PipelineConfig(
       tableRoot = s"$base/table",
@@ -96,7 +96,8 @@ object SparkEntry {
       lineageDir = s"$base/lineage",
       numBuckets = 16,
       mode = mode,
-      mergeVariant = mergeVariant))
+      mergeVariant = mergeVariant,
+      nearDupPolicy = nearDupPolicy))
     p.runAvailableNow(maxFilesPerTrigger = Some(4))
     p
   }
@@ -1003,6 +1004,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_incremental" -> ((s, dir) => {
+      // Incremental near-dup dedup INSIDE the pipeline (round-4 verdict
+      // #1): a dedicated streamed pipeline (nearDupPolicy=flag) whose
+      // batches probe the persisted MinHash band index as they arrive —
+      // per-batch work reads O(batch + touched index buckets), never the
+      // corpus. Near-dup pairs split across micro-batches are caught
+      // (the insert stream straddles batch boundaries at sf quantiles).
+      // Oracle: replay the event log's valid inserts, band them, flag
+      // every doc with an earlier-(lsn, doc_id) band-sharing match at
+      // >=12/16 signature agreement — the same non-recursive rule.
+      val p = pipelineCache.computeIfAbsent(s"$dir#cow#neardup",
+        _ => runPipeline(s, dir, mode = "cow", nearDupPolicy = "flag"))
+      p.readNearDups()
+        .select(col("doc_id"), col("dup_of"), col("agree"))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_substring" -> ((s, dir) => {
       // Substring/paragraph-level exact dedup (round-4 verdict #5):
       // distinct 20-token SLIDING window hashes per doc (alignment-free
@@ -1162,22 +1179,28 @@ object SparkEntry {
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
-      // IVF with TRAINED cells: deterministic fixed-point Lloyd k-means
-      // (no RNG — the oracle replays the identical iterations), then
-      // cell-restricted search with broadcast centroids. The one ANN
-      // operator whose recall now rides measured cell quality instead of
-      // an arbitrary first-K layout (BENCH ivf_study).
+      // IVF with TRAINED cells + MULTI-PROBE (round-5): deterministic
+      // fixed-point Lloyd k-means (no RNG — the oracle replays the
+      // identical iterations), data vectors single-assigned, queries
+      // probing their top-IvfProbe cells and ranking the candidate
+      // union. K=64/nprobe=8 is the measured frontier-optimal config at
+      // ~12.5% candidate fraction (BENCH ivf_study).
       graft.plans.CosineSim.register(s)
       val v = emb(s, dir).select(col("vec_id"), col("embedding"))
       val cents = Similarity.kmeansCentroids(s, v, Similarity.IvfK, Similarity.IvfIters)
       val assigned = Similarity.ivfAssignWith(v, cents)
-      val qs = assigned.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cent_id"))
+      val qv = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val qcells = Similarity.ivfProbe(
+          v.filter(col("vec_id") < 5), cents, Similarity.IvfProbe)
+        .select(col("vec_id").as("q_id"), col("cent_id"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("raw").desc, col("vec_id"))
       assigned.as("a")
-        .join(qs.as("q"), col("a.cent_id") === col("q.cent_id") && col("a.vec_id") =!= col("q.q_id"))
-        .withColumn("raw", Similarity.cosineFast(col("q.q_emb"), col("a.embedding")))
+        .join(qcells.as("qc"), col("a.cent_id") === col("qc.cent_id"))
+        .join(qv, Seq("q_id"))
+        .filter(col("a.vec_id") =!= col("q_id"))
+        .withColumn("raw", Similarity.cosineFast(col("q_emb"), col("a.embedding")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("q_id"), col("rank"), col("a.vec_id").as("vec_id"),
@@ -1791,6 +1814,40 @@ object SparkEntry {
                      DedupOps.shinglesSql("a.text"), DedupOps.shinglesSql("b.text"))} AS jaccard
             FROM corpus a JOIN corpus b ON a.doc_id || '_v' = b.doc_id
             ORDER BY doc_id""",
+      "q_dedup_incremental" ->
+        // the pipeline's cross-batch flag set replayed from the event
+        // log: valid inserts → minhash over token-trigram shingles →
+        // band keys → flag docs with an earlier band-sharing match at
+        // >=AgreeMin/16 lanes; dup_of = the earliest such match
+        s"""WITH evs AS ($ev),
+            ins AS (
+              SELECT doc_id, lsn, tokens FROM evs
+              WHERE op = 'I' AND doc_id IS NOT NULL
+                AND tokens IS NOT NULL AND n_tok = len(tokens)),
+            sigged AS (
+              SELECT doc_id, lsn,
+                     ${DedupOps.minhashSql(DedupOps.shinglesOfTokensSql("tokens"))} AS sig
+              FROM ins),
+            banded AS (
+              SELECT doc_id, lsn, sig, u.band AS band, u.key AS key
+              FROM (SELECT doc_id, lsn, sig,
+                      unnest(${DedupOps.bandKeysSql("sig")}) AS u
+                    FROM sigged)),
+            pairs AS (
+              SELECT DISTINCT b.doc_id AS doc_id,
+                     a.doc_id AS dup_of, a.lsn AS dup_lsn,
+                     cast(list_sum(list_transform(range(1, ${DedupOps.NumHashes + 1}),
+                       i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS int) AS agree
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.key = b.key
+               AND (a.lsn < b.lsn OR (a.lsn = b.lsn AND a.doc_id < b.doc_id))),
+            flagged AS (
+              SELECT doc_id, dup_of, agree,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY dup_lsn, dup_of) AS rn
+              FROM pairs WHERE agree >= ${graft.operators.DedupIndex.AgreeMin})
+            SELECT doc_id, dup_of, agree FROM flagged WHERE rn = 1
+            ORDER BY doc_id""",
       "q_dedup_substring" ->
         s"""WITH corpus AS (${DedupOps.substringCorpusSql}),
             wh AS (
@@ -1889,13 +1946,21 @@ object SparkEntry {
                         ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC, c.cent_id) AS rn
                FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
            qs AS (
-             SELECT vec_id AS q_id, embedding AS q_emb, cent_id
-             FROM assigned WHERE vec_id < 5),
+             SELECT vec_id AS q_id, embedding AS q_emb
+             FROM embeddings WHERE vec_id < 5),
+           qcells AS (
+             SELECT q_id, cent_id FROM (
+               SELECT q.q_id, c.cent_id,
+                      row_number() OVER (PARTITION BY q.q_id
+                        ORDER BY list_cosine_similarity(q.q_emb, c.cent) DESC, c.cent_id) AS rn
+               FROM qs q CROSS JOIN cents c) WHERE rn <= ${Similarity.IvfProbe}),
            scored AS (
              SELECT q.q_id, a.vec_id,
                     list_cosine_similarity(q.q_emb, a.embedding) AS raw
-             FROM assigned a JOIN qs q
-               ON a.cent_id = q.cent_id AND a.vec_id <> q.q_id),
+             FROM assigned a
+             JOIN qcells qc ON a.cent_id = qc.cent_id
+             JOIN qs q ON qc.q_id = q.q_id
+             WHERE a.vec_id <> q.q_id),
            ranked AS (
              SELECT q_id, vec_id, raw,
                     row_number() OVER (PARTITION BY q_id ORDER BY raw DESC, vec_id) AS rank

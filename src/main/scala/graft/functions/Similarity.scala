@@ -227,9 +227,18 @@ object Similarity {
       .mkString(",\n          ")
   }
 
-  /** q_ann_ivf training config: 3 Lloyd iterations over K=16 cells. */
-  val IvfK     = 16
+  /** q_ann_ivf config: 3 Lloyd iterations over K=64 cells, queries
+    * probing their top-8 cells. Chosen from the measured recall/candidate
+    * frontier (BENCH ivf_study; BASELINE.md round-5 IVF note): at every
+    * fixed candidate fraction, LARGER K with multi-probe strictly beats
+    * smaller K — K=64/nprobe=8 reads ~12.5% of the corpus where round-4's
+    * K=16/nprobe=1 read 6.5% for barely a third of the recall. The
+    * absolute recall ceiling on these near-isotropic embeddings is the
+    * DATA's (same ρ-bound wall as the LSH study); the clustered regime
+    * (variant queries) shows the index itself is sound. */
+  val IvfK     = 64
   val IvfIters = 3
+  val IvfProbe = 8
 
   /** IVF-style ANN: assign every vector to its nearest coarse centroid,
     * then search only within the query's cell. The scale path: per-query

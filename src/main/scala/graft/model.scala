@@ -56,6 +56,22 @@ case class ResolutionRecord(
     doc_id: String,
     resolved_by: String)
 
+/** A near-duplicate flag from the incremental dedup index
+  * ([[graft.operators.DedupIndex]]): `doc_id`'s insert (at `lsn`) was a
+  * near-dup of `dup_of` (inserted earlier, at `dup_lsn`), with `agree`
+  * of 16 MinHash lanes in agreement. Under the "flag" policy this is an
+  * annotation (the row still merged); under "quarantine" the doc's
+  * events were rejected to the error table too.
+  * Reference analog: the per-load duplicate sweep,
+  * DeletePoints.py:11-40. */
+case class NearDupRecord(
+    commit_id: String,
+    doc_id: String,
+    lsn: Long,
+    dup_of: String,
+    dup_lsn: Long,
+    agree: Int)
+
 /** Per-batch, per-partition lineage emitted to the metrics table.
   * Reference analog: old/new count reconciliation prints
   * (CountyAddressPointETL.py:384,503-504; UpdateAddressPointsSDE.py:33-63). */

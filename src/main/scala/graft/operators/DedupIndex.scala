@@ -1,0 +1,228 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.DedupOps
+
+/** Incremental (cross-batch) near-duplicate detection INSIDE the CDC
+  * pipeline — round-4 verdict's #1 gap: every dedup operator was a
+  * one-shot over a corpus snapshot, so near-duplicate docs arriving in
+  * DIFFERENT batches were never caught, and at 100 TB you cannot
+  * re-shingle the corpus per micro-batch.
+  *
+  * Reference analog: dedup runs inside EVERY county load
+  * (DeletePoints.py:11-40, called from each run —
+  * CountyAddressPointETL.py:4573) — a per-batch pipeline stage, not an
+  * offline sweep.
+  *
+  * Design: a persisted MinHash BAND-BUCKET index, updated by each merge
+  * commit, probed by each arriving batch.
+  *
+  *  - Index rows: one per (band, key) of each valid INSERT's MinHash
+  *    signature over its token-trigram shingles
+  *    ([[DedupOps.shinglesOfTokens]] → [[DedupOps.minhash]] →
+  *    [[DedupOps.bandKeys]] — the exact hashes the offline dedup family
+  *    uses, so the DuckDB oracle regenerates them from the event log).
+  *    The full signature rides along (16 longs ×4 band rows — bounded
+  *    duplication that saves the probe a signature-lookup join).
+  *  - Physical layout: `<indexDir>/c-<commitId>.<nonce>/_ibkt=<b>/…`,
+  *    hash-partitioned on xxhash64(band, key) into `numBuckets` bucket
+  *    dirs. A probe reads ONLY the bucket dirs its batch's band keys
+  *    hash into — O(batch + touched index buckets), never the corpus
+  *    (PlanSpec-gated). The per-commit dir carries the writer nonce
+  *    (twin-process safety, like every data dir).
+  *  - Exactly-once WITHOUT its own ledger: index files are written
+  *    BEFORE the merge commit, named by commitId, and readers admit
+  *    only files whose commitId is in the TABLE's applied-commit ledger
+  *    — a crash before the commit leaves invisible files; the replay
+  *    writes a fresh nonce dir and the duplicate rows collapse in the
+  *    probe's pair-distinct. A crash AFTER the commit loses nothing
+  *    (the rows were written first).
+  *
+  * Match rule (deliberately non-recursive so a SQL oracle can replay
+  * it): an arriving insert X is a near-dup of Y iff they share ≥1 band
+  * key AND their signatures agree on ≥ `agreeMin` of 16 lanes AND Y's
+  * insert LSN precedes X's (ties: doc_id). EVERY valid insert is
+  * indexed, flagged or not — so "flagged" is a pure join against
+  * earlier inserts, no fixpoint. In-order delivery (a WAL/binlog tail
+  * is LSN-ordered by nature) makes pipeline arrival order equal LSN
+  * order; an out-of-order pair spanning batches can leave the
+  * EARLIER-arriving higher-LSN doc unflagged (documented; a
+  * compaction-time sweep would reconcile it).
+  *
+  * Policies ([[graft.streaming.PipelineConfig.nearDupPolicy]]):
+  *  - "flag": matches are recorded to the near-dup side table; the rows
+  *    still merge (annotate, don't reject).
+  *  - "quarantine": additionally, every event of a flagged doc in the
+  *    arriving batch routes to `error_records` (reason
+  *    `near_dup_of:<doc>`) instead of merging, and the doc_id lands on
+  *    a persisted quarantine roster so later batches' events for it are
+  *    rejected too — the reference's delete-the-duplicate-point
+  *    behavior (DeletePoints.py:24-38) as a standing rule.
+  */
+object DedupIndex {
+
+  /** Signature lanes that must agree — 12/16 ≈ estimated Jaccard 0.75. */
+  val AgreeMin = 12
+
+  /** Index bucket count: the probe's IO unit. Sized so one bucket's
+    * rows fit an executor comfortably at the target corpus (rebucket =
+    * rewrite the index, same knob as the table's). */
+  val IndexBuckets = 64
+
+  val IndexSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("lsn", LongType, nullable = false),
+    StructField("sig", ArrayType(LongType), nullable = false),
+    StructField("band", IntegerType, nullable = false),
+    StructField("key", LongType, nullable = false)))
+
+  val RosterSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("dup_of", StringType, nullable = false)))
+
+  private def indexRoot(dir: String): Path  = Paths.get(dir, "index")
+  private def rosterRoot(dir: String): Path = Paths.get(dir, "quarantined")
+
+  /** commitId of a `c-<id>.<nonce>` dir name (nonce = trailing hex). */
+  private[graft] def commitOf(dirName: String): Option[String] = {
+    if (!dirName.startsWith("c-")) return None
+    val stem = dirName.stripPrefix("c-")
+    val cut  = stem.lastIndexOf('.')
+    if (cut <= 0) None else Some(stem.substring(0, cut))
+  }
+
+  private def bucketCol(band: Column, key: Column, numBuckets: Int): Column =
+    pmod(xxhash64(band, key), lit(numBuckets.toLong)).cast("int")
+
+  /** Band rows (doc_id, lsn, sig, band, key, _ibkt) for a batch's valid
+    * inserts. Callers persist — the frame feeds the probe (twice: self
+    * arm + index arm), the touched-bucket collect, and the append. */
+  def bandRows(inserts: DataFrame, numBuckets: Int = IndexBuckets): DataFrame =
+    inserts
+      .select(col("doc_id"), col("lsn"),
+        DedupOps.minhash(
+          DedupOps.shinglesOfTokens(col("tokens").cast("array<int>"))).as("sig"))
+      .select(col("doc_id"), col("lsn"), col("sig"),
+        explode(DedupOps.bandKeys(col("sig"))).as("bk"))
+      .select(col("doc_id"), col("lsn"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("_ibkt", bucketCol(col("band"), col("key"), numBuckets))
+
+  /** The exact directories a probe will read: applied commits' dirs ×
+    * touched `_ibkt=` subdirs — O(touched buckets × commits), never the
+    * whole index, never the corpus. Exposed for the IO gate in
+    * DedupIndexSpec (the probe reads THESE paths and nothing else). */
+  private[graft] def indexPaths(
+      dir: String, applied: Set[String], touched: Set[Int]): Seq[String] = {
+    val root = indexRoot(dir)
+    if (!Files.isDirectory(root) || touched.isEmpty) Seq.empty
+    else graft.table.Fs.listDir(root)
+      .filter(p => commitOf(p.getFileName.toString).exists(applied.contains))
+      .flatMap(p => touched.toSeq.sorted.map(b => p.resolve(s"_ibkt=$b")))
+      .filter(Files.isDirectory(_))
+      .map(_.toString)
+  }
+
+  /** Ledger-visible index rows restricted to `touched` buckets. */
+  private def readIndex(
+      spark: SparkSession, dir: String, applied: Set[String],
+      touched: Set[Int]): DataFrame = {
+    val paths = indexPaths(dir, applied, touched)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
+    else spark.read.schema(IndexSchema).parquet(paths: _*)
+  }
+
+  /** Lanes of exact agreement between two 16-lane signatures. */
+  private def sigAgree(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+
+  /** Probe: near-dup matches of the batch's inserts against (a) the
+    * persisted index (earlier commits) and (b) the batch itself
+    * (within-batch pairs, earlier (lsn, doc_id) wins). Returns one row
+    * per flagged doc: (doc_id, lsn, dup_of, dup_lsn, agree), dup_of =
+    * the earliest matching doc (deterministic representative).
+    * @param bands persisted [[bandRows]] of the batch */
+  def probe(
+      spark: SparkSession, dir: String, applied: Set[String],
+      bands: DataFrame, numBuckets: Int = IndexBuckets,
+      agreeMin: Int = AgreeMin): DataFrame = {
+    // touched buckets: bounded driver collect (≤ numBuckets ints — the
+    // same exact-probe class as the merge's touched-bucket collect)
+    val touched = bands.select(col("_ibkt")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val idx = readIndex(spark, dir, applied, touched)
+      .select(col("doc_id").as("_i_doc"), col("lsn").as("_i_lsn"),
+        col("sig").as("_i_sig"), col("band"), col("key"))
+    val b = bands.select(
+      col("doc_id"), col("lsn"), col("sig"), col("band"), col("key"))
+    val earlier = col("_i_lsn") < col("lsn") ||
+      (col("_i_lsn") === col("lsn") && col("_i_doc") < col("doc_id"))
+    val crossArm = b.join(idx, Seq("band", "key"))
+      .filter(col("_i_doc") =!= col("doc_id") && earlier)
+    val self = b.select(col("doc_id").as("_i_doc"), col("lsn").as("_i_lsn"),
+      col("sig").as("_i_sig"), col("band"), col("key"))
+    val selfArm = b.join(self, Seq("band", "key"))
+      .filter(col("_i_doc") =!= col("doc_id") && earlier)
+    val cand = crossArm.unionByName(selfArm)
+      .select(col("doc_id"), col("lsn"),
+        col("_i_doc").as("dup_of"), col("_i_lsn").as("dup_lsn"),
+        sigAgree(col("sig"), col("_i_sig")).as("agree"))
+      .filter(col("agree") >= agreeMin)
+      .distinct() // multi-band matches of one pair collapse
+    // deterministic representative: earliest (dup_lsn, dup_of) per doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("dup_lsn"), col("dup_of"))
+    cand.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Append a batch's band rows to the index under its commitId (call
+    * BEFORE the merge commit — see the exactly-once contract above).
+    * Returns the written dir (the caller deletes it if the batch ends
+    * up whole-rejecting under a ledgered commit). */
+  def append(
+      bands: DataFrame, dir: String, commitId: String): Path = {
+    val out = indexRoot(dir).resolve(s"c-$commitId.${graft.table.Fs.nonce}")
+    // partitionBy splits each task's output per bucket; the batch is
+    // micro-batch-sized, so no routing exchange is worth its cost here
+    bands.write.mode("overwrite").partitionBy("_ibkt").parquet(out.toString)
+    out
+  }
+
+  /** Append flagged docs to the quarantine roster (quarantine policy).
+    * Returns the written dir. */
+  def appendRoster(
+      flagged: DataFrame, dir: String, commitId: String): Path = {
+    val root = rosterRoot(dir)
+    Files.createDirectories(root)
+    val out = root.resolve(s"c-$commitId.${graft.table.Fs.nonce}")
+    flagged.select(col("doc_id"), col("dup_of")).coalesce(1)
+      .write.mode("overwrite").parquet(out.toString)
+    out
+  }
+
+  /** Ledger-visible quarantine roster (doc_id, dup_of), deduped. */
+  def readRoster(
+      spark: SparkSession, dir: String, applied: Set[String]): DataFrame = {
+    val root = rosterRoot(dir)
+    val paths: Seq[String] =
+      if (!Files.isDirectory(root)) Seq.empty
+      else graft.table.Fs.listDir(root)
+        .filter(p => commitOf(p.getFileName.toString).exists(applied.contains))
+        .map(_.toString)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], RosterSchema)
+    else spark.read.schema(RosterSchema).parquet(paths: _*)
+      .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+  }
+}

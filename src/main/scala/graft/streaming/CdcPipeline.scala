@@ -59,8 +59,23 @@ case class PipelineConfig(
     // deployment-specific validation rules composed into Validate's
     // reason array (each: Column → reason string | null), e.g.
     // graft.operators.Contamination.rule — failing rows route to
-    // error_records like any built-in rule
-    extraRules: Seq[org.apache.spark.sql.Column] = Nil)
+    // error_records like any other rule
+    extraRules: Seq[org.apache.spark.sql.Column] = Nil,
+    // incremental near-dup detection (graft.operators.DedupIndex):
+    //  - "off": no index, no probe (default)
+    //  - "flag": arriving inserts probe the persisted MinHash band index;
+    //    matches are recorded to the near-dup side table (readNearDups)
+    //    and the rows still merge — annotate, don't reject
+    //  - "quarantine": additionally every event of a flagged doc routes
+    //    to error_records (reason near_dup_of:<doc>) instead of merging,
+    //    in this batch and — via the persisted roster — every later one
+    nearDupPolicy: String = "off",
+    // near-dup state root ("" → sibling of errorDir named "neardups"):
+    // flags publish under <root>/c-<id>, the band index under
+    // <root>/index, the quarantine roster under <root>/quarantined
+    nearDupDir: String = "",
+    nearDupIndexBuckets: Int = graft.operators.DedupIndex.IndexBuckets,
+    nearDupAgreeMin: Int = graft.operators.DedupIndex.AgreeMin)
 
 /** The engine's core: change-log tail → conform → validate/route →
   * LWW dedup → exactly-once MERGE, as a Structured Streaming
@@ -91,6 +106,13 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     s"mode must be 'cow', 'mor' or 'auto'; got '${cfg.mode}'")
   require(Seq("", "join", "shj", "fold").contains(cfg.mergeVariant),
     s"mergeVariant must be '', 'join', 'shj' or 'fold'; got '${cfg.mergeVariant}'")
+  require(Seq("off", "flag", "quarantine").contains(cfg.nearDupPolicy),
+    s"nearDupPolicy must be 'off', 'flag' or 'quarantine'; got '${cfg.nearDupPolicy}'")
+
+  /** Near-dup state root (flags side table + band index + roster). */
+  private val nearDupRoot: String =
+    if (cfg.nearDupDir.nonEmpty) cfg.nearDupDir
+    else Paths.get(cfg.errorDir).toAbsolutePath.resolveSibling("neardups").toString
 
   val table: SnapshotTable = {
     val existing = SnapshotTable.load(spark, cfg.tableRoot)
@@ -122,12 +144,16 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1, 0, Seq.empty)
     }
     var stagedErrors: Option[java.nio.file.Path] = None
+    var nearDup: NearDupOutcome = NearDupOutcome.off(raw)
     val stats =
       try {
         val conformed = Conform(raw)
         val split     = Validate(conformed, commitId, cfg.extraRules)
-        stagedErrors = stageErrors(split.errors, commitId)
-        val events = split.valid
+        nearDup = nearDupStage(split.valid, commitId)
+        val allErrors = nearDup.extraErrors
+          .map(split.errors.unionByName(_)).getOrElse(split.errors)
+        stagedErrors = stageErrors(allErrors, commitId)
+        val events = nearDup.events
         val deduped =
           if (cfg.salt > 1 && shouldSalt(raw)) Dedup.lwwSalted(events, cfg.salt)
           else Dedup.lww(events)
@@ -143,16 +169,23 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
             s0
           } else Merge(table, deduped, commitId, batchId, cfg.mergeVariant)
         publishErrors(stagedErrors, commitId)
+        publishSide(nearDup.stagedFlags, nearDupRoot, commitId)
         s
       } catch {
         // Whole-batch rejects (reference analog: checkRequiredFields
         // abort) — recorded as an error + an empty commit so the ledger
         // marks the batch applied and the STREAM keeps running:
         case Conform.BatchRejected(missing) =>
+          nearDup.discard()
           rejectBatch(raw, commitId, batchId,
             s"missing_required_column:${missing.mkString(",")}", stagedErrors)
         case SchemaEvolution.Incompatible(msg) =>
-          // extra column re-appeared with a non-widenable type
+          // extra column re-appeared with a non-widenable type. This is
+          // the one reject thrown AFTER the near-dup stage ran, and
+          // rejectBatch ledgers the commitId — without the discard, the
+          // rejected batch's index rows would become ledger-visible for
+          // docs that never merged.
+          nearDup.discard()
           rejectBatch(raw, commitId, batchId, s"schema_incompatible:$msg", stagedErrors)
         case Conform.ConformFailed(detail) =>
           // un-castable required column (e.g. tokens arrived as string).
@@ -160,11 +193,102 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
           // environment-caused analysis error (vacuumed data file, bad
           // errorDir path) must fail the stream, not ledger the batch as
           // applied with only a sample retained.
+          nearDup.discard()
           rejectBatch(raw, commitId, batchId, s"conform_failed:$detail", stagedErrors)
-      }
+      } finally nearDup.unpersist()
     writeLineage(stats, batchId)
     stats
   }
+
+  // ---- incremental near-dup stage (cfg.nearDupPolicy) ----
+
+  /** What the near-dup stage hands back to the apply path: the events
+    * that should proceed to merge (quarantine removes flagged docs'),
+    * extra error rows (quarantined events), the staged flags dir
+    * (published post-commit), the written index/roster dirs (discarded
+    * if the batch whole-rejects), and the persisted frames to release. */
+  private case class NearDupOutcome(
+      events: DataFrame,
+      extraErrors: Option[DataFrame],
+      stagedFlags: Option[java.nio.file.Path],
+      written: Seq[java.nio.file.Path],
+      persisted: Seq[DataFrame]) {
+    def discard(): Unit = {
+      (written ++ stagedFlags).foreach(graft.table.Fs.deleteRecursively)
+    }
+    def unpersist(): Unit = persisted.foreach { df => df.unpersist(); () }
+  }
+  private object NearDupOutcome {
+    def off(events: DataFrame): NearDupOutcome =
+      NearDupOutcome(events, None, None, Seq.empty, Seq.empty)
+  }
+
+  /** Probe the arriving batch's valid inserts against the persisted
+    * MinHash band index (+ the batch itself), index them, and apply the
+    * configured policy. Ordering contract with [[applyRaw]]:
+    *  - index/roster appends happen HERE, before the merge commit —
+    *    they are invisible to probes until the commitId enters the
+    *    table's applied ledger, so a crash anywhere in between is healed
+    *    by the replay (duplicate nonce dirs collapse in the probe's
+    *    pair-distinct);
+    *  - the flags side dir is STAGED here and published after the
+    *    commit, exactly the error-table contract ([[recoverSideTables]]
+    *    completes a crashed publish on the ledger-skip path). */
+  private def nearDupStage(valid: DataFrame, commitId: String): NearDupOutcome = {
+    if (cfg.nearDupPolicy == "off") return NearDupOutcome.off(valid)
+    import graft.operators.DedupIndex
+    val applied = table.appliedCommitIds
+    def errRows(events: DataFrame, dupOf: org.apache.spark.sql.Column): DataFrame =
+      events.select(
+        lit(commitId).as("commit_id"), col("lsn"), col("doc_id"),
+        concat(lit("near_dup_of:"), dupOf).as("reason"),
+        to_json(struct(valid.columns.map(col).toIndexedSeq: _*)).as("raw"))
+    // 1. roster rejection (quarantine only): events of docs quarantined
+    // by EARLIER commits route to errors before anything else
+    val (events1, rosterErrs) =
+      if (cfg.nearDupPolicy != "quarantine") (valid, None)
+      else {
+        val r = DedupIndex.readRoster(spark, nearDupRoot, applied)
+          .select(col("doc_id").as("_q_doc"), col("dup_of").as("_q_dup"))
+        val hits = valid.join(r, col("doc_id") === col("_q_doc"))
+        (valid.join(r, col("doc_id") === col("_q_doc"), "left_anti"),
+          Some(errRows(hits, col("_q_dup"))))
+      }
+    // 2. probe + index this batch's inserts
+    val inserts = events1.filter(col("op") === "I" && col("doc_id").isNotNull)
+    if (inserts.isEmpty) // update/delete-only batch: nothing to index
+      return NearDupOutcome(events1, rosterErrs, None, Seq.empty, Seq.empty)
+    val bands = DedupIndex.bandRows(inserts, cfg.nearDupIndexBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flags = DedupIndex.probe(spark, nearDupRoot, applied, bands,
+        cfg.nearDupIndexBuckets, cfg.nearDupAgreeMin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EVERY valid insert is indexed, flagged or not — the non-recursive
+    // match rule the oracle replays (DedupIndex scaladoc)
+    val wrote = scala.collection.mutable.ArrayBuffer(
+      DedupIndex.append(bands, nearDupRoot, commitId))
+    val flagRows = flags.select(
+      lit(commitId).as("commit_id"), col("doc_id"), col("lsn"),
+      col("dup_of"), col("dup_lsn"), col("agree"))
+    val stagedFlags = stageSide(flagRows, nearDupRoot, commitId)
+    val persisted = Seq(bands, flags)
+    if (cfg.nearDupPolicy == "flag")
+      NearDupOutcome(events1, rosterErrs, stagedFlags, wrote.toSeq, persisted)
+    else {
+      wrote += DedupIndex.appendRoster(flags, nearDupRoot, commitId)
+      val f = flags.select(col("doc_id").as("_f_doc"), col("dup_of").as("_f_dup"))
+      val flaggedEvents = events1.join(f, col("doc_id") === col("_f_doc"))
+      val errs = errRows(flaggedEvents, col("_f_dup"))
+      val remaining = events1.join(f, col("doc_id") === col("_f_doc"), "left_anti")
+      val allErrs = rosterErrs.map(_.unionByName(errs)).getOrElse(errs)
+      NearDupOutcome(remaining, Some(allErrs), stagedFlags, wrote.toSeq, persisted)
+    }
+  }
+
+  /** Near-dup flags side table (published commits only). */
+  def readNearDups(): DataFrame = CdcPipeline.readSideTable(
+    spark, nearDupRoot,
+    org.apache.spark.sql.Encoders.product[graft.NearDupRecord].schema)
 
   /** Salt decision = EXACT threshold probe, not a plan-stats estimate.
     * Round 3 evicted the `sizeInBytes/256` estimator from the merge path
@@ -323,6 +447,17 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
           .find(d => Files.exists(d.resolve("_SUCCESS")))
           .foreach(promote(_, target))
       stagedDirsFor(cfg.errorDir, id).foreach(deleteRecursively)
+    }
+
+    // near-dup flags follow the error-table contract: staged pre-commit,
+    // published post-commit — complete a crashed publish here too
+    if (cfg.nearDupPolicy != "off") {
+      val target = publishedDir(nearDupRoot, commitId)
+      if (!Files.exists(target))
+        stagedDirsFor(nearDupRoot, commitId)
+          .find(d => Files.exists(d.resolve("_SUCCESS")))
+          .foreach(promote(_, target))
+      stagedDirsFor(nearDupRoot, commitId).foreach(deleteRecursively)
     }
 
     if (!Files.exists(publishedDir(cfg.lineageDir, commitId)))
