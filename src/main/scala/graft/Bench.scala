@@ -538,8 +538,13 @@ object Bench {
       // phase 3: standing query (already caught up), then one more source
       // batch; lag = source-commit → replica-watermark-caught-up
       val q1 = replicaQuery(Trigger.ProcessingTime(200L))
-      // let the standing query finish its (empty) first trigger
-      while (q1.recentProgress.isEmpty) Thread.sleep(50L)
+      // let the standing query finish its (empty) first trigger; a
+      // query that dies at start must fail the study, not spin forever
+      val warmDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (q1.recentProgress.isEmpty && q1.isActive &&
+          System.nanoTime() < warmDeadline)
+        Thread.sleep(50L)
+      q1.exception.foreach(throw _)
       val tailBatch = s.read.parquet(f"$changeLog/batch-${batches - 1}%05d")
       val st = src.applyBatch(tailBatch, (batches - 1).toLong)
       val replica = graft.table.SnapshotTable.load(s, replicaRoot)
@@ -765,8 +770,11 @@ object Bench {
     val ivfJson  = if (runQueries) ivfStudy(sQ, sfDir) else "{}"
     val mhJson   = if (runQueries) minhashStudy(sQ, sfDir) else "{}"
     val skewJson = if (runQueries) skewStudy(sQ) else "{}"
+    // SPARK_GRAFT_REPL=1 forces the replication study even under
+    // SPARK_GRAFT_QUERIES=0 (fast CDC-only iteration); =0 skips it
     val replJson =
-      if (runQueries && sys.env.getOrElse("SPARK_GRAFT_REPL", "1") != "0")
+      if (sys.env.getOrElse("SPARK_GRAFT_REPL",
+          if (runQueries) "1" else "0") != "0")
         replicationStudy(sQ, changeLog, batches, buckets)
       else "{}"
 

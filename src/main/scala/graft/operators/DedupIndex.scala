@@ -198,6 +198,51 @@ object DedupIndex {
     out
   }
 
+  /** Commit-dir count at which the pipeline folds the index — keeps the
+    * probe's per-batch directory listing bounded over a long stream. */
+  val CompactAt = 64
+
+  /** Applied-commit index dirs currently on disk. */
+  def commitDirCount(dir: String, applied: Set[String]): Int = {
+    val root = indexRoot(dir)
+    if (!Files.isDirectory(root)) 0
+    else graft.table.Fs.listDir(root)
+      .count(p => commitOf(p.getFileName.toString).exists(applied.contains))
+  }
+
+  /** Fold every applied commit's index dir into ONE dir keyed by
+    * `intoCommitId` (which MUST already be in the applied ledger, so
+    * the folded rows stay ledger-visible), then delete the originals.
+    * Also permanently drops crash-replay duplicate rows (distinct).
+    * Crash-safe without coordination: a crash after the write leaves
+    * old + new dirs — duplicate rows the probe's pair-distinct absorbs
+    * until the next compaction sweeps them. Returns dirs folded. */
+  def compact(
+      spark: SparkSession, dir: String, applied: Set[String],
+      intoCommitId: String, numBuckets: Int = IndexBuckets): Int = {
+    require(applied.contains(intoCommitId),
+      s"index compaction target '$intoCommitId' is not an applied commit")
+    val root = indexRoot(dir)
+    if (!Files.isDirectory(root)) return 0
+    val olds = graft.table.Fs.listDir(root)
+      .filter(p => commitOf(p.getFileName.toString).exists(applied.contains))
+    if (olds.size <= 1) return 0
+    // read the leaf bucket dirs directly (the probe's own read shape) —
+    // pointing Spark at the mixed commit roots trips partition-discovery
+    // conflicts across their differing dir names
+    val bucketDirs = olds.flatMap(o => graft.table.Fs.listDir(o)
+      .filter(_.getFileName.toString.startsWith("_ibkt=")))
+    if (bucketDirs.isEmpty) return 0
+    val rows = spark.read.schema(IndexSchema)
+      .parquet(bucketDirs.map(_.toString): _*)
+      .distinct()
+      .withColumn("_ibkt", bucketCol(col("band"), col("key"), numBuckets))
+    val out = root.resolve(s"c-$intoCommitId.${graft.table.Fs.nonce}")
+    rows.write.mode("overwrite").partitionBy("_ibkt").parquet(out.toString)
+    olds.foreach(graft.table.Fs.deleteRecursively)
+    olds.size
+  }
+
   /** Append flagged docs to the quarantine roster (quarantine policy).
     * Returns the written dir. */
   def appendRoster(

@@ -267,6 +267,16 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     // match rule the oracle replays (DedupIndex scaladoc)
     val wrote = scala.collection.mutable.ArrayBuffer(
       DedupIndex.append(bands, nearDupRoot, commitId))
+    // keep the probe's per-batch dir listing bounded: fold applied
+    // commits' index dirs once they pile up (the folded dir keys under
+    // the current HEAD's commitId — already applied, so visibility is
+    // unchanged; this batch's own dir is not yet applied and stays out)
+    if (DedupIndex.commitDirCount(nearDupRoot, applied) >= DedupIndex.CompactAt)
+      table.current.foreach { head =>
+        DedupIndex.compact(
+          spark, nearDupRoot, applied, head.commitId, cfg.nearDupIndexBuckets)
+        ()
+      }
     val flagRows = flags.select(
       lit(commitId).as("commit_id"), col("doc_id"), col("lsn"),
       col("dup_of"), col("dup_lsn"), col("agree"))

@@ -136,6 +136,25 @@ class DedupIndexSpec extends SparkSpec {
     assert(paths.size <= all.size)
   }
 
+  test("index compaction folds applied dirs into one; probe results unchanged") {
+    val base = tmpDir("nd-compact")
+    val p = mkPipeline(base, "flag")
+    (0 until 5).foreach { b =>
+      p.applyBatch(batch((b * 10L + 1, "I", s"doc$b", toks(b))), b.toLong)
+    }
+    val dir = java.nio.file.Paths.get(base, "neardups").toString
+    val applied = p.table.appliedCommitIds
+    assert(DedupIndex.commitDirCount(dir, applied) == 5)
+    val head = p.table.current.get.commitId
+    val folded = DedupIndex.compact(spark, dir, applied, head)
+    assert(folded == 5)
+    assert(DedupIndex.commitDirCount(dir, applied) == 1)
+    // a fresh near-dup batch still matches against the folded index
+    p.applyBatch(batch((100L, "I", "docDup", toks(2))), 9L)
+    val f = p.readNearDups().filter(col("doc_id") === "docDup").collect()
+    assert(f.length == 1 && f.head.getAs[String]("dup_of") == "doc2")
+  }
+
   test("update/delete-only batches skip the near-dup stage entirely") {
     val base = tmpDir("nd-skip")
     val p = mkPipeline(base, "flag")

@@ -697,6 +697,44 @@ class PipelineSpec extends SparkSpec {
     info(s"conflict-retries observed: ${conflicts.get()}")
   }
 
+  test("contamination rule composes with the Validate array and routes to errors") {
+    import graft.functions.DedupOps
+    import graft.operators.Contamination
+    import spark.implicits._
+    // eval-set 13-grams from a literal token run (the benchmark suite)
+    val evalToks = (0 until 40).map(i => (i * 3) % 65536)
+    val evalGrams = spark.range(1)
+      .select(DedupOps.windowHashes(
+        lit(evalToks.toArray), DedupOps.ContamGram).as("g"))
+      .collect().head.getSeq[Long](0).toSeq
+    assert(evalGrams.size == 40 - DedupOps.ContamGram + 1)
+    val base = tmpDir("contam")
+    val p = new CdcPipeline(spark, PipelineConfig(
+      tableRoot = s"$base/table", changeLogDir = s"$base/cl",
+      checkpointDir = s"$base/ck", errorDir = s"$base/err",
+      lineageDir = s"$base/lin", numBuckets = 8,
+      extraRules = Seq(Contamination.rule(evalGrams))))
+    // bad embeds a 20-token eval run (8 shared grams ≥ threshold 4);
+    // clean shares nothing; an n_tok-mismatch row proves the built-in
+    // rules still fire alongside the extra one
+    val bad   = (9999 +: evalToks.slice(0, 20)) ++ Seq(7777, 8888)
+    val clean = (0 until 30).map(i => (50000 + i * 11) % 65536)
+    val batch = Seq(
+      (1L, "I", "doc-bad", Some(bad), Some(bad.size.toLong), "s"),
+      (2L, "I", "doc-clean", Some(clean), Some(clean.size.toLong), "s"),
+      (3L, "I", "doc-short", Some(Seq(1, 2, 3)), Some(99L), "s"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+    p.applyBatch(batch, 0L)
+    val errs = p.readErrors().select("doc_id", "reason").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(errs == Map(
+      "doc-bad" -> "contaminated", "doc-short" -> "n_tok_mismatch"),
+      s"errors: $errs")
+    assert(p.readTable().select("doc_id").as[String].collect().toSet ==
+      Set("doc-clean"),
+      "contaminated and invalid rows must not merge")
+  }
+
   test("twin COW writers of the same commitId: unique data dirs, state and ledger exact") {
     // Round-4 verdict "what's wrong" #3: twin processes replaying the
     // SAME logical commit used to share one c-<id> data dir, so the CAS
