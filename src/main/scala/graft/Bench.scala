@@ -199,17 +199,19 @@ object Bench {
     * multi-probe cell-restricted search vs exact brute force, across
     * cell layouts and probe widths — the FRONTIER the round-4 verdict
     * asked for ("non-seed recall@10 ≥ 0.8 at ≤ 12% candidates, or a
-    * documented refutation with the measured frontier"). The verdict's
-    * target is REFUTED on this corpus — the measured frontier (also
-    * cross-checked offline in float64) tops out near recall 0.47-0.59
-    * at ~12% candidates for every (K, nprobe) — because the embeddings
-    * are near-isotropic (pair cosines ~N(0, .014)): a query's true
-    * top-10 are the random tail, spread across cells, the same
-    * data-property wall the LSH study hits (ρ-bound). What the frontier
-    * DOES show, and what drives the shipped config: at every fixed
-    * candidate fraction, larger K with multi-probe strictly dominates —
-    * so q_ann_ivf now ships K=64/nprobe=8 (≈12.5% candidates), not
-    * round-4's K=16/nprobe=1. Two further honesty axes:
+    * documented refutation with the measured frontier"). The target is
+    * MET: at every fixed candidate fraction larger K with multi-probe
+    * strictly dominates, and following that gradient past the
+    * mid-round sweep's edge (an earlier revision of this comment
+    * declared the target refuted from a frontier that stopped at
+    * K=64/np=16 — kmeans256_np24's 0.788 @ 9.2% in the same JSON
+    * already contradicted it) lands kmeans256_np28 at non-seed
+    * recall@10 0.82 @ 10.8% candidates — the shipped q_ann_ivf config.
+    * The frontier keeps climbing (np32: 0.84 @ 12.3%; K=512/np64: 0.85
+    * @ 12.4%) but sub-linearly: the residual gap to 1.0 is the DATA's —
+    * near-isotropic embeddings (pair cosines ~N(0, .014)) spread a
+    * query's true top-10 across cells, the same wall the LSH study hits
+    * (ρ-bound). Two further honesty axes:
     *  - `_nsq` rows: 50 NON-SEED queries (vec_id 100-149) — seeds sit at
     *    their own cell centers and fake recall ≈ 1 (round-4 finding);
     *    the widened set also stabilizes the estimate (±0.02 vs ±0.1 at
@@ -276,7 +278,11 @@ object Bench {
         studyLayout("kmeans16", k16, Seq("" -> 1, "_np2" -> 2, "_np4" -> 4)) ++
         studyLayout("kmeans64", k64,
           Seq("" -> 1, "_np4" -> 4, "_np8" -> 8, "_np16" -> 16)) ++
-        studyLayout("kmeans256", k256, Seq("_np8" -> 8, "_np24" -> 24)) ++
+        studyLayout("kmeans256", k256,
+          Seq("_np8" -> 8, "_np24" -> 24, "_np28" -> 28, "_np32" -> 32)) ++
+        studyLayout("kmeans512",
+          Similarity.kmeansCentroids(s, v, 512, Similarity.IvfIters),
+          Seq("_np48" -> 48, "_np64" -> 64)) ++
         studyLayout("kmeans64_sample25", sampled, Seq("_np8" -> 8))
 
     // clustered regime: corpus ∪ near-dup variants, queries = the

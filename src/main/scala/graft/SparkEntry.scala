@@ -1183,8 +1183,11 @@ object SparkEntry {
       // fixed-point Lloyd k-means (no RNG — the oracle replays the
       // identical iterations), data vectors single-assigned, queries
       // probing their top-IvfProbe cells and ranking the candidate
-      // union. K=64/nprobe=8 is the measured frontier-optimal config at
-      // ~12.5% candidate fraction (BENCH ivf_study).
+      // union. K=256/nprobe=28 is the measured point MEETING the
+      // round-4 bar: non-seed recall@10 0.82 at 10.8% candidates
+      // (BENCH ivf_study kmeans256_np28_nsq). Training is 4× K=64 per
+      // build — paid once per index build at scale; this query retrains
+      // only because its fixture is self-contained.
       graft.plans.CosineSim.register(s)
       val v = emb(s, dir).select(col("vec_id"), col("embedding"))
       val cents = Similarity.kmeansCentroids(s, v, Similarity.IvfK, Similarity.IvfIters)

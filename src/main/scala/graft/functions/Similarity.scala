@@ -147,7 +147,6 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       vectors: DataFrame, // (vec_id, embedding)
       k: Int, iters: Int, sampleFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
@@ -164,16 +163,25 @@ object Similarity {
         .collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
         .zipWithIndex.map { case ((_, c), i) => (i.toLong, c) }
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("_sim").desc, col("cent_id"))
+    // the n·k scoring pass is the training cost: use the fused codegen
+    // cosine (bit-equal to the expr chain — CosineSimSpec equivalence
+    // gate), not the interpreted higher-order-function spelling
+    graft.plans.CosineSim.register(spark)
     for (_ <- 1 to iters) {
       val centDf = cents.toDF("cent_id", "cent")
+      // same max_by argmax as ivfAssignWith (ties → lowest cent_id):
+      // the n·k scored pairs partial-aggregate map-side instead of
+      // shuffling through a row_number window — the difference between
+      // an O(n·k) exchange and an O(n) one, three times per training
       val assigned = train
         .join(broadcast(centDf))
-        .withColumn("_sim", cosine(col("embedding"), col("cent")))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("cent_id"), col("embedding"))
+        .withColumn("_sim", cosineFast(col("embedding"), col("cent")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("cent_id"), col("embedding")),
+          struct(col("_sim"), (-col("cent_id")).as("_nc"))).as("_best"))
+        .select(col("_best.cent_id").as("cent_id"),
+          col("_best.embedding").as("embedding"))
       val upd = assigned
         .select(col("cent_id"), posexplode(col("embedding")))
         .groupBy(col("cent_id"), col("pos"))
@@ -227,18 +235,23 @@ object Similarity {
       .mkString(",\n          ")
   }
 
-  /** q_ann_ivf config: 3 Lloyd iterations over K=64 cells, queries
-    * probing their top-8 cells. Chosen from the measured recall/candidate
+  /** q_ann_ivf config: 3 Lloyd iterations over K=256 cells, queries
+    * probing their top-28 cells. Chosen from the measured recall/candidate
     * frontier (BENCH ivf_study; BASELINE.md round-5 IVF note): at every
     * fixed candidate fraction, LARGER K with multi-probe strictly beats
-    * smaller K — K=64/nprobe=8 reads ~12.5% of the corpus where round-4's
-    * K=16/nprobe=1 read 6.5% for barely a third of the recall. The
-    * absolute recall ceiling on these near-isotropic embeddings is the
-    * DATA's (same ρ-bound wall as the LSH study); the clustered regime
-    * (variant queries) shows the index itself is sound. */
-  val IvfK     = 64
+    * smaller K, and K=256/nprobe=28 is the measured point that MEETS the
+    * round-4 bar — non-seed recall@10 0.82 at 10.8% candidates (K=64/
+    * nprobe=8 managed 0.48 at 12.5%; round-4's K=16/nprobe=1, 0.26 at
+    * 6.5%). Training cost is 4× K=64 per build (O(n·k·iters)) — paid
+    * once per index build, not per query, at scale; the bench's
+    * q_ann_ivf retrains per run only because its fixture is
+    * self-contained. The remaining recall gap to 1.0 on these
+    * near-isotropic embeddings is the DATA's (same ρ-bound wall as the
+    * LSH study); the clustered regime (variant queries) shows the index
+    * itself is sound. */
+  val IvfK     = 256
   val IvfIters = 3
-  val IvfProbe = 8
+  val IvfProbe = 28
 
   /** IVF-style ANN: assign every vector to its nearest coarse centroid,
     * then search only within the query's cell. The scale path: per-query
@@ -247,16 +260,28 @@ object Similarity {
   def ivfAssignWith(
       vectors: DataFrame,   // (vec_id, embedding)
       centroids: DataFrame, // (cent_id, cent)
-      score: (Column, Column) => Column = cosine): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("_sim").desc, col("cent_id"))
+      score: (Column, Column) => Column = null): DataFrame = {
+    // default score = the fused codegen cosine (bit-equal to the expr
+    // chain — CosineSimSpec gate); registered here so callers need not
+    val sc = Option(score).getOrElse {
+      graft.plans.CosineSim.register(vectors.sparkSession); cosineFast _
+    }
+    // argmax as a map-side-combining max_by, NOT a row_number window:
+    // the n·k scored pairs never shuffle (partial agg collapses each
+    // vec_id to one row per task) — at K=256 the window spelling moved
+    // 3 orders of magnitude more rows through the exchange. Tie order
+    // matches the window twin exactly: max (sim, -cent_id) = highest
+    // sim, ties to the LOWEST cent_id.
     vectors
       .join(broadcast(centroids))
-      .withColumn("_sim", score(col("embedding"), col("cent")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+      .withColumn("_sim", sc(col("embedding"), col("cent")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("embedding"), col("cent_id")),
+        struct(col("_sim"), (-col("cent_id")).as("_nc"))).as("_best"))
+      .select(col("vec_id"),
+        col("_best.embedding").as("embedding"),
+        col("_best.cent_id").as("cent_id"))
   }
 
   /** Multi-probe cell selection: the `nprobe` NEAREST cells per vector
@@ -269,14 +294,19 @@ object Similarity {
       vectors: DataFrame,   // (vec_id, embedding)
       centroids: DataFrame, // (cent_id, cent)
       nprobe: Int,
-      score: (Column, Column) => Column = cosine): DataFrame = {
+      score: (Column, Column) => Column = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val sc = Option(score).getOrElse {
+      graft.plans.CosineSim.register(vectors.sparkSession); cosineFast _
+    }
+    // the probe side is queries (small) — the row_number window is fine
+    // here; only full-corpus argmax ([[ivfAssignWith]]) avoids it
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("_sim").desc, col("cent_id"))
     vectors
       .join(broadcast(centroids))
-      .withColumn("_sim", score(col("embedding"), col("cent")))
+      .withColumn("_sim", sc(col("embedding"), col("cent")))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= nprobe)
       .select(col("vec_id"), col("cent_id"), col("_rn").as("probe_rank"))
