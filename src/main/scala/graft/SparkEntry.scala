@@ -1028,10 +1028,11 @@ object SparkEntry {
       // windows. Corpus plants cross-doc copied spans (id%13 twins);
       // the natural corpus's own dup clusters surface too. Linear
       // shingle-groupBy shape — the 100-TB path, never all-pairs.
+      graft.plans.WindowHashes.register(s)
       val corpus = tracked(
         DedupOps.substringCorpus(docs(s, dir))
           .select(col("doc_id"),
-            DedupOps.windowHashes(
+            DedupOps.windowHashesFast(
               Tokenize.tokens(col("text")), DedupOps.SubWindow).as("wh")))
       val exploded = corpus.select(col("doc_id"), explode(col("wh")).as("w"))
       exploded.as("a")
@@ -1051,10 +1052,11 @@ object SparkEntry {
       // BROADCASTS (a benchmark suite is small by construction); the
       // per-doc side never self-joins. Same flag as the pipeline-rule
       // spelling (operators.Contamination.rule, PipelineSpec-gated).
+      graft.plans.WindowHashes.register(s)
       val corpus = tracked(
         DedupOps.contaminationCorpus(docs(s, dir))
           .select(col("doc_id"), col("is_eval"),
-            DedupOps.windowHashes(
+            DedupOps.windowHashesFast(
               Tokenize.tokens(col("text")), DedupOps.ContamGram).as("wh")))
       val evalGrams = corpus.filter(col("is_eval"))
         .select(explode(col("wh")).as("w")).distinct()

@@ -242,15 +242,26 @@ object DedupOps {
 
   /** Distinct hashes of all length-`w` sliding windows of `toks`
     * (array<int>): fold((acc·131 + t) mod P) per window. Empty for
-    * docs shorter than `w`. O(n·w) via slice-per-offset — fine for the
-    * ≤100-token fixture docs; the 100-TB path is a fused rolling-hash
-    * Expression (O(n), the [[graft.plans.RollingHash]] family). */
+    * docs shorter than `w`. O(n·w) via slice-per-offset through
+    * interpreted HigherOrderFunctions — the REFERENCE spelling; the
+    * corpus-scale queries use [[windowHashesFast]] (the fused O(n)
+    * rolling codegen twin, WindowHashesSpec equivalence gate). This
+    * spelling stays the default for pure-Column contexts built before
+    * any session exists (e.g. `Contamination.rule` in a
+    * PipelineConfig), where `call_function` registration is not
+    * available. */
   def windowHashes(toks: Column, w: Int): Column =
     when(size(toks) < w, array().cast("array<bigint>"))
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(toks) - w),
         i => aggregate(
           slice(toks, i + 1, lit(w)), lit(0L), (acc, t) => (acc * 131L + t) % P))))
+
+  /** [[windowHashes]] as the fused O(n) rolling-hash codegen expression
+    * ([[graft.plans.WindowHashes]]): same values, same first-occurrence
+    * order. Call `WindowHashes.register(spark)` once per session. */
+  def windowHashesFast(toks: Column, w: Int): Column =
+    call_function("graft_window_hashes", toks, lit(w))
 
   /** DuckDB twin of [[windowHashes]] — MUST stay in lockstep. */
   def windowHashesSql(tokExpr: String, w: Int): String =

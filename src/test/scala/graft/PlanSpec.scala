@@ -116,6 +116,62 @@ class PlanSpec extends SparkSpec {
     assert(diff == 0, s"$diff rows diverge between fused and composed shingles")
   }
 
+  test("WindowHashes (fused O(n) rolling codegen) ≡ built-in-composed windowHashes") {
+    import graft.functions.DedupOps
+    import graft.ingest.Tokenize
+    import graft.plans.WindowHashes
+    WindowHashes.register(spark)
+    // exact array equality (values AND first-occurrence order) at both
+    // shipped widths, over a corpus that includes planted repeated spans
+    // (the hash-collision-relevant shape) and short docs (< w → empty)
+    val corpus = DedupOps.substringCorpus(
+        spark.read.parquet(s"$sf001/documents.parquet").limit(200))
+      .withColumn("toks", Tokenize.tokens(col("text")))
+    for (w <- Seq(DedupOps.ContamGram, DedupOps.SubWindow)) {
+      val diff = corpus
+        .withColumn("slow", DedupOps.windowHashes(col("toks"), w))
+        .withColumn("fast", DedupOps.windowHashesFast(col("toks"), w))
+        .filter(col("slow") =!= col("fast"))
+        .count()
+      assert(diff == 0, s"$diff rows diverge between fused and composed windowHashes(w=$w)")
+    }
+    // degenerate widths: w=1 (every token a window) and doc shorter than w
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Seq(5, 5, 7)),   // dup windows at w=1 → distinct keeps order
+      (2L, Seq(1, 2)),      // shorter than SubWindow → empty
+      (3L, Seq.empty[Int])) // empty doc
+      .toDF("id", "toks")
+    val e1 = edge
+      .withColumn("slow", DedupOps.windowHashes(col("toks"), 1))
+      .withColumn("fast", DedupOps.windowHashesFast(col("toks"), 1))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(e1 == 0, "w=1 diverges")
+    val e20 = edge
+      .withColumn("slow", DedupOps.windowHashes(col("toks"), DedupOps.SubWindow))
+      .withColumn("fast", DedupOps.windowHashesFast(col("toks"), DedupOps.SubWindow))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(e20 == 0, "short-doc empty case diverges")
+    // and it runs inside whole-stage codegen when its input is a
+    // materialized array column. (In the corpus queries the SAME Project
+    // also carries the tokenizer's HigherOrderFunctions, which are
+    // CodegenFallback and exclude that Project from whole-stage codegen
+    // for ANY expression — unchanged by this one; the expression's win
+    // there is its interpreted eval being a primitive rolling loop
+    // instead of per-element lambda dispatch.)
+    val toksDir = java.nio.file.Files
+      .createTempDirectory("graft-whspec").resolve("toks").toString
+    corpus.select(col("toks").cast("array<int>").as("toks")).limit(50)
+      .write.mode("overwrite").parquet(toksDir)
+    val fastDf = spark.read.parquet(toksDir)
+      .select(DedupOps.windowHashesFast(col("toks"), DedupOps.ContamGram).as("wh"))
+    fastDf.collect()
+    val plan = fastDf.queryExecution.executedPlan.toString
+    assert(
+      plan.split("\n").exists(l => l.contains("*(") && l.contains("windowhashes")),
+      s"WindowHashes fell back to interpreted:\n$plan")
+  }
+
   test("SimHashSig (fused codegen) ≡ built-in-composed simhash") {
     import graft.functions.DedupOps
     import graft.plans.SimHashSig
