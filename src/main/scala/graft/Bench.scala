@@ -283,7 +283,18 @@ object Bench {
         studyLayout("kmeans512",
           Similarity.kmeansCentroids(s, v, 512, Similarity.IvfIters),
           Seq("_np48" -> 48, "_np64" -> 64)) ++
-        studyLayout("kmeans64_sample25", sampled, Seq("_np8" -> 8))
+        studyLayout("kmeans64_sample25", sampled, Seq("_np8" -> 8)) ++
+        // sampled training at the SHIPPED K: on this 2000-vector fixture
+        // a 25% sample leaves ~2 training points per cell and recall
+        // craters (0.55 vs 0.82 full-trained — measured 2026-08-21);
+        // the scale rule this row documents is points-per-cell, not
+        // sample fraction: at 100 TB a 0.1% sample still trains every
+        // cell on thousands of vectors. The row stays as the honest
+        // fixture-scale number.
+        studyLayout("kmeans256_sample25",
+          Similarity.kmeansCentroids(s, v, 256, Similarity.IvfIters,
+            sampleFraction = 0.25),
+          Seq("_np28" -> 28))
 
     // clustered regime: corpus ∪ near-dup variants, queries = the
     // variants, truth = each variant's base (its exact top-1 at
