@@ -22,13 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Single-phase LWW: one shuffle on doc_id, map-side partial agg. */
+  /** Single-phase LWW: one shuffle on doc_id, map-side partial agg.
+    *
+    * `doc_id` is emitted from the GROUPING KEY, not from the winner
+    * struct (they are equal by definition). This is load-bearing for
+    * plan quality (round-6, guide §7.2): consumers that derive columns
+    * from `doc_id` alone — the merge's touched-bucket probe projects
+    * `pmod(xxhash64(doc_id), B)` and nothing else — let Catalyst prune
+    * the (unused) max_by aggregate entirely and collapse the groupBy
+    * into the downstream distinct; with the struct-field spelling the
+    * optimizer cannot prove `_e.doc_id == doc_id` and every such probe
+    * paid the full LWW reduce. */
   def lww(events: DataFrame): DataFrame = {
     val payload = struct(events.columns.map(col).toIndexedSeq: _*)
     events
       .groupBy(col("doc_id"))
       .agg(max_by(payload, col("lsn")).as("_e"))
-      .select(col("_e.*"))
+      .select(events.columns.toIndexedSeq.map {
+        case "doc_id" => col("doc_id")
+        case c        => col(s"_e.$c").as(c)
+      }: _*)
   }
 
   /** Two-phase salted LWW for hot-key skew. `salt` ≈ shuffle parallelism

@@ -178,11 +178,20 @@ object DedupIndex {
         sigAgree(col("sig"), col("_i_sig")).as("agree"))
       .filter(col("agree") >= agreeMin)
       .distinct() // multi-band matches of one pair collapse
-    // deterministic representative: earliest (dup_lsn, dup_of) per doc
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("dup_lsn"), col("dup_of"))
-    cand.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    // deterministic representative: earliest (dup_lsn, dup_of) per doc —
+    // as a map-side-combining min_by aggregate, not a row_number window:
+    // the window spelling paid a full sort of every candidate row inside
+    // its exchange, where the aggregate pre-reduces each map partition
+    // to one row per doc before the shuffle (guide §2.3 "aggregate
+    // before you shuffle"; same ordering, struct-lexicographic on
+    // (dup_lsn, dup_of), so the representative is identical)
+    cand.groupBy(col("doc_id"))
+      .agg(min_by(
+        struct(col("lsn"), col("dup_of"), col("dup_lsn"), col("agree")),
+        struct(col("dup_lsn"), col("dup_of"))).as("_m"))
+      .select(col("doc_id"), col("_m.lsn").as("lsn"),
+        col("_m.dup_of").as("dup_of"), col("_m.dup_lsn").as("dup_lsn"),
+        col("_m.agree").as("agree"))
   }
 
   /** Append a batch's band rows to the index under its commitId (call

@@ -184,38 +184,35 @@ object Merge {
     def bucketOf(docId: Column): Column =
       pmod(xxhash64(docId), lit(numBuckets.toLong)).cast("int")
 
-    // A batch with >> numBuckets keys hits every bucket with near
-    // certainty (coupon collector); skip the touched-bucket probe (and
-    // the cache its two passes need) and take the whole table. The
-    // big/small decision is an EXACT THRESHOLD probe, not an estimate
-    // and not a full count:
+    // Touched buckets = the EXACT distinct bucket set of the batch, in
+    // ONE narrow probe job (round-6 optimization; guide §1.2 "remove
+    // passes"). History of this decision:
     //  - round 2 trusted `optimizedPlan.stats.sizeInBytes/256`, which a
-    //    filter inflates arbitrarily (it keeps its child's sizeInBytes)
-    //    — at 10k buckets a trickle batch misclassified as big meant a
-    //    full 10k-bucket rewrite;
-    //  - a full `count()` is exact but pays a second complete dedup
-    //    reduce per batch (measured −18% end-to-end at 32 cores).
-    // `limit(T+1).count()` is exact w.r.t. the threshold and cheap on
-    // BOTH sides: a big batch fills the limit from the FIRST reduce
-    // partition (CollectLimit runs partitions incrementally), so the
-    // probe costs the dedup map side — which the join reuses via
-    // shuffle-files anyway — plus one reduce partition; a trickle batch
-    // runs them all, but is tiny by definition. Gated by PipelineSpec
-    // "trickle batch with an inflated plan estimate still takes the
-    // touched-bucket path".
-    val batch0    = dedupedBatch.withColumn("_bucket", bucketOf(col("doc_id")))
-    val threshold = numBuckets.toLong * 64
-    val probeLim  = math.min(threshold + 1, Int.MaxValue.toLong).toInt
-    // narrow projection: at 10k buckets the limit is 640k rows and the
-    // GlobalLimit funnels them through ONE task — ints only, never the
-    // token arrays (the dedup reduce computes full rows regardless, but
-    // only _bucket flows past it)
-    val bigBatch  = batch0.select("_bucket").limit(probeLim).count() > threshold
-    val batch = if (bigBatch) batch0 else batch0.persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    //    filter inflates arbitrarily — at 10k buckets a trickle batch
+    //    misclassified as big meant a full 10k-bucket rewrite;
+    //  - rounds 3-5 ran an exact `limit(T+1).count()` THRESHOLD probe to
+    //    classify big-vs-trickle, plus a second `distinct` pass (and a
+    //    persist of the deduped batch) on the trickle side. But the
+    //    threshold probe still executed the LWW dedup's full map side
+    //    per batch, and the bucket set is identical before and after
+    //    dedup (bucket is a pure function of doc_id; LWW never drops a
+    //    key) — so the classification bought nothing the distinct
+    //    doesn't already give exactly.
+    // Here: project the bucket id, distinct, collect (≤ numBuckets ints
+    // — the same bounded-collect class as before). Catalyst's
+    // ColumnPruning + RemoveRedundantAggregates collapse the unused LWW
+    // aggregate under the distinct, so the probe scans ONE column with
+    // map-side partial distinct (≤ numBuckets rows per task cross the
+    // exchange) instead of reducing the full payload. The persist is
+    // gone with the double-execution that needed it: the merge join is
+    // now the only consumer that executes the dedup. Gated by
+    // PipelineSpec "trickle batch with an inflated plan estimate still
+    // takes the touched-bucket path" (the probe never consults plan
+    // stats).
+    val batch = dedupedBatch.withColumn("_bucket", bucketOf(col("doc_id")))
+    locally {
       val touched: Set[Int] =
-        if (bigBatch) (0 until numBuckets).toSet
-        else batch.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+        batch.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
 
       // ---- merge only the touched slice of the target ----
       val targetSlice = SchemaEvolution.align(
@@ -437,7 +434,7 @@ object Merge {
         }
       }
       stats
-    } finally { if (!bigBatch) batch.unpersist(); () }
+    }
   }
 
   /** Touched buckets whose BASE file set changed between the snapshot a

@@ -330,24 +330,32 @@ case class GraftMergeIntoCommand(
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
 
-    // one pass guards BOTH key invariants: the ANSI cardinality rule
-    // (a source key may match at most one action) and non-null keys —
-    // a null never matches the ON equality, so ANSI would route it to
+    // ONE probe job guards BOTH key invariants — the ANSI cardinality
+    // rule (a source key may match at most one action) and non-null keys
+    // (a null never matches the ON equality, so ANSI would route it to
     // INSERT, but doc_id is the table's non-nullable primary key and a
-    // null row must be rejected typed, not smuggled in (review finding)
-    val badKey = src.groupBy(col("_graft_key")).count()
-      .filter(col("_graft_key").isNull || col("count") > 1)
-      .limit(1).collect().headOption
-    badKey.foreach { r =>
-      if (r.isNullAt(0))
-        throw new IllegalArgumentException(
-          "MERGE INTO source has a null join key; doc_id is non-nullable — " +
-            "filter null keys or route them through the validation path")
-      else
-        throw new IllegalArgumentException(
-          "MERGE INTO source has duplicate join keys (cardinality violation); " +
-            "deduplicate the source or use the change-batch API with explicit LSNs")
-    }
+    // null row must be rejected typed, not smuggled in — review finding)
+    // — AND collects the touched hash buckets (bounded: ≤ numBuckets
+    // ints) in the same pass: the guard and the bucket probe each paid a
+    // full aggregation job over the source before (guide §1.2: remove
+    // passes first).
+    val keyProbe = src
+      .groupBy(col("_graft_key"))
+      .agg(count(lit(1)).as("_c"))
+      .agg(
+        sum(when(col("_graft_key").isNull, 1L).otherwise(0L)).as("_nulls"),
+        max(col("_c")).as("_maxc"),
+        collect_set(
+          MergeOnRead.bucketOf(col("_graft_key"), cur.numBuckets)).as("_bks"))
+      .head()
+    if (!keyProbe.isNullAt(0) && keyProbe.getLong(0) > 0)
+      throw new IllegalArgumentException(
+        "MERGE INTO source has a null join key; doc_id is non-nullable — " +
+          "filter null keys or route them through the validation path")
+    if (!keyProbe.isNullAt(1) && keyProbe.getLong(1) > 1)
+      throw new IllegalArgumentException(
+        "MERGE INTO source has duplicate join keys (cardinality violation); " +
+          "deduplicate the source or use the change-batch API with explicit LSNs")
 
     val payload = cur.schema.fields
       .filterNot(f => Merge.InternalCols.contains(f.name))
@@ -366,13 +374,10 @@ case class GraftMergeIntoCommand(
     // assignments additionally need the matched TARGET PAYLOAD (their
     // unassigned columns keep target values) — carried on the same
     // pruned join only when such an action exists.
-    // lazy: a pure NOT-MATCHED-BY-SOURCE statement (specs.isEmpty) never
-    // consults matched-ness, so it must not pay the probe's source scan
     val needTargetPayload =
       specs.exists(_.assigns.isDefined) || deferredCols.nonEmpty
-    lazy val touched = src
-      .select(MergeOnRead.bucketOf(col("_graft_key"), cur.numBuckets).as("_b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // touched buckets came free with the key-guard probe above
+    lazy val touched: Set[Int] = keyProbe.getSeq[Int](2).toSet
     lazy val live = MergeOnRead.resolveBuckets(table, touched)
       .filter(!coalesce(col(Merge.TombCol), lit(false)))
       .select(

@@ -412,16 +412,23 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     }
 
   /** Stage one commit's side-table rows under `root` (pre-commit). Empty
-    * sets stage nothing: a clean stream must not pay a fixed parquet job
-    * per batch — the isEmpty probe early-terminates at the first row. */
+    * sets stage nothing. ONE pass (guide §1.2): write, then decide
+    * emptiness from the parquet footers driver-side — the previous
+    * `isEmpty`-probe-then-write shape paid a second scan of the batch
+    * (and on a CLEAN batch the probe's filter never matched, so it
+    * scanned everything) for information the write's own footers carry
+    * for free. A crash between write and the empty-dir delete leaves a
+    * zero-row staged dir; publish/recovery promote it to an empty
+    * published dir, which readers see as zero rows — harmless. */
   private def stageSide(
-      rows: DataFrame, root: String, commitId: String): Option[java.nio.file.Path] =
-    if (rows.isEmpty) None
-    else {
-      val dir = Paths.get(root, s".staged-c-$commitId-${graft.table.Fs.nonce}")
-      rows.write.mode(SaveMode.Overwrite).parquet(dir.toString)
-      Some(dir)
-    }
+      rows: DataFrame, root: String, commitId: String): Option[java.nio.file.Path] = {
+    val dir = Paths.get(root, s".staged-c-$commitId-${graft.table.Fs.nonce}")
+    rows.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    if (graft.table.Fs.parquetRowCount(dir) == 0L) {
+      graft.table.Fs.deleteRecursively(dir)
+      None
+    } else Some(dir)
+  }
 
   /** Publish a commit's staged side rows under `root` (post-commit) and
     * sweep any orphan staged dirs left by crashed or superseded attempts. */
@@ -689,7 +696,6 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     * -1) carrying the offset range, rows applied, conflict count, and
     * skew ratio (max/avg bucket rows this commit). */
   private def writeLineage(s: MergeStats, batchId: Long): Unit = {
-    import spark.implicits._
     val target = publishedDir(cfg.lineageDir, s.commitId)
     if (Files.exists(target)) return // replay — the commit's row is published
     // attribute against the manifest AT the committed version, not the
@@ -738,8 +744,7 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         skew_ratio = skew, wall_ms = s.wallMs)
     }
     val staged = Paths.get(cfg.lineageDir, s".staged-c-${s.commitId}-${graft.table.Fs.nonce}")
-    (summary +: perBucket).toDS().coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    CdcPipeline.writeLineageParquet(staged, summary +: perBucket)
     promote(staged, target)
   }
 
@@ -827,6 +832,54 @@ object CdcPipeline {
     * NOT match the `c-*` published-commit pattern, so [[readSideTable]]
     * over the error root never globs them in. */
   private[streaming] val ResolvedSubdir = "resolved"
+
+  /** Parquet schema of the lineage side table — MUST stay in lockstep
+    * with [[graft.LineageRecord]] (readLineage reads these files under
+    * that case class's encoder schema). */
+  private lazy val lineageMessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message lineage {
+        |  required binary commit_id (STRING);
+        |  required int64 batch_id;
+        |  required int32 partition_id;
+        |  required int64 offset_start;
+        |  required int64 offset_end;
+        |  required int64 rows_applied;
+        |  required int64 conflict_count;
+        |  required double skew_ratio;
+        |  required int64 wall_ms;
+        |}""".stripMargin)
+
+  /** Write lineage rows as ONE parquet file, driver-side (parquet-hadoop
+    * Group API, no Spark job): the rows are a handful of driver-local
+    * records per commit — a 1-task Spark write job per batch was pure
+    * fixed overhead on the per-batch hot path (guide §1.2 "per-task
+    * work" at its degenerate limit: the task launch WAS the cost). */
+  private[streaming] def writeLineageParquet(
+      dir: java.nio.file.Path, rows: Seq[graft.LineageRecord]): Unit = {
+    Files.createDirectories(dir)
+    val file = dir.resolve("part-00000.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.parquet.io.LocalOutputFile(file))
+      .withType(lineageMessageType)
+      .withConf(new org.apache.parquet.conf.PlainParquetConfiguration())
+      .build()
+    val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(lineageMessageType)
+    try rows.foreach { r =>
+      val g = factory.newGroup()
+      g.append("commit_id", r.commit_id)
+      g.append("batch_id", r.batch_id)
+      g.append("partition_id", r.partition_id)
+      g.append("offset_start", r.offset_start)
+      g.append("offset_end", r.offset_end)
+      g.append("rows_applied", r.rows_applied)
+      g.append("conflict_count", r.conflict_count)
+      g.append("skew_ratio", r.skew_ratio)
+      g.append("wall_ms", r.wall_ms)
+      writer.write(g)
+    } finally writer.close()
+  }
 
   /** Read a per-commit-published side table: only `c-<commitId>` dirs
     * count (staged dot-dirs are invisible to Spark's listing anyway; the

@@ -32,4 +32,30 @@ object Fs {
   /** Writer-unique hex nonce (48 bits) for staged/delta dir names. */
   def nonce: String = java.lang.Long.toHexString(
     java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffffffL)
+
+  /** Shared Hadoop-free read options for footer-only parquet reads
+    * (same discipline as SnapshotTable's footer-stat path: the default
+    * open() builds a full Hadoop Configuration per file). */
+  private lazy val footerOptions =
+    org.apache.parquet.ParquetReadOptions
+      .builder(new org.apache.parquet.conf.PlainParquetConfiguration())
+      .build()
+
+  /** Total row count of every `*.parquet` file under `dir` (recursive),
+    * from footers, driver-side — ~0.1 ms/file, no Spark job. Used to
+    * decide emptiness AFTER a single write pass instead of paying a
+    * separate `isEmpty` scan job before it (guide §1/§2: one pass, not
+    * two). */
+  def parquetRowCount(dir: Path): Long = {
+    if (!Files.isDirectory(dir)) return 0L
+    walkDir(dir)
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          new org.apache.parquet.io.LocalInputFile(p), footerOptions)
+        try r.getRecordCount finally r.close()
+      }
+      .sum
+  }
 }

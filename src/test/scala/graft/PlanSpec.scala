@@ -68,6 +68,29 @@ class PlanSpec extends SparkSpec {
       s"CosineSim fell back to interpreted:\n$plan")
   }
 
+  test("CosineSim ≡ composed cosine on float×double and double×double (IVF training shape)") {
+    // round-5 ADVICE (medium): kmeansCentroids scores float embeddings
+    // against double centroids through graft_cosine, but the equivalence
+    // gate above only exercised float×float. Cover the mixed and
+    // all-double element-type branches of eval/codegen explicitly.
+    import spark.implicits._
+    CosineSim.register(spark)
+    val fv = spark.read.parquet(s"$sf001/embeddings.parquet").limit(50)
+    val dv = fv.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("embedding"))
+    for (((l, r), label) <- Seq(
+        (fv, dv) -> "float×double", (dv, fv) -> "double×float",
+        (dv, dv) -> "double×double")) {
+      val both = l.as("a").join(r.as("b"), $"a.vec_id" < $"b.vec_id")
+        .select(
+          round(Similarity.cosine($"a.embedding", $"b.embedding"), 9).as("slow"),
+          round(Similarity.cosineFast($"a.embedding", $"b.embedding"), 9).as("fast"))
+        .withColumn("diff", abs($"slow" - $"fast"))
+      val maxDiff = both.agg(max($"diff")).collect()(0).getDouble(0)
+      assert(maxDiff < 1e-9, s"fused cosine diverges on $label: $maxDiff")
+    }
+  }
+
   test("MinHashSig (fused codegen) ≡ built-in-composed minhash") {
     import graft.functions.DedupOps
     import graft.plans.MinHashSig
@@ -140,7 +163,11 @@ class PlanSpec extends SparkSpec {
     val edge = Seq(
       (1L, Seq(5, 5, 7)),   // dup windows at w=1 → distinct keeps order
       (2L, Seq(1, 2)),      // shorter than SubWindow → empty
-      (3L, Seq.empty[Int])) // empty doc
+      (3L, Seq.empty[Int]), // empty doc
+      // long periodic doc: window count crosses LinearScanMax, so the
+      // open-addressing dedup branch (round-6 optimization) runs, with
+      // heavy duplicate windows to exercise membership + order
+      (4L, (0 until 500).map(_ % 50).toList))
       .toDF("id", "toks")
     val e1 = edge
       .withColumn("slow", DedupOps.windowHashes(col("toks"), 1))
