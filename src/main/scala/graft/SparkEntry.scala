@@ -83,6 +83,29 @@ object SparkEntry {
       out
     })
 
+  /** The deterministic event stream, staged to parquet once per
+    * (process, sf dir) — same discipline as [[stagedChangelog]] (round-6
+    * optimization; guide §1.2). The direct generator chain re-runs the
+    * interpreted tokenizer HOFs over every doc × rep in EVERY job that
+    * consumes it; the versioned/bootstrap fixtures consume the stream in
+    * 4-8 jobs each, so each non-streamed fixture re-tokenized the corpus
+    * several times. Identical rows (the generator is deterministic), read
+    * back under the canonical event schema. Queries whose *declared
+    * computation* is the generator itself (q_cdc_events, q_cdc_errors,
+    * q_orphan_events, q_enrich_dims, q_cdc_tokenize) keep the direct
+    * chain — only fixture construction reads the staged copy. */
+  private val eventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val p = eventsCache.computeIfAbsent(dir, _ => {
+      val out = s"${tempRoot("graft-events")}/events"
+      CdcGenerator.events(spark, dir).write.parquet(out)
+      out
+    })
+    spark.read.schema(Conform.EventSchema).parquet(p)
+  }
+
   /** Build + stream a full pipeline over a fresh temp table. */
   private def runPipeline(
       spark: SparkSession, dir: String, mode: String,
@@ -126,7 +149,7 @@ object SparkEntry {
         lineageDir = s"$base/lineage",
         numBuckets = 16,
         mode = mode))
-      val ev = CdcGenerator.events(spark, dir)
+      val ev = stagedEvents(spark, dir)
       p.applyBatch(ev.filter(col("lsn") < CdcGenerator.LsnStride), batchId = 0L)
       val v1 = p.table.currentVersion.get
       p.applyBatch(ev.filter(col("lsn") >= CdcGenerator.LsnStride), batchId = 1L)
@@ -420,7 +443,7 @@ object SparkEntry {
         lineageDir = s"$base/lineage",
         numBuckets = 16,
         mode = "mor"))
-      val ev = CdcGenerator.events(s, dir)
+      val ev = stagedEvents(s, dir)
       // the "upstream snapshot": the below-boundary slice, payload-shaped
       // (all rep-0 inserts — at most one row per doc_id by construction);
       // its invalid rows quarantine during bootstrap exactly as the
@@ -468,7 +491,7 @@ object SparkEntry {
       val f   = versionedFixture(s, dir)
       val dst = tempRoot("graft-mnt")
       val t   = f.pipeline.table.shallowClone(s"$dst/table")
-      val ev  = CdcGenerator.events(s, dir)
+      val ev  = stagedEvents(s, dir)
       TableMaintenance.rollbackTo(t, f.v1)
       val replay = Dedup.lww(
         Validate(Conform(ev.filter(col("lsn") >= CdcGenerator.LsnStride)), "b1-replay").valid)

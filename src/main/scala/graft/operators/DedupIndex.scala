@@ -154,11 +154,15 @@ object DedupIndex {
   def probe(
       spark: SparkSession, dir: String, applied: Set[String],
       bands: DataFrame, numBuckets: Int = IndexBuckets,
-      agreeMin: Int = AgreeMin): DataFrame = {
+      agreeMin: Int = AgreeMin,
+      touchedHint: Option[Set[Int]] = None): DataFrame = {
     // touched buckets: bounded driver collect (≤ numBuckets ints — the
-    // same exact-probe class as the merge's touched-bucket collect)
-    val touched = bands.select(col("_ibkt")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    // same exact-probe class as the merge's touched-bucket collect);
+    // callers that already collected it pass the hint so the persisted
+    // bands frame is scanned once, not twice
+    val touched = touchedHint.getOrElse(
+      bands.select(col("_ibkt")).distinct()
+        .collect().map(_.getInt(0)).toSet)
     val idx = readIndex(spark, dir, applied, touched)
       .select(col("doc_id").as("_i_doc"), col("lsn").as("_i_lsn"),
         col("sig").as("_i_sig"), col("band"), col("key"))

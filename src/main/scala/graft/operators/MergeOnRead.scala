@@ -224,6 +224,15 @@ object MergeOnRead {
     * doc_id, and never covering clean buckets. */
   private val PerBucketPlanLimit = 64
 
+  /** Target rows per bucket-local fold task (scale-adaptive branch
+    * sizing — see the group fold in [[foldDirtyBuckets]]). Parameterised
+    * for clusters via `graft.fold.rowsPerTask`; the default keeps a
+    * branch's external sort comfortably in one task's memory (~250k
+    * full-payload rows ≈ 50 MB) while a fixture-scale fold collapses to
+    * a single small-plan branch. */
+  private def FoldRowsPerTask: Long =
+    sys.props.get("graft.fold.rowsPerTask").map(_.toLong).getOrElse(262144L)
+
   private[graft] def resolveBuckets(
       table: SnapshotTable,
       buckets: Option[Set[Int]],
@@ -309,18 +318,52 @@ object MergeOnRead {
           payloadCols.map(col) :+ col("lsn") :+ col("op") :+
             lit(false).as("_from_base"): _*))
 
-    if (dirtyBuckets.size <= PerBucketPlanLimit)
-      // one narrow branch per dirty bucket; the union schedules as ONE
-      // stage with one task per bucket — no exchange anywhere
-      dirtyBuckets.map { b =>
+    if (dirtyBuckets.size <= PerBucketPlanLimit) {
+      // One narrow branch per BUCKET GROUP; the union schedules as ONE
+      // stage with one task per group — no exchange anywhere. Groups are
+      // data-sized (round-6, guide §1.2/§7.3): the round-4 shape used
+      // one branch per bucket unconditionally, so a trickle fold over a
+      // 16-bucket fixture built a 16-branch union plan whose per-branch
+      // analysis + codegen dominated wall time (measured: fixture-query
+      // wall ≈ 2× summed job time, the gap all driver-side planning).
+      // Branch count now tracks the DATA — ceil(rows / FoldRowsPerTask),
+      // floored at one branch, capped at one per bucket — so a tiny fold
+      // is one task under one small plan while a full-table fold keeps
+      // per-bucket parallelism. Buckets pack into groups by descending
+      // row count (LPT) for balance; a group is a deterministic set of
+      // whole buckets, so every doc_id still folds inside one task (the
+      // same residue-class contract as the routed path below).
+      val rowsByBucket: Map[Int, Long] =
+        (baseFiles ++ deltaFiles).groupBy(_.bucket)
+          .map { case (b, fs) => b -> fs.map(_.rows).sum }
+      val totalRows = rowsByBucket.values.sum
+      val nGroups = math.max(1, math.min(
+        dirtyBuckets.size.toLong,
+        (totalRows + FoldRowsPerTask - 1) / FoldRowsPerTask).toInt)
+      val groups: Seq[Seq[Int]] =
+        if (nGroups == dirtyBuckets.size) dirtyBuckets.map(Seq(_))
+        else {
+          val bins = Array.fill(nGroups)(
+            (0L, scala.collection.mutable.ArrayBuffer[Int]()))
+          dirtyBuckets
+            .sortBy(b => (-rowsByBucket.getOrElse(b, 0L), b))
+            .foreach { b =>
+              val i = bins.indices.minBy(j => bins(j)._1)
+              bins(i) = (bins(i)._1 + rowsByBucket.getOrElse(b, 0L),
+                bins(i)._2 += b)
+            }
+          bins.toSeq.map(_._2.toSeq).filter(_.nonEmpty)
+        }
+      groups.map { bs =>
+        val set = bs.toSet
         localLww(
           eventsOf(
-            table.readFiles(baseFiles.filter(_.bucket == b), m.schema),
-            table.readFiles(deltaFiles.filter(_.bucket == b), deltaSchema))
+            table.readFiles(baseFiles.filter(f => set.contains(f.bucket)), m.schema),
+            table.readFiles(deltaFiles.filter(f => set.contains(f.bucket)), deltaSchema))
             .coalesce(1),
           payloadFields, classified)
       }.reduce(_ unionByName _)
-    else {
+    } else {
       // many dirty buckets: one exchange over the dirty slice only,
       // keyed on the bucket id through the identity-probe remap (equal
       // bucket → one partition slot; doc_id is never a shuffle key).

@@ -254,14 +254,22 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         (valid.join(r, col("doc_id") === col("_q_doc"), "left_anti"),
           Some(errRows(hits, col("_q_dup"))))
       }
-    // 2. probe + index this batch's inserts
+    // 2. probe + index this batch's inserts. ONE probe job doubles as
+    // the empty-batch check AND the touched-bucket collect (a valid
+    // insert always yields band rows, so bands empty ⟺ no inserts):
+    // the separate `inserts.isEmpty` scan job per batch is gone
+    // (round-6; guide §1.2 — remove passes).
     val inserts = events1.filter(col("op") === "I" && col("doc_id").isNotNull)
-    if (inserts.isEmpty) // update/delete-only batch: nothing to index
-      return NearDupOutcome(events1, rosterErrs, None, Seq.empty, Seq.empty)
     val bands = DedupIndex.bandRows(inserts, cfg.nearDupIndexBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = bands.select(col("_ibkt")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) { // update/delete-only batch: nothing to index
+      bands.unpersist()
+      return NearDupOutcome(events1, rosterErrs, None, Seq.empty, Seq.empty)
+    }
     val flags = DedupIndex.probe(spark, nearDupRoot, applied, bands,
-        cfg.nearDupIndexBuckets, cfg.nearDupAgreeMin)
+        cfg.nearDupIndexBuckets, cfg.nearDupAgreeMin, Some(touched))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // EVERY valid insert is indexed, flagged or not — the non-recursive
     // match rule the oracle replays (DedupIndex scaladoc)
