@@ -138,13 +138,18 @@ object Merge {
 
   /** @param variant "join" | "shj" | "fold", or "" for the default
     *   ("join", unless a `GRAFT_MERGE` / `graft.merge.variant` override
-    *   is set — [[defaultVariant]]). */
+    *   is set — [[defaultVariant]]).
+    * @param preCommitBarrier invoked after the survivors are written,
+    *   immediately BEFORE the first commit attempt — the pipeline joins
+    *   its concurrent side-table staging here (guide §2.6) so staged
+    *   errors stay durable before any manifest commit. */
   def apply(
       table: SnapshotTable,
       dedupedBatch: DataFrame,
       commitId: String,
       batchId: Long,
-      variant: String): MergeStats = {
+      variant: String,
+      preCommitBarrier: () => Unit = () => ()): MergeStats = {
     require(variant.isEmpty || Set("join", "shj", "fold").contains(variant),
       s"unknown merge variant '$variant' (join|shj|fold or empty for default)")
     val t0  = System.nanoTime()
@@ -352,6 +357,7 @@ object Merge {
       // an empty batch applied no events; -1 from the observation means
       // "no rows seen", which for changesSince must read as nothing-below
       val minEventLsn = if (minLsn < 0) Long.MaxValue else minLsn
+      preCommitBarrier()
 
       // Optimistic concurrency for COW (the MOR appends already rebase —
       // MergeOnRead.apply): losing the version CAS re-checks the new head

@@ -41,12 +41,20 @@ object MergeOnRead {
     *   LSN for the same doc would otherwise make the LWW fold's winner
     *   an undefined tie; the guard turns that window into a retryable
     *   typed failure instead (round-4 review finding). */
+  /** @param preCommitBarrier invoked after the delta files are written
+    *   and observed, immediately BEFORE the first commit attempt — the
+    *   pipeline passes a barrier that joins its concurrently-running
+    *   side-table staging job (guide §2.6: overlap independent jobs),
+    *   so the staged-before-commit crash contract holds unchanged; a
+    *   barrier failure aborts the batch pre-commit, exactly like the
+    *   old synchronous staging failure. */
   def apply(
       table: SnapshotTable,
       dedupedBatch: DataFrame,
       commitId: String,
       batchId: Long,
-      requireWatermarkBelow: Option[Long] = None): MergeStats = {
+      requireWatermarkBelow: Option[Long] = None,
+      preCommitBarrier: () => Unit = () => ()): MergeStats = {
     val t0  = System.nanoTime()
     val cur = table.current.getOrElse(
       throw new IllegalStateException("table has no snapshot; create() first"))
@@ -98,6 +106,7 @@ object MergeOnRead {
 
     val maxLsn = g("max_lsn")
     val minEventLsn = { val lo = g("min_lsn"); if (lo < 0) Long.MaxValue else lo }
+    preCommitBarrier()
     // Optimistic concurrency: a delta APPEND commutes with any commit
     // that landed since we read `cur` — the data files are already on
     // disk under this commit's unique c-<id>.d prefix, so losing the

@@ -143,8 +143,19 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
       return MergeStats(commitId, cur.version, skipped = true, 0, cur.rowCount,
         cur.rowCount, 0, 0, 0, 0, 0, 0, -1, -1, 0, Seq.empty)
     }
-    var stagedErrors: Option[java.nio.file.Path] = None
     var nearDup: NearDupOutcome = NearDupOutcome.off(raw)
+    // Error staging runs CONCURRENTLY with the merge's write job (guide
+    // §2.6 — both are independent scans of the same batch, and the merge
+    // job's tail leaves cores idle for the staging job to back-fill).
+    // The crash contract is unchanged: the merge's preCommitBarrier
+    // joins this future BEFORE any manifest commit attempt, so staged
+    // errors are durable before the commit exactly as when staging ran
+    // inline, and a staging failure still aborts the batch pre-commit.
+    var stagedErrorsF: Option[scala.concurrent.Future[Option[java.nio.file.Path]]] =
+      None
+    def awaitStagedErrors(): Option[java.nio.file.Path] =
+      stagedErrorsF.flatMap(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     val stats =
       try {
         val conformed = Conform(raw)
@@ -152,7 +163,9 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         nearDup = nearDupStage(split.valid, commitId)
         val allErrors = nearDup.extraErrors
           .map(split.errors.unionByName(_)).getOrElse(split.errors)
-        stagedErrors = stageErrors(allErrors, commitId)
+        stagedErrorsF = Some(scala.concurrent.Future(
+          stageErrors(allErrors, commitId))(scala.concurrent.ExecutionContext.global))
+        val barrier: () => Unit = () => { awaitStagedErrors(); () }
         val events = nearDup.events
         val deduped =
           if (cfg.salt > 1 && shouldSalt(raw)) Dedup.lwwSalted(events, cfg.salt)
@@ -164,21 +177,26 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         }
         val s =
           if (useMor) {
-            val s0 = MergeOnRead(table, deduped, commitId, batchId)
+            val s0 = MergeOnRead(table, deduped, commitId, batchId,
+              preCommitBarrier = barrier)
             maybeCompact()
             s0
-          } else Merge(table, deduped, commitId, batchId, cfg.mergeVariant)
-        publishErrors(stagedErrors, commitId)
+          } else Merge(table, deduped, commitId, batchId, cfg.mergeVariant,
+            preCommitBarrier = barrier)
+        publishErrors(awaitStagedErrors(), commitId)
         publishSide(nearDup.stagedFlags, nearDupRoot, commitId)
         s
       } catch {
         // Whole-batch rejects (reference analog: checkRequiredFields
         // abort) — recorded as an error + an empty commit so the ledger
-        // marks the batch applied and the STREAM keeps running:
+        // marks the batch applied and the STREAM keeps running. The
+        // staged-errors await in each arm re-raises a staging failure
+        // instead of ledgering the reject — same outcome as when the
+        // inline staging failed before the merge ever ran.
         case Conform.BatchRejected(missing) =>
           nearDup.discard()
           rejectBatch(raw, commitId, batchId,
-            s"missing_required_column:${missing.mkString(",")}", stagedErrors)
+            s"missing_required_column:${missing.mkString(",")}", awaitStagedErrors())
         case SchemaEvolution.Incompatible(msg) =>
           // extra column re-appeared with a non-widenable type. This is
           // the one reject thrown AFTER the near-dup stage ran, and
@@ -186,7 +204,8 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
           // rejected batch's index rows would become ledger-visible for
           // docs that never merged.
           nearDup.discard()
-          rejectBatch(raw, commitId, batchId, s"schema_incompatible:$msg", stagedErrors)
+          rejectBatch(raw, commitId, batchId, s"schema_incompatible:$msg",
+            awaitStagedErrors())
         case Conform.ConformFailed(detail) =>
           // un-castable required column (e.g. tokens arrived as string).
           // Deliberately NOT a blanket AnalysisException catch: an
@@ -194,7 +213,16 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
           // errorDir path) must fail the stream, not ledger the batch as
           // applied with only a sample retained.
           nearDup.discard()
-          rejectBatch(raw, commitId, batchId, s"conform_failed:$detail", stagedErrors)
+          rejectBatch(raw, commitId, batchId, s"conform_failed:$detail",
+            awaitStagedErrors())
+        case e: Throwable =>
+          // non-reject failure: join the staging thread (best effort) so
+          // it cannot race the caller's teardown, then surface the
+          // original failure — its staged dir is an orphan the next
+          // publish/replay sweeps
+          try { awaitStagedErrors(); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
       } finally nearDup.unpersist()
     writeLineage(stats, batchId)
     stats
