@@ -296,9 +296,14 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
       bands.unpersist()
       return NearDupOutcome(events1, rosterErrs, None, Seq.empty, Seq.empty)
     }
-    val flags = DedupIndex.probe(spark, nearDupRoot, applied, bands,
-        cfg.nearDupIndexBuckets, cfg.nearDupAgreeMin, Some(touched))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // under "flag" the probe result has exactly ONE consumer (the staged
+    // flag rows) — persisting it would only add a cache write; under
+    // "quarantine" it feeds the roster append and two joins, so pin it
+    val flags0 = DedupIndex.probe(spark, nearDupRoot, applied, bands,
+      cfg.nearDupIndexBuckets, cfg.nearDupAgreeMin, Some(touched))
+    val flags =
+      if (cfg.nearDupPolicy == "flag") flags0
+      else flags0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // EVERY valid insert is indexed, flagged or not — the non-recursive
     // match rule the oracle replays (DedupIndex scaladoc)
     val wrote = scala.collection.mutable.ArrayBuffer(
