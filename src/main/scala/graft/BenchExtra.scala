@@ -72,6 +72,15 @@ object BenchExtra {
       jobs.sortBy(j => -(j.end - j.start)).take(12).foreach { j =>
         println(f"[extra]   job=${j.id}%4d sec=${(j.end - j.start) / 1e9}%6.2f site=${j.site} desc=${j.desc.take(90)}")
       }
+      // phase budget: job wall + count grouped by description (batch id
+      // stripped so phases aggregate across batches)
+      jobs.groupBy(_.desc.replaceAll("b\\d+ ", "").trim)
+        .map { case (d, js) =>
+          (d, js.size, js.map(j => (j.end - j.start) / 1e9).sum) }
+        .toSeq.sortBy(-_._3)
+        .foreach { case (d, c, s) =>
+          println(f"[extra]   phase=${if (d.isEmpty) "(unlabeled)" else d}%-28s jobs=$c%3d sec=$s%6.2f")
+        }
     }
     spark.stop()
   }

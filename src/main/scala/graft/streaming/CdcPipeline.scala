@@ -156,35 +156,81 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     def awaitStagedErrors(): Option[java.nio.file.Path] =
       stagedErrorsF.flatMap(f =>
         scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    // Under nearDupPolicy=flag the whole probe/index/stage-flags phase
+    // also overlaps the merge (round-6, guide §2.6): "flag" never gates
+    // the merge input (events pass through unchanged) and never adds
+    // error rows, so the stage and the merge are independent scans of
+    // the same batch. The SAME barrier discipline applies — the future
+    // is joined at preCommitBarrier, so index appends and staged flags
+    // are durable before the manifest commit exactly as when the stage
+    // ran inline, and a stage failure aborts the batch pre-commit.
+    // "quarantine" keeps the inline order (the stage decides which
+    // events merge at all).
+    var nearDupF: Option[scala.concurrent.Future[NearDupOutcome]] = None
+    def awaitNearDup(): NearDupOutcome = {
+      nearDupF.foreach { f =>
+        nearDup = scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf)
+      }
+      nearDupF = None
+      nearDup
+    }
+    // reject/teardown paths: a failed stage future has nothing recorded
+    // to discard — fall back to the last known outcome
+    def nearDupQuiet(): NearDupOutcome =
+      try awaitNearDup()
+      catch { case scala.util.control.NonFatal(_) => nearDupF = None; nearDup }
+    // Job labels (guide §1.5): every job this batch launches is tagged
+    // with its phase so the UI / BenchExtra profile reads per-phase.
+    // Descriptions are thread-local — the staging future labels its own.
+    val sc = spark.sparkContext
     val stats =
       try {
         val conformed = Conform(raw)
         val split     = Validate(conformed, commitId, cfg.extraRules)
-        nearDup = nearDupStage(split.valid, commitId)
+        val overlapNearDup = cfg.nearDupPolicy == "flag"
+        if (overlapNearDup) {
+          nearDup = NearDupOutcome.off(split.valid)
+          nearDupF = Some(scala.concurrent.Future {
+            sc.setJobDescription(s"cdc $commitId neardup")
+            nearDupStage(split.valid, commitId)
+          }(scala.concurrent.ExecutionContext.global))
+        } else {
+          sc.setJobDescription(s"cdc $commitId neardup")
+          nearDup = nearDupStage(split.valid, commitId)
+        }
+        // flag's stage contributes no error rows by construction, so the
+        // staging future never has to wait for it
         val allErrors = nearDup.extraErrors
           .map(split.errors.unionByName(_)).getOrElse(split.errors)
-        stagedErrorsF = Some(scala.concurrent.Future(
-          stageErrors(allErrors, commitId))(scala.concurrent.ExecutionContext.global))
-        val barrier: () => Unit = () => { awaitStagedErrors(); () }
+        stagedErrorsF = Some(scala.concurrent.Future {
+          sc.setJobDescription(s"cdc $commitId stage-errors")
+          stageErrors(allErrors, commitId)
+        }(scala.concurrent.ExecutionContext.global))
+        val barrier: () => Unit = () => { awaitNearDup(); awaitStagedErrors(); () }
         val events = nearDup.events
         val deduped =
           if (cfg.salt > 1 && shouldSalt(raw)) Dedup.lwwSalted(events, cfg.salt)
           else Dedup.lww(events)
+        sc.setJobDescription(s"cdc $commitId probe")
         val useMor = cfg.mode match {
           case "mor"  => true
           case "cow"  => false
           case "auto" => !bulkBatch(raw)
         }
+        sc.setJobDescription(s"cdc $commitId merge:${if (useMor) "mor" else "cow"}")
         val s =
           if (useMor) {
             val s0 = MergeOnRead(table, deduped, commitId, batchId,
               preCommitBarrier = barrier)
+            sc.setJobDescription(s"cdc $commitId compact")
             maybeCompact()
             s0
           } else Merge(table, deduped, commitId, batchId, cfg.mergeVariant,
             preCommitBarrier = barrier)
+        sc.setJobDescription(s"cdc $commitId publish")
         publishErrors(awaitStagedErrors(), commitId)
-        publishSide(nearDup.stagedFlags, nearDupRoot, commitId)
+        publishSide(awaitNearDup().stagedFlags, nearDupRoot, commitId)
         s
       } catch {
         // Whole-batch rejects (reference analog: checkRequiredFields
@@ -192,18 +238,19 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         // marks the batch applied and the STREAM keeps running. The
         // staged-errors await in each arm re-raises a staging failure
         // instead of ledgering the reject — same outcome as when the
-        // inline staging failed before the merge ever ran.
+        // inline staging failed before the merge ever ran. The near-dup
+        // await in each arm is quiet: a FAILED stage future has nothing
+        // recorded to discard, while a completed one must be discarded
+        // before rejectBatch ledgers the commitId (its index rows would
+        // become ledger-visible for docs that never merged).
         case Conform.BatchRejected(missing) =>
-          nearDup.discard()
+          nearDupQuiet().discard()
           rejectBatch(raw, commitId, batchId,
             s"missing_required_column:${missing.mkString(",")}", awaitStagedErrors())
         case SchemaEvolution.Incompatible(msg) =>
-          // extra column re-appeared with a non-widenable type. This is
-          // the one reject thrown AFTER the near-dup stage ran, and
-          // rejectBatch ledgers the commitId — without the discard, the
-          // rejected batch's index rows would become ledger-visible for
-          // docs that never merged.
-          nearDup.discard()
+          // extra column re-appeared with a non-widenable type — thrown
+          // from the merge, i.e. AFTER the near-dup stage ran/launched
+          nearDupQuiet().discard()
           rejectBatch(raw, commitId, batchId, s"schema_incompatible:$msg",
             awaitStagedErrors())
         case Conform.ConformFailed(detail) =>
@@ -212,18 +259,22 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
           // environment-caused analysis error (vacuumed data file, bad
           // errorDir path) must fail the stream, not ledger the batch as
           // applied with only a sample retained.
-          nearDup.discard()
+          nearDupQuiet().discard()
           rejectBatch(raw, commitId, batchId, s"conform_failed:$detail",
             awaitStagedErrors())
         case e: Throwable =>
-          // non-reject failure: join the staging thread (best effort) so
-          // it cannot race the caller's teardown, then surface the
-          // original failure — its staged dir is an orphan the next
-          // publish/replay sweeps
+          // non-reject failure: join the staging + stage threads (best
+          // effort) so they cannot race the caller's teardown, then
+          // surface the original failure — their staged dirs are orphans
+          // the next publish/replay sweeps
           try { awaitStagedErrors(); () }
           catch { case scala.util.control.NonFatal(_) => () }
+          nearDupQuiet()
           throw e
-      } finally nearDup.unpersist()
+      } finally {
+        nearDupQuiet().unpersist()
+        sc.setJobDescription(null)
+      }
     writeLineage(stats, batchId)
     stats
   }

@@ -1008,6 +1008,10 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(canon(MergeOnRead.resolveViaAgg(p.table, m)) ==
       canon(MergeOnRead.resolve(p.table)))
+    // round-6 winner-attach fold: same ties/tombstones/replay cases, and
+    // the result must match BOTH prior folds exactly
+    assert(canon(MergeOnRead.resolveViaWinners(p.table, m)) ==
+      canon(MergeOnRead.resolve(p.table)))
   }
 
   test("foldTouched agg path (>64 dirty buckets) matches the bucket-local fold: state AND stats") {
