@@ -60,6 +60,27 @@ object PlanDump {
           .select(col("doc_id"), col("_m.lsn").as("lsn"),
             col("_m.dup_of").as("dup_of"), col("_m.dup_lsn").as("dup_lsn"),
             col("_m.agree").as("agree")).explain("formatted")
+      case "compact_fold" =>
+        // the whole-table compaction fold, one-pass agg (default) vs the
+        // round-6 winner-attach study variant (GRAFT_FOLD=wa) — the
+        // SortAggregate-vs-HashAggregate/SHJ shape the A/B measured
+        import graft.streaming.{CdcPipeline, PipelineConfig}
+        val base = java.nio.file.Files.createTempDirectory("graft-plandump-cf")
+        try {
+          val p = new CdcPipeline(spark, PipelineConfig(
+            tableRoot = s"$base/table", changeLogDir = s"$base/unused",
+            checkpointDir = s"$base/ckpt", errorDir = s"$base/errors",
+            lineageDir = s"$base/lineage", numBuckets = 4, mode = "mor",
+            compactThreshold = Double.PositiveInfinity))
+          val ev = graft.ingest.CdcGenerator.events(spark, sfDir)
+          p.applyBatch(ev.filter(col("lsn") < graft.ingest.CdcGenerator.LsnStride), 0L)
+          p.applyBatch(ev.filter(col("lsn") >= graft.ingest.CdcGenerator.LsnStride), 1L)
+          val m = p.table.current.get
+          println("==== compact fold, one-pass agg (resolveViaAgg — default) ====")
+          graft.operators.MergeOnRead.resolveViaAgg(p.table, m).explain("formatted")
+          println("==== compact fold, winner-attach (resolveViaWinners — GRAFT_FOLD=wa) ====")
+          graft.operators.MergeOnRead.resolveViaWinners(p.table, m).explain("formatted")
+        } finally graft.table.Fs.deleteRecursively(base)
       case "query" =>
         val name = args(2)
         val df = SparkEntry.queries(name)(spark, sfDir)

@@ -78,8 +78,12 @@ object SparkEntry {
     changelogCache.computeIfAbsent(dir, _ => {
       val out = tempRoot("graft-changelog")
       // 4 files per logical batch + 4 files per trigger → exactly 4
-      // micro-batches regardless of session parallelism
-      CdcGenerator.writeBatches(spark, dir, out, batches = 4, filesPerBatch = 4)
+      // micro-batches regardless of session parallelism. Sourced from the
+      // staged event parquet (round-6): the interpreted generator chain
+      // runs ONCE per process — the quantile probe + 4 filter passes here
+      // re-read columnar bytes instead of re-tokenizing the corpus.
+      CdcGenerator.writeBatchesFrom(spark, stagedEvents(spark, dir), out,
+        batches = 4, filesPerBatch = 4)
       out
     })
 

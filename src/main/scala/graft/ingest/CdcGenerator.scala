@@ -129,6 +129,25 @@ object CdcGenerator {
       outDir: String,
       batches: Int = 4,
       replicate: Int = 1,
+      filesPerBatch: Int = 0): Int =
+    writeBatchesFrom(spark, events(spark, sfDir, replicate), outDir,
+      batches, filesPerBatch)
+
+  /** [[writeBatches]] over an ALREADY-MATERIALIZED event frame (round-6:
+    * a caller that has staged the deterministic stream to parquet feeds
+    * it back here instead of re-running the generator's interpreted
+    * tokenizer chain for the probe + per-batch filter passes). The ROWS
+    * are identical either way; the approx-quantile batch bounds may
+    * shift slightly with the input's partitioning, which no declared
+    * result depends on — every batch split this produces is a
+    * consecutive-LSN window, so arrival order stays LSN order (the
+    * property the LWW fold, the error/replay set and the incremental
+    * near-dup rule are functions of), pinned by the full oracle run. */
+  def writeBatchesFrom(
+      spark: SparkSession,
+      source: DataFrame,
+      outDir: String,
+      batches: Int = 4,
       filesPerBatch: Int = 0): Int = {
     // The generator pipeline is narrow (single doc file → crossJoin with a
     // broadcast range → explode), so without an explicit repartition every
@@ -140,7 +159,7 @@ object CdcGenerator {
       else math.max(4, spark.sparkContext.defaultParallelism)
     // cached: the quantile probe + one filter pass per batch would
     // otherwise regenerate the full stream batches+1 times
-    val ev = events(spark, sfDir, replicate)
+    val ev = source
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Equal-COUNT consecutive LSN windows. A naive rep-index split puts
     // ~95% of events (every doc's insert + first updates) in batch 0 and

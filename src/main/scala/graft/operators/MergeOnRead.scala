@@ -981,7 +981,9 @@ object MergeOnRead {
     * row exists at that lsn — base wins ties exactly like the
     * struct-ordering on (lsn, _from_base)); classification facts are
     * computed over ALL of a doc's rows in the narrow pass, never over
-    * survivors. Gated by FoldSpec's randomized equivalence suite. */
+    * survivors. Gated by PipelineSpec's fold-equivalence tests (the
+    * resolveViaAgg ≡ resolve suite and the foldTouched state+stats
+    * cross-check). */
   private[operators] def aggLwwViaWinners(
       events: DataFrame, payloadFields: Seq[StructField],
       classified: Boolean): DataFrame = {
