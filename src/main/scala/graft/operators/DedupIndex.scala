@@ -211,6 +211,18 @@ object DedupIndex {
     out
   }
 
+  /** The `_ibkt=` bucket ids a written [[append]] dir holds — the
+    * batch's touched-bucket set, read from the directory names
+    * driver-side (round-6: replaces the separate distinct+collect Spark
+    * job per batch; empty ⟺ the batch had no valid inserts). */
+  def bucketsOf(appendDir: Path): Set[Int] =
+    if (!Files.isDirectory(appendDir)) Set.empty
+    else graft.table.Fs.listDir(appendDir)
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("_ibkt="))
+      .map(_.stripPrefix("_ibkt=").toInt)
+      .toSet
+
   /** Commit-dir count at which the pipeline folds the index — keeps the
     * probe's per-batch directory listing bounded over a long stream. */
   val CompactAt = 64

@@ -333,17 +333,22 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
         (valid.join(r, col("doc_id") === col("_q_doc"), "left_anti"),
           Some(errRows(hits, col("_q_dup"))))
       }
-    // 2. probe + index this batch's inserts. ONE probe job doubles as
-    // the empty-batch check AND the touched-bucket collect (a valid
-    // insert always yields band rows, so bands empty ⟺ no inserts):
-    // the separate `inserts.isEmpty` scan job per batch is gone
-    // (round-6; guide §1.2 — remove passes).
+    // 2. index + probe this batch's inserts. The APPEND runs FIRST and
+    // is the batch's ONE materialization job: it writes the band rows
+    // under the commit's (not-yet-applied, hence probe-invisible) index
+    // dir while populating the persisted frame, and the written `_ibkt=`
+    // dir names ARE the touched-bucket set and the empty-batch check —
+    // read driver-side for free. The separate distinct+collect job per
+    // batch is gone (round-6; guide §1.2 — remove passes). EVERY valid
+    // insert is indexed, flagged or not — the non-recursive match rule
+    // the oracle replays (DedupIndex scaladoc).
     val inserts = events1.filter(col("op") === "I" && col("doc_id").isNotNull)
     val bands = DedupIndex.bandRows(inserts, cfg.nearDupIndexBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = bands.select(col("_ibkt")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) { // update/delete-only batch: nothing to index
+    val idxDir  = DedupIndex.append(bands, nearDupRoot, commitId)
+    val touched = DedupIndex.bucketsOf(idxDir)
+    if (touched.isEmpty) { // update/delete-only batch: nothing indexed
+      graft.table.Fs.deleteRecursively(idxDir) // keep such batches dir-free
       bands.unpersist()
       return NearDupOutcome(events1, rosterErrs, None, Seq.empty, Seq.empty)
     }
@@ -355,10 +360,7 @@ final class CdcPipeline(spark: SparkSession, cfg: PipelineConfig) {
     val flags =
       if (cfg.nearDupPolicy == "flag") flags0
       else flags0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // EVERY valid insert is indexed, flagged or not — the non-recursive
-    // match rule the oracle replays (DedupIndex scaladoc)
-    val wrote = scala.collection.mutable.ArrayBuffer(
-      DedupIndex.append(bands, nearDupRoot, commitId))
+    val wrote = scala.collection.mutable.ArrayBuffer(idxDir)
     // keep the probe's per-batch dir listing bounded: fold applied
     // commits' index dirs once they pile up (the folded dir keys under
     // the current HEAD's commitId — already applied, so visibility is
