@@ -43,23 +43,29 @@ object PlanDump {
           col("sig").as("_i_sig"), col("band"), col("key"))
         val earlier = col("_i_lsn") < col("lsn") ||
           (col("_i_lsn") === col("lsn") && col("_i_doc") < col("doc_id"))
-        val cand = bands.join(self, Seq("band", "key"))
+        val candRaw = bands.join(self, Seq("band", "key"))
           .filter(col("_i_doc") =!= col("doc_id") && earlier)
           .select(col("doc_id"), col("lsn"),
             col("_i_doc").as("dup_of"), col("_i_lsn").as("dup_lsn"), lit(16).as("agree"))
-          .distinct()
+        val cand = candRaw.distinct()
         println("==== OLD representative: row_number window ====")
         val w = Window.partitionBy(col("doc_id")).orderBy(col("dup_lsn"), col("dup_of"))
         cand.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn").explain("formatted")
-        println("==== NEW representative: min_by aggregate ====")
-        cand.groupBy(col("doc_id"))
+        def rep(c: org.apache.spark.sql.DataFrame) = c.groupBy(col("doc_id"))
           .agg(min_by(
             struct(col("lsn"), col("dup_of"), col("dup_lsn"), col("agree")),
             struct(col("dup_lsn"), col("dup_of"))).as("_m"))
           .select(col("doc_id"), col("_m.lsn").as("lsn"),
             col("_m.dup_of").as("dup_of"), col("_m.dup_lsn").as("dup_lsn"),
-            col("_m.agree").as("agree")).explain("formatted")
+            col("_m.agree").as("agree"))
+        println("==== NEW representative: min_by aggregate over distinct ====")
+        rep(cand).explain("formatted")
+        println("==== NEW2 representative: min_by, no pre-distinct (shipped) ====")
+        // duplicate multi-band pair rows carry identical (dup_lsn,
+        // dup_of, agree) — agree is a function of the pair's signatures
+        // — so the aggregate needs no collapsing pass of its own
+        rep(candRaw).explain("formatted")
       case "compact_fold" =>
         // the whole-table compaction fold, one-pass agg (default) vs the
         // round-6 winner-attach study variant (GRAFT_FOLD=wa) — the

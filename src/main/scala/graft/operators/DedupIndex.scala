@@ -181,14 +181,18 @@ object DedupIndex {
         col("_i_doc").as("dup_of"), col("_i_lsn").as("dup_lsn"),
         sigAgree(col("sig"), col("_i_sig")).as("agree"))
       .filter(col("agree") >= agreeMin)
-      .distinct() // multi-band matches of one pair collapse
     // deterministic representative: earliest (dup_lsn, dup_of) per doc —
     // as a map-side-combining min_by aggregate, not a row_number window:
     // the window spelling paid a full sort of every candidate row inside
     // its exchange, where the aggregate pre-reduces each map partition
     // to one row per doc before the shuffle (guide §2.3 "aggregate
     // before you shuffle"; same ordering, struct-lexicographic on
-    // (dup_lsn, dup_of), so the representative is identical)
+    // (dup_lsn, dup_of), so the representative is identical). The
+    // multi-band duplicate pair rows a round-5 `.distinct()` used to
+    // collapse here need no pass of their own (round-6): duplicates of
+    // a pair carry the IDENTICAL (dup_lsn, dup_of, agree) — agree is a
+    // function of the pair's signatures — so the min_by picks the same
+    // representative with or without them, one exchange earlier.
     cand.groupBy(col("doc_id"))
       .agg(min_by(
         struct(col("lsn"), col("dup_of"), col("dup_lsn"), col("agree")),
